@@ -1,0 +1,129 @@
+"""Arrow-vectorized pandas UDFs wrapping the numpy kernels.
+
+Every UDF here processes whole Arrow batches through numpy — no per-row
+Python (BASELINE.json input_hint requirement). UDFs are the slow path by
+design (SURVEY.md §4): only operations Catalyst cannot express natively
+live here (geohash strings, exact PIP refinement, WKT relate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def geohash_udf(precision: int = 12):
+    """(lat, lon) -> geohash string at a fixed precision (vectorized)."""
+    from spatial4n_spark.kernels.geohash import geohash_encode
+
+    @F.pandas_udf(StringType())
+    def _encode(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        h = geohash_encode(lat.to_numpy(np.float64), lon.to_numpy(np.float64), precision)
+        return pd.Series(h).str.decode("ascii")
+
+    return _encode
+
+
+def geohash_bbox_udf():
+    """geohash -> struct(min_x, max_x, min_y, max_y) (vectorized)."""
+    from spatial4n_spark.kernels.geohash import geohash_decode_bbox
+
+    schema = StructType(
+        [
+            StructField("min_x", DoubleType()),
+            StructField("max_x", DoubleType()),
+            StructField("min_y", DoubleType()),
+            StructField("max_y", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _decode(cell: pd.Series) -> pd.DataFrame:
+        min_x, max_x, min_y, max_y = geohash_decode_bbox(cell.to_numpy())
+        return pd.DataFrame({"min_x": min_x, "max_x": max_x, "min_y": min_y, "max_y": max_y})
+
+    return _decode
+
+
+def pip_udf(polys_by_id: dict, geo: bool = True):
+    """(lon, lat, poly_id) -> covered boolean, batched per polygon id.
+
+    ``polys_by_id`` maps poly_id -> Polygon/MultiPolygon (driver-side dict,
+    captured in the closure; Spark broadcasts it with the serialized task —
+    the polygon layer is the small/broadcast side of the join by design).
+    Within each Arrow batch, points are grouped by poly_id so each polygon
+    runs one vectorized covers test (SURVEY.md §2.2 polygon x point).
+    """
+    from spatial4n_spark.kernels.polygon import points_covered
+
+    @F.pandas_udf(BooleanType())
+    def _pip(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        x = lon.to_numpy(np.float64)
+        y = lat.to_numpy(np.float64)
+        pid = poly_id.to_numpy()
+        out = np.zeros(len(x), dtype=bool)
+        for p in pd.unique(pid):
+            mask = pid == p
+            shape = polys_by_id.get(p)
+            if shape is None:
+                continue
+            out[mask] = points_covered(x[mask], y[mask], shape, geo)
+        return pd.Series(out)
+
+    return _pip
+
+
+def relate_wkt_udf(geo: bool = True, calculator: str = "haversine"):
+    """(wkt_a, wkt_b) -> relation name string.
+
+    Driver for golden-vector conformance at DataFrame level; parses each
+    distinct WKT once per batch.
+    """
+    from spatial4n_spark.io import parse_wkt
+    from spatial4n_spark.kernels.relate import relate
+    from spatial4n_spark.relation import rel_name
+
+    @F.pandas_udf(StringType())
+    def _relate(wkt_a: pd.Series, wkt_b: pd.Series) -> pd.Series:
+        cache: dict[str, object] = {}
+
+        def shape_of(w):
+            s = cache.get(w)
+            if s is None:
+                s = cache[w] = parse_wkt(w, geo)
+            return s
+
+        out = [str(rel_name(relate(shape_of(a), shape_of(b), geo, calculator))) for a, b in zip(wkt_a, wkt_b)]
+        return pd.Series(out)
+
+    return _relate
+
+
+def haversine_km_udf():
+    """Vectorized kernel twin of functions.native.haversine_km (for parity tests)."""
+    from spatial4n_spark.kernels.distance import deg_to_km, distance_deg
+
+    @F.pandas_udf(DoubleType())
+    def _dist(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        d = deg_to_km(
+            distance_deg(
+                lon1.to_numpy(np.float64),
+                lat1.to_numpy(np.float64),
+                lon2.to_numpy(np.float64),
+                lat2.to_numpy(np.float64),
+                "haversine",
+            )
+        )
+        return pd.Series(d)
+
+    return _dist

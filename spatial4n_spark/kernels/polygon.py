@@ -296,6 +296,13 @@ def points_covered(px, py, poly, geo: bool = True):
     """
     px = np.atleast_1d(np.asarray(px, dtype=np.float64))
     py = np.atleast_1d(np.asarray(py, dtype=np.float64))
+    if isinstance(poly, Rect):
+        from spatial4n_spark.kernels.bbox import rect_contains_point
+
+        return rect_contains_point(poly.min_x, poly.max_x, poly.min_y, poly.max_y, px, py, geo)
+    if isinstance(poly, Circle):
+        calc = "haversine" if poly.geo else "cartesian"
+        return np.atleast_1d(distance_deg(poly.x, poly.y, px, py, calc) <= poly.radius)
     if isinstance(poly, MultiPolygon):
         out = np.zeros(px.shape, dtype=bool)
         for p in poly.polys:

@@ -1,0 +1,51 @@
+"""Radius (distance) join: points within R km of query centers.
+
+Plan: per query circle, compute its bbox with the reference's circle-bbox
+kernel (DistanceUtils.cs:328-394 — pole/dateline aware), cover the bbox
+with geohash cells, broadcast-join points on the cell, then apply the
+native haversine predicate (CircleImpl.Contains :94-97 as Catalyst
+expressions). No shuffle on the big side; the exact predicate is pure JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spatial4n_spark.functions.native import haversine_km, within_radius_km
+from spatial4n_spark.functions.udfs import geohash_udf
+from spatial4n_spark.kernels.circle import circle_bbox
+from spatial4n_spark.kernels.distance import km_to_deg
+from spatial4n_spark.kernels.polygon import Circle, Rect
+from spatial4n_spark.plans.cover import cover_cells
+
+
+def radius_join(
+    points: DataFrame,
+    queries: list[tuple[str, float, float, float]],
+    lon: str = "lon",
+    lat: str = "lat",
+    level: int = 3,
+    with_distance: bool = True,
+) -> DataFrame:
+    """``queries``: [(query_id, qlon, qlat, radius_km)] (the small side).
+
+    Returns point columns + query_id (+ dist_km).
+    """
+    spark = points.sparkSession
+    rows = []
+    for qid, qlon, qlat, r_km in queries:
+        r_deg = float(km_to_deg(r_km))
+        circle = Circle(qlon, qlat, r_deg, geo=True)
+        fulls, bounds = cover_cells(circle, level)
+        for c in fulls + bounds:
+            rows.append((c, qid, float(qlon), float(qlat), float(r_km)))
+    cover_df = spark.createDataFrame(
+        rows, "_cell string, query_id string, _qlon double, _qlat double, _rkm double"
+    )
+
+    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    cand = pts.join(F.broadcast(cover_df), "_cell")
+    out = cand.where(within_radius_km(F.col(lon), F.col(lat), "_qlon", "_qlat", "_rkm"))
+    if with_distance:
+        out = out.withColumn("dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat"))
+    return out.drop("_cell", "_qlon", "_qlat", "_rkm")

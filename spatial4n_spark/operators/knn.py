@@ -1,0 +1,125 @@
+"""kNN: cell-ring candidate generation + exact-distance Window top-k.
+
+SURVEY.md §2.9: for each query point, candidates come from its geohash
+cell plus expanding neighbor rings; exact haversine ranks them with a
+row_number window partitioned by query. Ring expansion repeats (driver
+loop, bounded) for queries whose k-th neighbor distance exceeds the
+guaranteed-covered radius — the correctness condition for cell-pruned kNN.
+
+The window shuffle is keyed by query_id (bounded cardinality x k rows),
+never by the points table, so the big side only streams through the
+broadcast candidate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.functions.udfs import geohash_udf
+from spatial4n_spark.kernels.distance import deg_to_km
+from spatial4n_spark.kernels.geohash import (
+    geohash_cell_sizes,
+    geohash_encode_str,
+    geohash_neighbors,
+)
+
+
+def _ring_cells(qlon: float, qlat: float, level: int, rings: int) -> set[str]:
+    center = geohash_encode_str([qlat], [qlon], level)[0]
+    cells = {center}
+    frontier = {center}
+    for _ in range(rings):
+        nxt = set()
+        for c in frontier:
+            nxt.update(geohash_neighbors(c))
+        nxt -= cells
+        cells |= nxt
+        frontier = nxt
+    return cells
+
+
+def _covered_radius_km(qlat: float, level: int, rings: int) -> float:
+    """Conservative radius fully covered by `rings` rings around the query cell."""
+    lat_h, lon_w = geohash_cell_sizes(level)
+    import math
+
+    # smallest distance from the query point to outside the ring block:
+    # at least `rings` cells in latitude; longitude shrinks by cos(lat)
+    lat_km = float(deg_to_km(rings * lat_h))
+    lon_km = float(deg_to_km(rings * lon_w)) * max(math.cos(math.radians(abs(qlat) + rings * lat_h)), 0.0)
+    return max(min(lat_km, lon_km), 0.0)
+
+
+def knn_join(
+    points: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "image_id",
+    level: int = 3,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """``queries``: [(query_id, qlon, qlat)]. Returns (query_id, <id_col>, dist_km, rank).
+
+    Exact kNN: after each round, a query's result is accepted only if its
+    k-th distance is within the radius guaranteed covered by the rings it
+    searched; otherwise the ring set doubles (bounded driver loop).
+    Ties break on <id_col> for determinism.
+    """
+    spark = points.sparkSession
+    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    pts = pts.select(id_col, lon, lat, "_cell")
+
+    pending = {qid: (qlon, qlat) for qid, qlon, qlat in queries}
+    rings = 1
+    results = []
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        rows = []
+        for qid, (qlon, qlat) in pending.items():
+            for c in _ring_cells(qlon, qlat, level, rings):
+                rows.append((c, qid, qlon, qlat))
+        cand_df = spark.createDataFrame(rows, "_cell string, query_id string, _qlon double, _qlat double")
+        cand = pts.join(F.broadcast(cand_df), "_cell")
+        ranked = (
+            cand.withColumn("dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+        )
+        got = ranked.collect()
+        by_q: dict[str, list] = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        next_pending = {}
+        for qid, (qlon, qlat) in pending.items():
+            rs = by_q.get(qid, [])
+            guaranteed = _covered_radius_km(qlat, level, rings)
+            if len(rs) >= k and max(r["dist_km"] for r in rs) <= guaranteed:
+                results.extend(rs)
+            else:
+                next_pending[qid] = (qlon, qlat)
+        pending = next_pending
+        rings *= 2
+
+    if pending:
+        # final fallback: exact brute force for the stragglers (pole/sparse
+        # regions) — still a broadcast join, no big-side shuffle
+        rows = [(qid, qlon, qlat) for qid, (qlon, qlat) in pending.items()]
+        q_df = spark.createDataFrame(rows, "query_id string, _qlon double, _qlat double")
+        ranked = (
+            points.select(id_col, lon, lat)
+            .crossJoin(F.broadcast(q_df))
+            .withColumn("dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+        )
+        results.extend(ranked.collect())
+
+    return spark.createDataFrame(results, f"query_id string, {id_col} string, dist_km double, rank int")

@@ -1,0 +1,78 @@
+"""The point-in-polygon spatial join (SURVEY.md §2.9 — north-rule operator).
+
+Plan shape (all stages chosen for the 10^12-row design scale):
+
+1. driver: quadtree cell cover per polygon (plans.cover) — 'full' cells
+   need no refinement, 'boundary' cells do.
+2. points: one vectorized geohash-encode UDF pass -> `_cell` column.
+3. equi-join points to the **broadcast** cover table on `_cell` — the
+   points side never shuffles (no repartition of the 10^12-row side).
+4. native bbox prefilter (Catalyst, codegen) on the polygon's bbox.
+5. exact PIP refinement (Arrow-vectorized covers kernel) ONLY for rows in
+   boundary cells: `_full OR pip(...)`.
+
+Skew note: the hot-cell problem (dense cities) does not skew this join —
+a broadcast hash join has no shuffle, and Spark schedules the fat scan
+partitions independently. Skew handling for shuffling aggregations lives
+in operators.tiles (salted two-phase aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spatial4n_spark.functions.native import rect_contains_point
+from spatial4n_spark.functions.udfs import geohash_udf, pip_udf
+from spatial4n_spark.kernels.polygon import Rect, shape_bbox
+from spatial4n_spark.plans.cover import cover_cells
+
+
+def spatial_join_points_polygons(
+    points: DataFrame,
+    polygons: list[tuple[str, object]],
+    lon: str = "lon",
+    lat: str = "lat",
+    level: int = 4,
+    geo: bool = True,
+    keep_cell: bool = False,
+) -> DataFrame:
+    """Inner-join points to the polygons that cover them.
+
+    ``polygons``: [(poly_id, shape)] — the small/broadcast side (a polygon
+    layer of up to ~10^5 features; for larger layers, partition the layer
+    and union the joins).
+    Returns the points' columns + ``poly_id`` (+ ``_cell`` if keep_cell).
+    """
+    spark = points.sparkSession
+    cover_rows = []
+    bbox_rows = {}
+    for pid, shape in polygons:
+        fulls, bounds = cover_cells(shape, level, geo)
+        bb = shape_bbox(shape, geo)
+        bbox_rows[pid] = bb
+        for c in fulls:
+            cover_rows.append((c, pid, True))
+        for c in bounds:
+            cover_rows.append((c, pid, False))
+    cover_df = spark.createDataFrame(cover_rows, "_cell string, poly_id string, _full boolean")
+
+    # polygon bboxes as a broadcast dim for the native prefilter
+    bbox_df = spark.createDataFrame(
+        [(pid, b.min_x, b.max_x, b.min_y, b.max_y) for pid, b in bbox_rows.items()],
+        "poly_id string, _bminx double, _bmaxx double, _bminy double, _bmaxy double",
+    )
+    cover_df = cover_df.join(bbox_df, "poly_id")
+
+    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    cand = pts.join(F.broadcast(cover_df), "_cell")
+
+    # native bbox prefilter (only relevant for boundary cells; full cells pass)
+    bbox_ok = rect_contains_point("_bminx", "_bmaxx", "_bminy", "_bmaxy", F.col(lon), F.col(lat))
+    cand = cand.where(F.col("_full") | bbox_ok)
+
+    shapes = {pid: s for pid, s in polygons}
+    pip = pip_udf(shapes, geo)
+    out = cand.where(F.col("_full") | pip(F.col(lon), F.col(lat), F.col("poly_id")))
+
+    drop = ["_full", "_bminx", "_bmaxx", "_bminy", "_bmaxy"] + ([] if keep_cell else ["_cell"])
+    return out.drop(*drop)

@@ -1,0 +1,66 @@
+"""Tile assignment + skew-aware tile aggregation.
+
+- ``tile_assign``: one vectorized geohash-encode pass -> cell column
+  (plus the SQL-expressible integer cell id twin for oracle checks).
+- ``tile_stats``: per-cell aggregates. Spark's hash aggregate already does
+  map-side partial combine, so a hot cell receives at most one partial row
+  per input partition; for extreme skew (a single cell dominating most
+  partitions at 10^12 rows) ``salt_buckets > 1`` forces an explicit
+  two-phase salted aggregation: groupBy(cell, phash % salt) partials,
+  then groupBy(cell) finals — the classic hot-key defusal the north rule
+  asks to be explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from spatial4n_spark.functions.native import cell_id_int
+from spatial4n_spark.functions.udfs import geohash_udf
+
+
+def tile_assign(
+    points: DataFrame,
+    level: int = 4,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_col: str = "cell",
+    int_cell: bool = False,
+) -> DataFrame:
+    out = points.withColumn(cell_col, geohash_udf(level)(F.col(lat), F.col(lon)))
+    if int_cell:
+        out = out.withColumn(f"{cell_col}_id", cell_id_int(F.col(lon), F.col(lat), level))
+    return out
+
+
+def tile_stats(
+    points: DataFrame,
+    level: int = 4,
+    lon: str = "lon",
+    lat: str = "lat",
+    salt_buckets: int = 1,
+    salt_col: str = "phash",
+    aggs: list | None = None,
+) -> DataFrame:
+    """Per-cell (count, mean lon/lat, ...) with optional explicit salting."""
+    df = tile_assign(points, level, lon, lat)
+    aggs = aggs or [
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col(lon)).alias("avg_lon"),
+        F.avg(F.col(lat)).alias("avg_lat"),
+    ]
+    if salt_buckets <= 1:
+        return df.groupBy("cell").agg(*aggs)
+
+    # explicit two-phase salted aggregation (sum/count decomposable)
+    salted = df.withColumn("_salt", F.pmod(F.col(salt_col), F.lit(salt_buckets)))
+    partial = salted.groupBy("cell", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(lon)).alias("_slon"),
+        F.sum(F.col(lat)).alias("_slat"),
+    )
+    return partial.groupBy("cell").agg(
+        F.sum("_n").alias("n"),
+        (F.sum("_slon") / F.sum("_n")).alias("avg_lon"),
+        (F.sum("_slat") / F.sum("_n")).alias("avg_lat"),
+    )

@@ -1,0 +1,180 @@
+"""Deterministic synthetic image+caption table (BASELINE.json input_hint).
+
+Schema: image_id:string, bytes:binary, w:int, h:int, fmt:string,
+caption:string, phash:long, lon:double, lat:double.
+
+Rows are generated **distributed** (spark.range -> mapInArrow), each row a
+pure function of its index under seed=42 — no external data, no driver-side
+materialization, scales linearly with partitions (the design-scale table is
+10^12 rows; the generator is the sandbox stand-in for the Iceberg scan).
+
+Point distribution (FIXTURES.md §1): mixture of (a) uniform world,
+(b) hot clusters near Paris (2.35, 48.85) and Tokyo (139.76, 35.68) that
+make a few geohash cells deliberately hot (skew-salting exercise),
+(c) a dateline band lon in [175,180] u [-180,-175], (d) a polar band
+lat in [85,90].
+
+Image payloads:
+- fmt='raw'  : real raw RGB bytes (w*h*3), lossless.
+- fmt='png'  : STUB lossless container — 8-byte magic + raw payload.
+               Real PNG codecs are unavailable in this environment; the
+               Spark-side plumbing (binary column, batched decode, schema)
+               is real and the bytes round-trip exactly.
+- fmt='jpg'  : STUB lossy container — 8-byte magic + payload quantized to
+               a step of 4 (deterministic 'lossy' transform), giving a
+               true PSNR of ~48 dB against the original, which exercises
+               the PSNR >= 40 dB invariant with real math.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+IMAGES_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, lon double, lat double"
+)
+
+_PNG_MAGIC = b"S4NPNG\x00\x01"
+_JPG_MAGIC = b"S4NJPG\x00\x01"
+_FMTS = ("png", "jpg", "raw")
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — deterministic per-row randomness from the index."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _u01(ids: np.ndarray, salt: int) -> np.ndarray:
+    """uniform [0,1) doubles, one per id, keyed by (id, salt, seed=42)."""
+    h = _mix64(ids.astype(np.uint64) * np.uint64(1_000_003) + np.uint64(salt * 77_003 + 42))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def synth_coords(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (lon, lat) mixture for row indices."""
+    u_kind = _u01(ids, 1)
+    u1 = _u01(ids, 2)
+    u2 = _u01(ids, 3)
+    lon = u1 * 360.0 - 180.0
+    lat = u2 * 170.0 - 85.0  # uniform world (avoid exact poles)
+
+    # hot clusters (30%): Paris and Tokyo, ~0.2 deg sigma-ish box
+    paris = (u_kind >= 0.50) & (u_kind < 0.68)
+    tokyo = (u_kind >= 0.68) & (u_kind < 0.80)
+    lon = np.where(paris, 2.35 + (u1 - 0.5) * 0.4, lon)
+    lat = np.where(paris, 48.85 + (u2 - 0.5) * 0.4, lat)
+    lon = np.where(tokyo, 139.76 + (u1 - 0.5) * 0.4, lon)
+    lat = np.where(tokyo, 35.68 + (u2 - 0.5) * 0.4, lat)
+
+    # dateline band (15%): lon in [175,180] u [-180,-175]
+    dateline = (u_kind >= 0.80) & (u_kind < 0.95)
+    dl_lon = np.where(u1 < 0.5, 175.0 + u1 * 10.0, -180.0 + (u1 - 0.5) * 10.0)
+    lon = np.where(dateline, dl_lon, lon)
+    lat = np.where(dateline, u2 * 120.0 - 60.0, lat)
+
+    # polar band (5%): lat in [85,90]
+    polar = u_kind >= 0.95
+    lat = np.where(polar, 85.0 + u2 * 5.0, lat)
+    return lon, lat
+
+
+def _encode_payload(rgb: np.ndarray, fmt: str) -> bytes:
+    raw = rgb.tobytes()
+    if fmt == "raw":
+        return raw
+    if fmt == "png":
+        return _PNG_MAGIC + raw
+    if fmt == "jpg":
+        q = (rgb.astype(np.int16) // 4 * 4).astype(np.uint8)  # lossy quantization
+        return _JPG_MAGIC + q.tobytes()
+    raise ValueError(fmt)
+
+
+def decode_image_batch(buf_list, w: np.ndarray, h: np.ndarray, fmt_list) -> list[np.ndarray]:
+    """Decode a batch of image payloads to (h, w, 3) uint8 arrays.
+
+    The stub-codec twin of ``_encode_payload``; a real deployment would
+    swap in PIL/libjpeg here — the engine plumbing (mapInArrow batching,
+    schema, PSNR gate) does not change.
+    """
+    out = []
+    for buf, wi, hi, fmt in zip(buf_list, w, h, fmt_list):
+        b = bytes(buf)
+        if fmt == "png":
+            if not b.startswith(_PNG_MAGIC):
+                raise ValueError("bad png stub magic")
+            b = b[len(_PNG_MAGIC):]
+        elif fmt == "jpg":
+            if not b.startswith(_JPG_MAGIC):
+                raise ValueError("bad jpg stub magic")
+            b = b[len(_JPG_MAGIC):]
+        arr = np.frombuffer(b, dtype=np.uint8)
+        out.append(arr.reshape(int(hi), int(wi), 3))
+    return out
+
+
+def _gen_batch(ids: np.ndarray, with_bytes: bool) -> pa.RecordBatch:
+    n = len(ids)
+    lon, lat = synth_coords(ids)
+    # sizes 8x8..32x32, deterministic
+    size_u = _u01(ids, 4)
+    w = (8 + (size_u * 4).astype(np.int32) * 8).astype(np.int32)  # 8,16,24,32
+    h = w.copy()
+    fmt_idx = (ids % 3).astype(np.int64)
+    phash = _mix64(ids.astype(np.uint64) + np.uint64(0xABCD)).astype(np.int64)
+
+    image_id = np.char.add("img", np.char.zfill(ids.astype(str), 9))
+    caption = [
+        f"caption for img{int(i)} at {la:.4f},{lo:.4f}" for i, la, lo in zip(ids, lat, lon)
+    ]
+    fmts = [_FMTS[int(k)] for k in fmt_idx]
+
+    if with_bytes:
+        payloads = []
+        for i, wi, hi, fmt in zip(ids, w, h, fmts):
+            npix = int(wi) * int(hi) * 3
+            # deterministic pixel noise from the row index
+            pix = _mix64(np.arange(npix, dtype=np.uint64) + np.uint64(int(i)) * np.uint64(0x1F123))
+            rgb = (pix & np.uint64(0xFF)).astype(np.uint8).reshape(int(hi), int(wi), 3)
+            payloads.append(_encode_payload(rgb, fmt))
+    else:
+        payloads = [b""] * n
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(image_id.tolist(), pa.string()),
+            pa.array(payloads, pa.binary()),
+            pa.array(w, pa.int32()),
+            pa.array(h, pa.int32()),
+            pa.array(fmts, pa.string()),
+            pa.array(caption, pa.string()),
+            pa.array(phash, pa.int64()),
+            pa.array(lon, pa.float64()),
+            pa.array(lat, pa.float64()),
+        ],
+        names=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"],
+    )
+
+
+def images_df(spark, n_rows: int, with_bytes: bool = True, partitions: int | None = None):
+    """Distributed deterministic images table: spark.range -> mapInArrow."""
+    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            # bound batch memory: chunk to <= 8192 rows
+            for s in range(0, len(ids), 8192):
+                yield _gen_batch(ids[s : s + 8192], with_bytes)
+
+    return rng.mapInArrow(gen, IMAGES_SCHEMA)
