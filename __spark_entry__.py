@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship point-in-polygon spatial join + tile
+assignment; ``queries``/``oracle_sql`` expose the oracle-checked suite
+(see ``spatial4n_spark/suite.py`` for why the results are designed to be
+bit-identical between the Spark engine and the DuckDB oracle).
 """
 
 from __future__ import annotations
@@ -15,24 +14,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    PIP spatial join (broadcast cell-cover + native bbox prefilter + exact
+    even-odd refinement) followed by geohash tile assignment.
+    """
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.operators.tiles import tile_assign
+    from spatial4n_spark.suite import layer, pts_orders
+    from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+
+    pts = pts_orders(spark, "/root/testdata/sf0.001")
+    joined = spatial_join_points_polygons(pts, layer(), level=3)
+    return tile_assign(joined, level=4).select(
+        "o_orderkey", "poly_id", "cell", F.col("lon"), F.col("lat")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from spatial4n_spark.suite import SPATIAL_QUERIES
+
+    return dict(SPATIAL_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
+    from spatial4n_spark.suite import spatial_oracles
+
+    return dict(spatial_oracles())

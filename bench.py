@@ -1,0 +1,134 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", plus rows/sec detail}.
+
+Set SPARK_GRAFT_QUERIES=name1,name2 to restrict; SPARK_GRAFT_CPUS=8 to
+measure at a different parallelism (scaling-efficiency evidence — see
+BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spatial4n-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # sandbox parquet is single-row-group; the fact tables at sf0.1 are
+        # small enough that a repartition costs more than it buys, so the
+        # scan-parallelism stand-in (suite._scan) defaults off. The image
+        # pipeline bench (CPU-bound decode) is what demonstrates scaling.
+        .config(
+            "spark.spatial4n.scan.partitions",
+            os.environ.get("SPARK_GRAFT_SCAN_PARTITIONS", "0"),
+        )
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = [q for q in os.environ.get("SPARK_GRAFT_QUERIES", "").split(",") if q]
+
+    import __spark_entry__ as E
+    from spatial4n_spark.suite import pts_lineitem
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # fact-side input sizes (for rows/sec)
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    input_rows = {
+        "pip_join": n_orders,
+        "pip_join_lineitem": n_lineitem,
+        "tile_stats": n_lineitem,
+        "cell_assign": n_orders,
+        "radius_join": n_orders,
+        "knn": n_orders,
+        "rect_relate": n_lineitem * 3,
+        "rect_counts": n_orders * 3,
+        "circle_bbox": None,
+        "distances": None,
+    }
+
+    queries = dict(E.queries())
+
+    def q_pip_join_lineitem(spark, sf):
+        from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+        from spatial4n_spark.suite import layer
+
+        out = spatial_join_points_polygons(pts_lineitem(spark, sf), layer(), level=3)
+        return out.select("l_orderkey", "l_linenumber", "poly_id")
+
+    queries["pip_join_lineitem"] = q_pip_join_lineitem
+
+    names = only or list(queries)
+
+    # warm-up: spin up JVM, Python UDF workers, broadcast paths, and the
+    # driver-side cover cache on the tiny sf so measured times are
+    # steady-state engine throughput, not process-start noise
+    warm_sf = "/root/testdata/sf0.001"
+    for name in names:
+        try:
+            queries[name](spark, warm_sf).count()
+        except Exception:  # noqa: BLE001
+            pass
+
+    times: dict[str, float] = {}
+    rates: dict[str, float] = {}
+    rows_out: dict[str, int] = {}
+    for name in names:
+        fn = queries[name]
+        t0 = time.time()
+        rows_out[name] = fn(spark, sf_dir).count()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        if input_rows.get(name):
+            rates[name] = round(input_rows[name] / dt, 1)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    big = ["pip_join_lineitem", "tile_stats", "cell_assign"]
+    headline = [n for n in big if n in rates]
+    headline_rate = (
+        round(sum(input_rows[n] for n in headline) / sum(times[n] for n in headline), 1)
+        if headline
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join + tile-assignment throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "rows_per_sec": rates,
+                "headline_rows_per_sec": headline_rate,
+                "rows_out": rows_out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

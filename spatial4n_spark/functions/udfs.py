@@ -109,6 +109,83 @@ def relate_wkt_udf(geo: bool = True, calculator: str = "haversine"):
     return _relate
 
 
+def relate_bbox_udf(geo: bool = True):
+    """(aminx..amaxy, bminx..bmaxy) -> relation name of rect A vs rect B.
+
+    Arrow-vectorized twin of kernels.bbox.rect_relate_rect
+    (RectangleImpl.cs:231-254) — the bbox-relate join predicate.
+    """
+    from spatial4n_spark.kernels.bbox import rect_relate_rect
+    from spatial4n_spark.relation import rel_name
+
+    @F.pandas_udf(StringType())
+    def _rel(
+        aminx: pd.Series, amaxx: pd.Series, aminy: pd.Series, amaxy: pd.Series,
+        bminx: pd.Series, bmaxx: pd.Series, bminy: pd.Series, bmaxy: pd.Series,
+    ) -> pd.Series:
+        r = rect_relate_rect(
+            aminx.to_numpy(np.float64), amaxx.to_numpy(np.float64),
+            aminy.to_numpy(np.float64), amaxy.to_numpy(np.float64),
+            bminx.to_numpy(np.float64), bmaxx.to_numpy(np.float64),
+            bminy.to_numpy(np.float64), bmaxy.to_numpy(np.float64),
+            geo=geo,
+        )
+        return pd.Series(rel_name(r))
+
+    return _rel
+
+
+def circle_bbox_udf():
+    """(lon, lat, radius_deg) -> struct(min_x, max_x, min_y, max_y).
+
+    Vectorized DistanceUtils.CalcBoxByDistFromPtDEG (DistanceUtils.cs:328-394)
+    — the kNN/radius candidate generator, pole/dateline aware.
+    """
+    from spatial4n_spark.kernels.circle import circle_bbox
+
+    schema = StructType(
+        [
+            StructField("min_x", DoubleType()),
+            StructField("max_x", DoubleType()),
+            StructField("min_y", DoubleType()),
+            StructField("max_y", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _bbox(lon: pd.Series, lat: pd.Series, r: pd.Series) -> pd.DataFrame:
+        min_x, max_x, min_y, max_y = circle_bbox(
+            lon.to_numpy(np.float64), lat.to_numpy(np.float64), r.to_numpy(np.float64)
+        )
+        return pd.DataFrame({"min_x": min_x, "max_x": max_x, "min_y": min_y, "max_y": max_y})
+
+    return _bbox
+
+
+def dist_km_udf(calculator: str = "haversine"):
+    """(lon1, lat1, lon2, lat2) -> km for a configurable calculator.
+
+    The pluggable-IDistanceCalculator surface (DistanceCalculator.cs:23-63):
+    haversine / lawofcosines / vincenty, all Arrow-vectorized.
+    """
+    from spatial4n_spark.kernels.distance import deg_to_km, distance_deg
+
+    @F.pandas_udf(DoubleType())
+    def _dist(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        d = deg_to_km(
+            distance_deg(
+                lon1.to_numpy(np.float64),
+                lat1.to_numpy(np.float64),
+                lon2.to_numpy(np.float64),
+                lat2.to_numpy(np.float64),
+                calculator,
+            )
+        )
+        return pd.Series(d)
+
+    return _dist
+
+
 def haversine_km_udf():
     """Vectorized kernel twin of functions.native.haversine_km (for parity tests)."""
     from spatial4n_spark.kernels.distance import deg_to_km, distance_deg

@@ -69,8 +69,14 @@ def knn_join(
     Ties break on <id_col> for determinism.
     """
     spark = points.sparkSession
+    id_type = points.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id string, {id_col} {id_type}, dist_km double, rank int"
     pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
     pts = pts.select(id_col, lon, lat, "_cell")
+    # the encoded points are re-scanned by every ring-expansion round (and
+    # by the brute-force fallback): cache them across rounds — the iterative
+    # reuse pattern, not a driver-side materialization
+    pts = pts.persist()
 
     pending = {qid: (qlon, qlat) for qid, qlon, qlat in queries}
     rings = 1
@@ -122,4 +128,5 @@ def knn_join(
         )
         results.extend(ranked.collect())
 
-    return spark.createDataFrame(results, f"query_id string, {id_col} string, dist_km double, rank int")
+    pts.unpersist()
+    return spark.createDataFrame(results, out_schema)

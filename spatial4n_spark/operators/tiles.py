@@ -41,9 +41,28 @@ def tile_stats(
     salt_buckets: int = 1,
     salt_col: str = "phash",
     aggs: list | None = None,
+    sum_col: str | None = None,
 ) -> DataFrame:
-    """Per-cell (count, mean lon/lat, ...) with optional explicit salting."""
+    """Per-cell (count, mean lon/lat, ...) with optional explicit salting.
+
+    ``sum_col`` switches to the exact-integer aggregate shape
+    (n, sum_<col>) used by the oracle-checked entry queries — integer sums
+    are order-insensitive so the two-phase salted plan is bit-reproducible.
+    """
     df = tile_assign(points, level, lon, lat)
+    if sum_col is not None:
+        sum_alias = f"sum_{sum_col}"
+        if salt_buckets <= 1:
+            return df.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"), F.sum(sum_col).alias(sum_alias)
+            )
+        salted = df.withColumn("_salt", F.pmod(F.col(salt_col), F.lit(salt_buckets)))
+        partial = salted.groupBy("cell", "_salt").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum(sum_col).alias("_s")
+        )
+        return partial.groupBy("cell").agg(
+            F.sum("_n").alias("n"), F.sum("_s").alias(sum_alias)
+        )
     aggs = aggs or [
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col(lon)).alias("avg_lon"),

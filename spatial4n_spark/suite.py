@@ -1,0 +1,427 @@
+"""The oracle-checked query suite — the engine's public entry queries.
+
+Each query runs the Spark engine over points derived *deterministically*
+from the driver's TPC-H-ish parquet tables; the paired SQL oracle (built
+by ``spatial4n_spark.oracles``) recomputes the same result in DuckDB.
+
+Why the derived coordinates look odd: ``((key * m) % 4096) * 45/512 - 180``
+places every point on a dyadic lattice (multiples of 45/512 = 0.087890625)
+whose doubles are *exactly representable*; every kernel comparison,
+cross-product, and bin index is then exact in both engines, so the oracle
+match is bit-for-bit — including points exactly on polygon edges, dateline
+seams, and geohash cell boundaries (the reference's hardest cases,
+SURVEY.md §2.6).
+
+The polygon layer is ``sources.polygons.POLYGON_LAYER`` (the reference's
+own test corpus: dateline twins, Fiji/Russia-style shapes, a holed
+polygon). Scale note: every query here keeps the big (fact) side
+shuffle-free — broadcast cell-cover joins + native predicates — so the
+same plans hold at the 10^12-row design scale (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spatial4n_spark import oracles as O
+from spatial4n_spark.functions.native import haversine_km, rect_contains_point
+from spatial4n_spark.functions.udfs import circle_bbox_udf, dist_km_udf, relate_bbox_udf
+from spatial4n_spark.operators.distance_join import radius_join
+from spatial4n_spark.operators.knn import knn_join
+from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+from spatial4n_spark.operators.tiles import tile_assign, tile_stats
+from spatial4n_spark.sources.polygons import polygon_layer
+
+# ---------------------------------------------------------------------------
+# deterministic derived point tables (identical arithmetic in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+LON_MULT, LAT_MULT = 2371, 1381
+
+
+def _lon_col(key, mult=LON_MULT):
+    return (key * F.lit(mult)) % F.lit(4096) * F.lit(45.0) / F.lit(512.0) - F.lit(180.0)
+
+
+def _lat_col(key, mult=LAT_MULT):
+    return (key * F.lit(mult)) % F.lit(2048) * F.lit(45.0) / F.lit(512.0) - F.lit(90.0)
+
+
+def _lon_sql(key: str, mult: int = LON_MULT) -> str:
+    return f"(({key} * {mult}) % 4096) * 45e0 / 512e0 - 180e0"
+
+
+def _lat_sql(key: str, mult: int = LAT_MULT) -> str:
+    return f"(({key} * {mult}) % 2048) * 45e0 / 512e0 - 90e0"
+
+
+def _scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a fact table; optionally repartition to emulate scan parallelism.
+
+    The sandbox parquet files are single-row-group (unsplittable), so a
+    local run would otherwise execute the whole per-row pipeline on one
+    core. ``spark.spatial4n.scan.partitions`` (set by bench.py) stands in
+    for the natural multi-file/multi-row-group parallelism of a real
+    10^12-row table; operators themselves never repartition the fact side.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    try:
+        n = int(spark.conf.get("spark.spatial4n.scan.partitions", "0"))
+    except Exception:  # noqa: BLE001
+        n = 0
+    return df.repartition(n) if n > 0 else df
+
+
+def pts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _scan(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        _lon_col(F.col("o_orderkey")).alias("lon"),
+        _lat_col(F.col("o_orderkey")).alias("lat"),
+    )
+
+
+ORDERS_PTS_CTE = (
+    "pts AS (SELECT o_orderkey, "
+    f"{_lon_sql('o_orderkey')} AS lon, {_lat_sql('o_orderkey')} AS lat FROM orders)"
+)
+
+
+def pts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _scan(spark, sf_dir, "lineitem")
+    ukey = F.col("l_orderkey") * F.lit(7) + F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        _lon_col(ukey).alias("lon"),
+        _lat_col(ukey).alias("lat"),
+    )
+
+
+LINEITEM_PTS_CTE = (
+    "pts AS (SELECT l_orderkey, l_linenumber, l_partkey, "
+    f"{_lon_sql('ukey')} AS lon, {_lat_sql('ukey')} AS lat "
+    "FROM (SELECT *, l_orderkey * 7 + l_linenumber AS ukey FROM lineitem))"
+)
+
+# ---------------------------------------------------------------------------
+# fixed query-side constants (emitted identically into Spark and SQL)
+# ---------------------------------------------------------------------------
+
+RADIUS_CENTERS = [
+    ("paris", 2.3125, 48.875, 150.0),
+    ("tokyo", 139.8125, 35.6875, 250.0),
+    ("dateline", 179.9375, -16.5, 400.0),
+    ("polar", 10.0, 88.0, 600.0),
+]
+
+KNN_K = 10
+
+QUERY_RECTS = [
+    ("b_normal", -30.0, 40.0, -20.0, 30.0),
+    ("b_dateline", 160.0, -150.0, -10.0, 50.0),
+    ("b_world", -180.0, 180.0, -90.0, 90.0),
+]
+
+COUNT_RECTS = [
+    ("r_europe", -10.0, 30.0, 35.0, 60.0),
+    ("r_dateline", 170.0, -175.0, -30.0, 30.0),
+    ("r_polar", -180.0, 180.0, 85.0, 90.0),
+]
+
+_LAYER = None
+
+
+def layer() -> list[tuple[str, object]]:
+    """[(poly_id, parsed shape)] — parsed once per process."""
+    global _LAYER
+    if _LAYER is None:
+        _LAYER = [(pid, shape) for pid, shape, _ in polygon_layer()]
+    return _LAYER
+
+
+# ---------------------------------------------------------------------------
+# queries (Spark) + oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: which polygon covers each point (broadcast cell-cover join)."""
+    out = spatial_join_points_polygons(pts_orders(spark, sf_dir), layer(), level=3)
+    return out.select("o_orderkey", "poly_id")
+
+
+def sql_pip_join() -> str:
+    parts = [
+        f"SELECT o_orderkey, '{pid}' AS poly_id FROM pts WHERE {O.pip_sql(shape, 'lon', 'lat')}"
+        for pid, shape in layer()
+    ]
+    return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
+def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase per-cell aggregation (geohash level 3)."""
+    return tile_stats(
+        pts_lineitem(spark, sf_dir),
+        level=3,
+        salt_buckets=8,
+        salt_col="l_partkey",
+        sum_col="l_linenumber",
+    )
+
+
+def sql_tile_stats() -> str:
+    ix, iy = O.geohash_ix_iy_sql("lon", "lat", 3)
+    packed = O.geohash_interleave_sql("ix", "iy", 3)
+    cell = O.geohash_chars_sql("packed", 3)
+    return f"""WITH {LINEITEM_PTS_CTE},
+b AS (SELECT l_linenumber, {ix} AS ix, {iy} AS iy FROM pts),
+p AS (SELECT l_linenumber, {packed} AS packed FROM b)
+SELECT {cell} AS cell, count(*) AS n,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber
+FROM p GROUP BY 1"""
+
+
+def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash string + integer tile id per point (the tile-assignment op)."""
+    out = tile_assign(pts_orders(spark, sf_dir), level=4, int_cell=True)
+    return out.select("o_orderkey", "cell", "cell_id")
+
+
+def sql_cell_assign() -> str:
+    ix, iy = O.geohash_ix_iy_sql("lon", "lat", 4)
+    packed = O.geohash_interleave_sql("ix", "iy", 4)
+    cell = O.geohash_chars_sql("packed", 4)
+    cid = O.cell_id_int_sql("lon", "lat", 4)
+    return f"""WITH {ORDERS_PTS_CTE},
+b AS (SELECT o_orderkey, lon, lat, {ix} AS ix, {iy} AS iy FROM pts),
+p AS (SELECT o_orderkey, lon, lat, {packed} AS packed FROM b)
+SELECT o_orderkey, {cell} AS cell, {cid} AS cell_id FROM p"""
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join: points within R km of query centers."""
+    out = radius_join(
+        pts_orders(spark, sf_dir), RADIUS_CENTERS, level=3, with_distance=False
+    )
+    return out.select("query_id", "o_orderkey")
+
+
+def sql_radius_join() -> str:
+    parts = []
+    for qid, qlon, qlat, r_km in RADIUS_CENTERS:
+        pred = (
+            O.haversine_km_native_sql("lon", "lat", O.dlit(qlon), O.dlit(qlat))
+            + f" <= {O.dlit(r_km)}"
+        )
+        parts.append(f"SELECT '{qid}' AS query_id, o_orderkey FROM pts WHERE {pred}")
+    return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN via cell-ring candidates + window top-k."""
+    queries = [(qid, qlon, qlat) for qid, qlon, qlat, _ in RADIUS_CENTERS]
+    out = knn_join(
+        pts_orders(spark, sf_dir), queries, k=KNN_K, id_col="o_orderkey", level=3
+    )
+    return out.select("query_id", "o_orderkey", "rank")
+
+
+def sql_knn() -> str:
+    vals = ", ".join(
+        f"('{qid}', {O.dlit(qlon)}, {O.dlit(qlat)})" for qid, qlon, qlat, _ in RADIUS_CENTERS
+    )
+    dist = O.haversine_km_native_sql("lon", "lat", "qlon", "qlat")
+    return f"""WITH {ORDERS_PTS_CTE}
+SELECT query_id, o_orderkey, rank FROM (
+  SELECT q.query_id, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY q.query_id
+              ORDER BY {dist} ASC, o_orderkey ASC) AS INTEGER) AS rank
+  FROM pts CROSS JOIN (VALUES {vals}) q(query_id, qlon, qlat)
+) WHERE rank <= {KNN_K}"""
+
+
+def q_rect_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox-relate join: derived rects vs fixed query rects (4-valued relate)."""
+    li = _scan(spark, sf_dir, "lineitem")
+    ukey = F.col("l_orderkey") * F.lit(7) + F.col("l_linenumber")
+    aminx = _lon_col(ukey)
+    aminy = (ukey * F.lit(LAT_MULT)) % F.lit(1536) * F.lit(45.0) / F.lit(512.0) - F.lit(90.0)
+    w = ((ukey * F.lit(13)) % F.lit(512) + F.lit(1)) * F.lit(45.0) / F.lit(512.0)
+    h = ((ukey * F.lit(29)) % F.lit(256) + F.lit(1)) * F.lit(45.0) / F.lit(512.0)
+    amaxx = F.when(aminx + w > F.lit(180.0), aminx + w - F.lit(360.0)).otherwise(aminx + w)
+    rects_a = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        aminx.alias("aminx"),
+        amaxx.alias("amaxx"),
+        aminy.alias("aminy"),
+        (aminy + h).alias("amaxy"),
+    )
+    rects_b = spark.createDataFrame(
+        QUERY_RECTS, "rect_id string, bminx double, bmaxx double, bminy double, bmaxy double"
+    )
+    rel = relate_bbox_udf(geo=True)
+    out = rects_a.crossJoin(F.broadcast(rects_b)).withColumn(
+        "rel",
+        rel(
+            F.col("aminx"), F.col("amaxx"), F.col("aminy"), F.col("amaxy"),
+            F.col("bminx"), F.col("bmaxx"), F.col("bminy"), F.col("bmaxy"),
+        ),
+    )
+    return out.select("l_orderkey", "l_linenumber", "rect_id", "rel")
+
+
+def sql_rect_relate() -> str:
+    vals = ", ".join(
+        f"('{rid}', {O.dlit(x1)}, {O.dlit(x2)}, {O.dlit(y1)}, {O.dlit(y2)})"
+        for rid, x1, x2, y1, y2 in QUERY_RECTS
+    )
+    body = O.rect_relate_steps_sql("ab", "l_orderkey, l_linenumber, rect_id")
+    return f"""WITH raw AS (
+  SELECT l_orderkey, l_linenumber, l_orderkey * 7 + l_linenumber AS ukey FROM lineitem
+),
+ra AS (
+  SELECT l_orderkey, l_linenumber,
+         {_lon_sql('ukey')} AS aminx,
+         ((ukey * {LAT_MULT}) % 1536) * 45e0 / 512e0 - 90e0 AS aminy,
+         ((ukey * 13) % 512 + 1) * 45e0 / 512e0 AS w,
+         ((ukey * 29) % 256 + 1) * 45e0 / 512e0 AS h
+  FROM raw
+),
+rects AS (
+  SELECT l_orderkey, l_linenumber, aminx,
+         CASE WHEN aminx + w > 180e0 THEN aminx + w - 360e0 ELSE aminx + w END AS amaxx,
+         aminy, aminy + h AS amaxy
+  FROM ra
+),
+ab AS (
+  SELECT r.*, q.rect_id, q.bminx, q.bmaxx, q.bminy, q.bmaxy
+  FROM rects r CROSS JOIN (VALUES {vals}) q(rect_id, bminx, bmaxx, bminy, bmaxy)
+)
+{body}"""
+
+
+def q_rect_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rect point counts via the native (pushdown-eligible) predicate."""
+    pts = pts_orders(spark, sf_dir)
+    rects = spark.createDataFrame(
+        COUNT_RECTS, "rect_id string, minx double, maxx double, miny double, maxy double"
+    )
+    pred = rect_contains_point("minx", "maxx", "miny", "maxy", F.col("lon"), F.col("lat"))
+    return (
+        pts.crossJoin(F.broadcast(rects))
+        .where(pred)
+        .groupBy("rect_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_rect_counts() -> str:
+    from spatial4n_spark.io.wkt import make_rect
+
+    parts = []
+    for rid, x1, x2, y1, y2 in COUNT_RECTS:
+        r = make_rect(x1, x2, y1, y2, geo=True)
+        parts.append(
+            f"SELECT '{rid}' AS rect_id FROM pts WHERE {O.rect_contains_sql(r, 'lon', 'lat')}"
+        )
+    inner = "\nUNION ALL\n".join(parts)
+    return f"WITH {ORDERS_PTS_CTE}\nSELECT rect_id, count(*) AS n FROM (\n{inner}\n) GROUP BY rect_id"
+
+
+def q_circle_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circle bbox kernel (pole/dateline aware) over derived query circles."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cx = _lon_col(F.col("s_suppkey"))
+    cy = _lat_col(F.col("s_suppkey"))
+    r = (F.col("s_suppkey") * F.lit(7)) % F.lit(191) + F.lit(0.5)
+    bb = circle_bbox_udf()(cx, cy, r.cast("double"))
+    out = s.select("s_suppkey", bb.alias("bb"))
+    return out.select(
+        "s_suppkey",
+        F.round(F.col("bb.min_x"), 4).alias("min_x"),
+        F.round(F.col("bb.max_x"), 4).alias("max_x"),
+        F.round(F.col("bb.min_y"), 4).alias("min_y"),
+        F.round(F.col("bb.max_y"), 4).alias("max_y"),
+    )
+
+
+def sql_circle_bbox() -> str:
+    cte = (
+        "c AS (SELECT s_suppkey, "
+        f"{_lon_sql('s_suppkey')} AS cx, {_lat_sql('s_suppkey')} AS cy, "
+        "CAST((s_suppkey * 7) % 191 + 5e-1 AS DOUBLE) AS r FROM supplier)"
+    )
+    return f"WITH {cte}\n" + O.circle_bbox_select_sql("c", "s_suppkey", 4)
+
+
+def q_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three great-circle calculators + the native Catalyst haversine."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lon1 = _lon_col(F.col("c_custkey"))
+    lat1 = _lat_col(F.col("c_custkey"))
+    lon2 = _lon_col(F.col("c_custkey"), 911)
+    lat2 = _lat_col(F.col("c_custkey"), 541)
+    cols = [F.col("c_custkey")]
+    for name, calc in (("hav", "haversine"), ("loc", "lawofcosines"), ("vin", "vincenty")):
+        cols.append(F.round(dist_km_udf(calc)(lon1, lat1, lon2, lat2), 3).alias(f"{name}_km"))
+    cols.append(F.round(haversine_km(lon1, lat1, lon2, lat2), 3).alias("native_km"))
+    return c.select(*cols)
+
+
+def sql_distances() -> str:
+    cte = (
+        "c AS (SELECT c_custkey, "
+        f"{_lon_sql('c_custkey')} AS lon1, {_lat_sql('c_custkey')} AS lat1, "
+        f"{_lon_sql('c_custkey', 911)} AS lon2, {_lat_sql('c_custkey', 541)} AS lat2 "
+        "FROM customer)"
+    )
+    cols = ["c_custkey"]
+    for name, calc in (("hav", "haversine"), ("loc", "lawofcosines"), ("vin", "vincenty")):
+        cols.append(
+            f"round({O.dist_km_kernel_sql('lon1', 'lat1', 'lon2', 'lat2', calc)}, 3) AS {name}_km"
+        )
+    cols.append(
+        f"round({O.haversine_km_native_sql('lon1', 'lat1', 'lon2', 'lat2')}, 3) AS native_km"
+    )
+    return f"WITH {cte}\nSELECT " + ", ".join(cols) + " FROM c"
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPATIAL_QUERIES: dict[str, callable] = {
+    "pip_join": q_pip_join,
+    "tile_stats": q_tile_stats,
+    "cell_assign": q_cell_assign,
+    "radius_join": q_radius_join,
+    "knn": q_knn,
+    "rect_relate": q_rect_relate,
+    "rect_counts": q_rect_counts,
+    "circle_bbox": q_circle_bbox,
+    "distances": q_distances,
+}
+
+SPATIAL_ORACLES: dict[str, str] = {}
+
+
+def spatial_oracles() -> dict[str, str]:
+    """Oracle SQL built lazily (polygon layer parsing, SQL generation)."""
+    if not SPATIAL_ORACLES:
+        SPATIAL_ORACLES.update(
+            {
+                "pip_join": sql_pip_join(),
+                "tile_stats": sql_tile_stats(),
+                "cell_assign": sql_cell_assign(),
+                "radius_join": sql_radius_join(),
+                "knn": sql_knn(),
+                "rect_relate": sql_rect_relate(),
+                "rect_counts": sql_rect_counts(),
+                "circle_bbox": sql_circle_bbox(),
+                "distances": sql_distances(),
+            }
+        )
+    return SPATIAL_ORACLES

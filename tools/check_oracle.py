@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark at a given sf dir,
+runs the paired ``oracle_sql()`` in DuckDB over the same parquet tables,
+and compares row count, column names, and order-insensitive values
+(exact equality — the suite is designed for bit-parity).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        except duckdb.Error:
+            pass
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    errs = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        errs.append(f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return errs
+    if len(sdf) != len(odf):
+        errs.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+    s, o = canon(sdf), canon(odf)
+    if len(s) == len(o):
+        for c in s.columns:
+            a, b = s[c].to_numpy(), o[c].to_numpy()
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                a = a.astype(np.float64)
+                b = b.astype(np.float64)
+                bad = ~((a == b) | (np.isnan(a) & np.isnan(b)))
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    errs.append(
+                        f"col {c}: {int(bad.sum())} diffs, first at row {i}: "
+                        f"spark={a[i]!r} oracle={b[i]!r} (maxabs={np.nanmax(np.abs(a - b))})"
+                    )
+            else:
+                bad = a.astype(object) != b.astype(object)
+                if bad.any():
+                    i = int(np.argmax(bad))
+                    errs.append(
+                        f"col {c}: {int(bad.sum())} diffs, first at row {i}: "
+                        f"spark={a[i]!r} oracle={b[i]!r}"
+                    )
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(sf_dir)
+
+    queries = E.queries()
+    oracles = E.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failed.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time() - t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {ex}")
+            failed.append(name)
+            continue
+        errs = compare(name, sdf, odf)
+        if errs:
+            print(f"FAIL {name} ({len(sdf)} vs {len(odf)} rows):")
+            for e in errs:
+                print(f"     {e}")
+            failed.append(name)
+        else:
+            print(f"PASS {name}: {len(sdf)} rows match ({time.time() - t0:.1f}s)")
+    print("FAILED:", failed if failed else "none")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
