@@ -55,6 +55,9 @@ def main() -> int:
     # fact-side input sizes (for rows/sec)
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from spatial4n_spark.suite import images_for_sf
+
+    n_images = images_for_sf(spark, sf_dir).count()
     input_rows = {
         "pip_join": n_orders,
         "pip_join_lineitem": n_lineitem,
@@ -66,6 +69,9 @@ def main() -> int:
         "rect_counts": n_orders * 3,
         "circle_bbox": None,
         "distances": None,
+        "image_decode_check": n_images,
+        "image_tiles": n_images,
+        "image_pip_join": n_images,
     }
 
     queries = dict(E.queries())
@@ -105,7 +111,7 @@ def main() -> int:
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    big = ["pip_join_lineitem", "tile_stats", "cell_assign"]
+    big = ["pip_join_lineitem", "tile_stats", "cell_assign", "image_tiles"]
     headline = [n for n in big if n in rates]
     headline_rate = (
         round(sum(input_rows[n] for n in headline) / sum(times[n] for n in headline), 1)

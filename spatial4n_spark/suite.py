@@ -390,6 +390,61 @@ def sql_distances() -> str:
 
 
 # ---------------------------------------------------------------------------
+# raster / image queries (engine-generated table -> rows-only checks; the
+# image table is synthesized distributed (sources.images), so there is no
+# DuckDB-visible input to oracle against — the pytest suite carries the
+# exact invariants instead (tests/test_raster.py))
+# ---------------------------------------------------------------------------
+
+
+def images_for_sf(spark: SparkSession, sf_dir: str, rows_per_sf: int = 2_000_000):
+    """Deterministic image table sized to the sf tier (sf0.01 -> 20k rows)."""
+    from spatial4n_spark.sources.images import images_df
+
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        sf = 0.01
+    n = max(int(sf * rows_per_sf), 1000)
+    parts = max(4, min(64, n // 8192))
+    return images_df(spark, n, partitions=parts)
+
+
+def q_image_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode gate summary by format: PSNR floor + caption equality."""
+    from spatial4n_spark.operators.raster import decode_check
+
+    out = decode_check(images_for_sf(spark, sf_dir), level=4)
+    return out.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("psnr_db"), 3).alias("min_psnr_db"),
+        F.min(F.col("caption_ok").cast("int")).alias("all_captions_ok"),
+    )
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full raster pipeline: decode -> gate -> chip -> per-cell mosaic."""
+    from spatial4n_spark.operators.raster import raster_pipeline
+
+    out = raster_pipeline(images_for_sf(spark, sf_dir), level=4, chip_px=8)
+    return out.select(
+        "cell",
+        "n_chips",
+        "n_images",
+        "sum_px",
+        F.round("avg_brightness", 3).alias("avg_brightness"),
+    )
+
+
+def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image table through the PIP spatial join: per-polygon image counts."""
+    imgs = images_for_sf(spark, sf_dir).select("image_id", "lon", "lat")
+    out = spatial_join_points_polygons(imgs, layer(), level=3)
+    return out.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_images"))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -403,6 +458,9 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "rect_counts": q_rect_counts,
     "circle_bbox": q_circle_bbox,
     "distances": q_distances,
+    "image_decode_check": q_image_decode_check,
+    "image_tiles": q_image_tiles,
+    "image_pip_join": q_image_pip_join,
 }
 
 SPATIAL_ORACLES: dict[str, str] = {}
