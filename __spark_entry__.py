@@ -38,12 +38,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     """
     from spatial4n_spark.suite import SPATIAL_QUERIES
+    from spatial4n_spark.suite_text import TEXT_QUERIES
 
-    return dict(SPATIAL_QUERIES)
+    return {**SPATIAL_QUERIES, **TEXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
     from spatial4n_spark.suite import spatial_oracles
+    from spatial4n_spark.suite_text import text_oracles
 
-    return dict(spatial_oracles())
+    return {**spatial_oracles(), **text_oracles()}

@@ -85,7 +85,18 @@ def main() -> int:
 
     queries["pip_join_lineitem"] = q_pip_join_lineitem
 
-    names = only or list(queries)
+    # default bench set = the metric's pipeline queries (spatial join +
+    # tile assignment + raster) plus linear-time text/dedup ops; the
+    # quadratic exact baselines (doc_jaccard, emb_knn) are correctness
+    # tools, not throughput queries — include via SPARK_GRAFT_QUERIES
+    default_names = [
+        "pip_join", "tile_stats", "cell_assign", "radius_join", "knn",
+        "rect_relate", "rect_counts", "circle_bbox", "distances",
+        "pip_join_lineitem", "image_decode_check", "image_tiles",
+        "image_pip_join", "doc_dedup", "doc_minhash", "doc_simhash",
+        "doc_fingerprint", "emb_cosine_topk", "emb_lsh_buckets", "emb_ann",
+    ]
+    names = only or [n for n in default_names if n in queries]
 
     # warm-up: spin up JVM, Python UDF workers, broadcast paths, and the
     # driver-side cover cache on the tiny sf so measured times are

@@ -397,7 +397,9 @@ def sql_distances() -> str:
 # ---------------------------------------------------------------------------
 
 
-def images_for_sf(spark: SparkSession, sf_dir: str, rows_per_sf: int = 2_000_000):
+def images_for_sf(
+    spark: SparkSession, sf_dir: str, rows_per_sf: int = 2_000_000, with_bytes: bool = True
+):
     """Deterministic image table sized to the sf tier (sf0.01 -> 20k rows)."""
     from spatial4n_spark.sources.images import images_df
 
@@ -408,7 +410,7 @@ def images_for_sf(spark: SparkSession, sf_dir: str, rows_per_sf: int = 2_000_000
         sf = 0.01
     n = max(int(sf * rows_per_sf), 1000)
     parts = max(4, min(64, n // 8192))
-    return images_df(spark, n, partitions=parts)
+    return images_df(spark, n, with_bytes=with_bytes, partitions=parts)
 
 
 def q_image_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,8 +440,12 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image table through the PIP spatial join: per-polygon image counts."""
-    imgs = images_for_sf(spark, sf_dir).select("image_id", "lon", "lat")
+    """Image table through the PIP spatial join: per-polygon image counts.
+
+    with_bytes=False: the join only needs (image_id, lon, lat) — never
+    materialize the payload column you don't read (column pruning can't
+    reach inside the generator)."""
+    imgs = images_for_sf(spark, sf_dir, with_bytes=False).select("image_id", "lon", "lat")
     out = spatial_join_points_polygons(imgs, layer(), level=3)
     return out.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_images"))
 

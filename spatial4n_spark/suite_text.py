@@ -1,0 +1,319 @@
+"""Oracle-checked queries for the training-data pipeline operators
+(text dedup/analysis over ``documents``, similarity search over
+``embeddings``) — same bit-parity design as spatial4n_spark.suite:
+integer/string outputs exact; doubles are ratios of identical operands
+folded in identical order in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spatial4n_spark import text as T
+from spatial4n_spark import similarity as S
+from spatial4n_spark.oracles import dlit
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (mirror text.tokens_col / shingle_sets exactly)
+# ---------------------------------------------------------------------------
+
+TOKS_SQL = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+SHINGLES_SQL = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) "
+    "ELSE []::VARCHAR[] END"
+)
+
+
+def _h_sql(expr: str, nibbles: int = 15) -> str:
+    """DuckDB twin of text.md5_long."""
+    return f"('0x' || substr(md5({expr}), 1, {nibbles}))::BIGINT"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# documents
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dedup(spark, sf_dir):
+    """Exact dedup: content-hash groups."""
+    return T.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DOC_DEDUP = (
+    "SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS min_doc_id "
+    "FROM documents GROUP BY 1"
+)
+
+
+def q_doc_token_stats(spark, sf_dir):
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+SQL_DOC_TOKEN_STATS = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t, text FROM documents)
+SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+       CAST(length(text) AS INTEGER) AS n_chars_m
+FROM toks"""
+
+
+def q_doc_quality(spark, sf_dir):
+    return T.quality(_docs(spark, sf_dir))
+
+
+SQL_DOC_QUALITY = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t, text FROM documents)
+SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(t, x -> x IN {T.STOPWORDS!r})) AS INTEGER) AS n_stop,
+       CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS INTEGER) AS n_non_ascii,
+       round(len(list_filter(t, x -> x IN {T.STOPWORDS!r})) / len(t), 4) AS stop_ratio
+FROM toks"""
+
+
+def q_doc_langid(spark, sf_dir):
+    return T.langid(_docs(spark, sf_dir))
+
+
+def _sql_doc_langid() -> str:
+    scores = {
+        lang: f"CAST(len(list_filter(t, x -> x IN {markers!r})) AS INTEGER)"
+        for lang, markers in T.LANG_MARKERS.items()
+    }
+    pred = (
+        f"CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en' "
+        f"WHEN s_de >= greatest(s_fr, s_es) THEN 'de' "
+        f"WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
+    )
+    cols = ", ".join(f"{e} AS s_{lang}" for lang, e in scores.items())
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+s AS (SELECT doc_id, {cols} FROM toks)
+SELECT doc_id, s_en AS score_en, s_de AS score_de, s_fr AS score_fr,
+       s_es AS score_es, {pred} AS lang_pred
+FROM s"""
+
+
+JACCARD_THRESHOLD = 0.06
+MAX_DF = 50
+
+
+def q_doc_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (shingle self-join)."""
+    return T.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=MAX_DF)
+
+
+SQL_DOC_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+g AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM toks),
+ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+dfc AS (SELECT shingle, count(*) AS dfn FROM ex0 GROUP BY 1),
+ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN dfc USING (shingle) WHERE dfn <= {MAX_DF}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM ex a JOIN ex b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / (sa.sz + sb.sz - i) >= {dlit(JACCARD_THRESHOLD)}"""
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+
+
+def q_doc_minhash(spark, sf_dir):
+    """MinHash+LSH banding candidates with exact-Jaccard verification."""
+    return T.minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=MINHASH_K, bands=MINHASH_BANDS, threshold=0.0
+    )
+
+
+def _sql_doc_minhash() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mh_parts = []
+    for i in range(MINHASH_K):
+        seeded = "s || '#%d'" % i
+        mh_parts.append(f"list_min(list_transform(sh, s -> {_h_sql(seeded)})) AS mh{i}")
+    mh_cols = ", ".join(mh_parts)
+    band_cols = ", ".join(
+        "md5("
+        + " || ',' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows))
+        + f") AS band{b}"
+        for b in range(MINHASH_BANDS)
+    )
+    cand_union = "\nUNION ALL\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+g AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM toks),
+sig AS (SELECT doc_id, sh, {mh_cols} FROM g WHERE len(sh) > 0),
+bands AS (SELECT doc_id, sh, {band_cols} FROM sig),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM ({cand_union}))
+SELECT doc_a, doc_b, round(i / (la + lb - i), 4) AS jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+         len(a.sh) AS la, len(b.sh) AS lb
+  FROM cand c
+  JOIN bands a ON a.doc_id = c.doc_a
+  JOIN bands b ON b.doc_id = c.doc_b
+)"""
+
+
+def q_doc_simhash(spark, sf_dir):
+    return T.simhash(_docs(spark, sf_dir))
+
+
+def _sql_doc_simhash(bits: int = 16) -> str:
+    vote = (
+        "coalesce(list_sum(list_transform(hs, "
+        "v -> CASE WHEN (v >> {b}) % 2 = 1 THEN 1 ELSE -1 END)), 0)"
+    )
+    terms = " + ".join(
+        f"(CASE WHEN {vote.format(b=b)} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+h AS (SELECT doc_id, list_transform(t, x -> {_h_sql('x', 4)}) AS hs FROM toks)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM h"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return T.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents)
+SELECT doc_id, CAST(list_reduce(
+  list_prepend(0::BIGINT, list_transform(t, x -> {_h_sql('x', 8)})),
+  (a, b) -> (a * 31 + b) % {T.HASH_MOD}) AS BIGINT) AS fingerprint
+FROM toks"""
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+DIM = 64
+QVEC = S.query_vector(DIM)
+QNORM = math.sqrt(sum(v * v for v in QVEC))
+PLANES = S.hyperplanes(16, DIM)
+
+
+def _list_lit(vals) -> str:
+    return "[" + ", ".join(dlit(v) for v in vals) + "]"
+
+
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Sequential fold 0.0 + t1 + ... — mirrors similarity._dot."""
+    return (
+        f"list_reduce(list_prepend(0e0, "
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_emb(spark, sf_dir), QVEC, k=20)
+
+
+def _sql_emb_cosine_topk() -> str:
+    q = _list_lit(QVEC)
+    cos = f"({_dot_sql('v', f'({q})')} / (sqrt({_dot_sql('v', 'v')}) * {dlit(QNORM)}))"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c AS (SELECT vec_id, {cos} AS cos FROM e),
+r AS (SELECT vec_id, cos,
+        CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM c)
+SELECT vec_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 20"""
+
+
+def q_emb_knn(spark, sf_dir):
+    return S.knn_pairs(_emb(spark, sf_dir), k=3)
+
+
+def _sql_emb_knn() -> str:
+    cos = (
+        f"({_dot_sql('a.v', 'b.v')} / "
+        f"(sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+SELECT vec_id, neighbor_id, rank FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(row_number() OVER (PARTITION BY a.vec_id
+              ORDER BY {cos} DESC, b.vec_id ASC) AS INTEGER) AS rank
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+) WHERE rank <= 3"""
+
+
+def q_emb_lsh_buckets(spark, sf_dir):
+    return S.lsh_buckets(_emb(spark, sf_dir), PLANES)
+
+
+def _sql_emb_lsh_buckets() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql('v', f'({_list_lit(p)})')} > 0e0 THEN {2 ** j} ELSE 0 END)"
+        for j, p in enumerate(PLANES)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM e"""
+
+
+def q_emb_ann(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only: recall is asserted vs the
+    exact baseline in tests/test_text_similarity.py)."""
+    return S.ann_topk(_emb(spark, sf_dir), QVEC, k=10)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+TEXT_QUERIES = {
+    "doc_dedup": q_doc_dedup,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_langid": q_doc_langid,
+    "doc_jaccard": q_doc_jaccard,
+    "doc_minhash": q_doc_minhash,
+    "doc_simhash": q_doc_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_knn": q_emb_knn,
+    "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_ann": q_emb_ann,
+}
+
+
+def text_oracles() -> dict[str, str]:
+    return {
+        "doc_dedup": SQL_DOC_DEDUP,
+        "doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "doc_quality": SQL_DOC_QUALITY,
+        "doc_langid": _sql_doc_langid(),
+        "doc_jaccard": SQL_DOC_JACCARD,
+        "doc_minhash": _sql_doc_minhash(),
+        "doc_simhash": _sql_doc_simhash(),
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "emb_cosine_topk": _sql_emb_cosine_topk(),
+        "emb_knn": _sql_emb_knn(),
+        "emb_lsh_buckets": _sql_emb_lsh_buckets(),
+        # emb_ann: rows-only (approximate op; recall asserted in pytest)
+    }

@@ -1,0 +1,145 @@
+"""Text dedup/analysis + embedding similarity operator tests — structural
+invariants and numpy brute-force oracles (the SQL-parity check runs in the
+driver's DuckDB gate; these tests pin the semantics)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark import similarity as S
+from spatial4n_spark import text as T
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+    (3, "der hund und die katze und der vogel"),
+    (4, "le chat et le chien et la souris"),
+    (5, "completely different words entirely unrelated text"),
+    (6, "x"),  # single token: no bigram shingles
+    (7, "   "),  # whitespace only: zero tokens
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["text_md5"]: r for r in T.exact_dedup(docs).collect()}
+    dup_md5 = hashlib.md5(DOCS[0][1].encode()).hexdigest()
+    assert out[dup_md5]["n"] == 2
+    assert out[dup_md5]["min_doc_id"] == 0
+    assert sum(r["n"] for r in out.values()) == len(DOCS)
+
+
+def test_token_stats_edges(spark, docs):
+    rows = {r["doc_id"]: r for r in T.token_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[0]["n_distinct"] == 8  # 'the' twice
+    assert rows[6]["n_tokens"] == 1
+    assert rows[7]["n_tokens"] == 0
+
+
+def test_langid_markers(spark, docs):
+    rows = {r["doc_id"]: r for r in T.langid(docs).collect()}
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[3]["lang_pred"] == "de"
+    assert rows[4]["lang_pred"] == "fr"
+    assert rows[3]["score_de"] == 5  # der x2, und x2, die
+
+
+def test_jaccard_pairs_vs_numpy(spark, docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           T.jaccard_pairs(docs, threshold=0.01, max_df=100).collect()}
+
+    def shingles(text):
+        toks = text.split()
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    s0, s2 = shingles(DOCS[0][1]), shingles(DOCS[2][1])
+    expect = len(s0 & s2) / len(s0 | s2)
+    assert out[(0, 2)] == pytest.approx(round(expect, 4))
+    assert out[(0, 1)] == 1.0  # exact dup
+    assert (0, 5) not in out  # unrelated
+    assert (6, 7) not in out  # no shingles
+
+
+def test_minhash_lsh_finds_exact_dups(spark, docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           T.minhash_lsh_pairs(docs, threshold=0.0).collect()}
+    # identical shingle sets have identical minhash signatures -> all bands
+    # collide -> candidate found with jaccard 1.0
+    assert out[(0, 1)] == 1.0
+    # near-dup 0-2: shares most shingles; not guaranteed to band-collide,
+    # but if reported its jaccard must match the exact value
+    if (0, 2) in out:
+        assert 0.5 < out[(0, 2)] < 1.0
+
+
+def test_simhash_properties(spark, docs):
+    rows = {r["doc_id"]: r["simhash"] for r in T.simhash(docs).collect()}
+    assert rows[0] == rows[1]  # identical docs
+    ham = bin(rows[0] ^ rows[2]).count("1")
+    assert ham <= 6  # near-dup: small hamming distance in 16 bits
+    assert 0 <= rows[5] < 2 ** 16
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in T.fingerprint(df).collect()}
+    assert rows[0] == rows[2]
+    assert rows[0] != rows[1]  # order matters
+    assert rows[3] == 0  # empty doc
+    # numpy/python oracle of the rolling hash
+    def h(tok, nib):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:nib], 16)
+    acc = 0
+    for tok in "alpha beta gamma".split():
+        acc = (acc * 31 + h(tok, 8)) % T.HASH_MOD
+    assert rows[0] == acc
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    out = S.cosine_topk(emb, S.query_vector(), k=10).collect()
+    pdf = emb.toPandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    q = np.array(S.query_vector())
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-cos, pdf["vec_id"]))[:10]
+    for r, (negc, vid) in zip(out, order):
+        assert r["vec_id"] == vid
+        assert r["cos"] == pytest.approx(-negc, abs=1e-3)
+
+
+def test_ann_recall_vs_exact(spark, emb):
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, S.query_vector(), k=10).collect()]
+    approx = [r["vec_id"] for r in S.ann_topk(emb, S.query_vector(), k=10).collect()]
+    # deterministic dataset + algorithm: recall is fixed; require a sane floor
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"ANN recall too low: {overlap}/10 ({approx} vs {exact})"
+    # every ANN hit must carry its true cosine rank order (desc)
+    cosines = [r["cos"] for r in S.ann_topk(emb, S.query_vector(), k=10).collect()]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_bucket_determinism_and_spread(spark, emb):
+    out = S.lsh_buckets(emb).toPandas()
+    assert out["bucket"].between(0, 2 ** 16 - 1).all()
+    # hyperplane LSH on random vectors should use many buckets
+    assert out["bucket"].nunique() > 20
+    again = S.lsh_buckets(emb).toPandas()
+    assert (out.sort_values("vec_id").values == again.sort_values("vec_id").values).all()
