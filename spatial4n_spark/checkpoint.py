@@ -1,0 +1,152 @@
+"""Snapshot checkpointing + per-partition lineage/metrics tables
+(north_rule: "resumable from checkpoint with per-partition lineage +
+metrics").
+
+The design-scale backend is Iceberg (snapshot ids, manifests, hidden
+partitioning); this sandbox has no Iceberg jars, so the same contract is
+implemented over parquet directories with an explicit manifest — the
+engine-facing API (``resume_or_compute``) is storage-agnostic:
+
+    root/
+      <stage>/
+        snap_<fingerprint>/
+          data/              parquet + _SUCCESS     (the snapshot)
+          lineage/           per-partition metrics  (parquet)
+          manifest.json      commit marker, written LAST
+
+A snapshot is committed iff manifest.json exists and its fingerprint
+matches the stage's inputs+params; a re-run then reads the snapshot
+instead of recomputing (kill -9 anywhere mid-stage -> the manifest is
+absent -> the stage recomputes; the data dir is overwritten). The
+fingerprint covers the stage name, params, and upstream fingerprints,
+so changing any input invalidates exactly the downstream stages.
+
+Lineage rows are captured in the SAME pass that writes the snapshot
+(spark_partition_id attached before the write, aggregated after), so the
+metrics table reflects the physical partitions that produced each
+snapshot: (stage, snapshot, partition_id, n_rows, wrote_at).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def fingerprint(*parts) -> str:
+    """Stable hex fingerprint of stage inputs/params."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+@dataclass
+class SnapshotStore:
+    root: str
+
+    def _snap_dir(self, stage: str, fp: str) -> str:
+        return os.path.join(self.root, stage, f"snap_{fp}")
+
+    def manifest_path(self, stage: str, fp: str) -> str:
+        return os.path.join(self._snap_dir(stage, fp), "manifest.json")
+
+    def is_committed(self, stage: str, fp: str) -> bool:
+        p = self.manifest_path(stage, fp)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                return json.load(f).get("fingerprint") == fp
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def read(self, spark: SparkSession, stage: str, fp: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._snap_dir(stage, fp), "data"))
+
+    def manifest(self, stage: str, fp: str) -> dict:
+        with open(self.manifest_path(stage, fp)) as f:
+            return json.load(f)
+
+    def write(self, df: DataFrame, stage: str, fp: str, params: dict | None = None) -> DataFrame:
+        """Write a snapshot + its per-partition lineage, manifest last."""
+        spark = df.sparkSession
+        snap = self._snap_dir(stage, fp)
+        if os.path.exists(snap):
+            shutil.rmtree(snap)  # torn previous attempt (no manifest) or stale
+        data_dir = os.path.join(snap, "data")
+        lineage_dir = os.path.join(snap, "lineage")
+
+        with_part = df.withColumn("_partition_id", F.spark_partition_id())
+        with_part.write.mode("overwrite").parquet(data_dir)
+
+        written = spark.read.parquet(data_dir)
+        lineage = (
+            written.groupBy("_partition_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.lit(stage).alias("stage"),
+                F.lit(fp).alias("snapshot"),
+                F.col("_partition_id").alias("partition_id"),
+                "n_rows",
+                F.lit(time.time()).alias("wrote_at"),
+            )
+        )
+        lineage.write.mode("overwrite").parquet(lineage_dir)
+
+        n_rows = written.count()
+        manifest = {
+            "stage": stage,
+            "fingerprint": fp,
+            "params": params or {},
+            "n_rows": n_rows,
+            "n_partitions": written.select("_partition_id").distinct().count(),
+            "schema": written.drop("_partition_id").schema.simpleString(),
+            "committed_at": time.time(),
+        }
+        tmp = self.manifest_path(stage, fp) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path(stage, fp))  # atomic commit marker
+        return written.drop("_partition_id")
+
+    def resume_or_compute(
+        self,
+        spark: SparkSession,
+        stage: str,
+        fp: str,
+        compute,
+        params: dict | None = None,
+        verbose: bool = True,
+    ) -> DataFrame:
+        """The resumable-stage primitive: read the committed snapshot or
+        run ``compute()`` and snapshot its result."""
+        if self.is_committed(stage, fp):
+            if verbose:
+                print(f"[checkpoint] resume {stage} from snap_{fp}")
+            return self.read(spark, stage, fp).drop("_partition_id")
+        if verbose:
+            print(f"[checkpoint] compute {stage} -> snap_{fp}")
+        return self.write(compute(), stage, fp, params)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        """All lineage rows across stages/snapshots — the metrics table."""
+        paths = []
+        for stage in sorted(os.listdir(self.root)) if os.path.exists(self.root) else []:
+            sdir = os.path.join(self.root, stage)
+            for snap in sorted(os.listdir(sdir)):
+                ldir = os.path.join(sdir, snap, "lineage")
+                if os.path.exists(os.path.join(sdir, snap, "manifest.json")) and os.path.exists(ldir):
+                    paths.append(ldir)
+        if not paths:
+            return spark.createDataFrame(
+                [], "stage string, snapshot string, partition_id int, n_rows long, wrote_at double"
+            )
+        return spark.read.parquet(*paths)
