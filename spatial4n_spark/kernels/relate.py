@@ -218,10 +218,27 @@ def relate(a, b, geo: bool = True, calculator: str = "haversine") -> np.int8:
         return transpose(relate(b, a, geo, calculator))
 
     if isinstance(a, LineString):
+        if a.buffer > 0.0:
+            # buffered polyline (BufferedLine/BufferedLineString semantics;
+            # euclidean per BufferedLine.cs:28 — callers pre-expand the
+            # buffer for geo skew)
+            from spatial4n_spark.kernels.bufline import BufLineString
+
+            bls = BufLineString(a.coords, a.buffer)
+            if isinstance(b, Point):
+                return CONTAINS if bool(bls.contains([b.x], [b.y])[0]) else DISJOINT
+            if isinstance(b, Rect):
+                return bls.relate_rect(b)
+            raise TypeError(
+                f"buffered line relate vs {type(b).__name__} not supported "
+                "(reference BufferedLine.Relate supports point/rect only)"
+            )
         if isinstance(b, Point):
             return CONTAINS if _point_on_line(b.x, b.y, a) else DISJOINT
         if isinstance(b, LineString):
             return _relate_line_line(a, b)
+        if isinstance(b, (Circle,)):
+            raise TypeError("line x circle relate not supported (no reference counterpart)")
         return transpose(relate(b, a, geo, calculator))
 
     raise TypeError(f"relate not implemented for {type(a).__name__} x {type(b).__name__}")

@@ -122,6 +122,28 @@ def pip_sql(shape, px: str, py: str) -> str:
     return "(" + " OR ".join(pages) + ")"
 
 
+def _infbufline_sql(line, px: str, py: str) -> str:
+    """Mirrors kernels.bufline.InfBufLine.contains op-for-op."""
+    import math
+
+    if math.isinf(line.slope):
+        return f"(abs({px} - {dlit(line.intercept)}) <= {dlit(line.buf)})"
+    return (
+        f"(abs({py} - {dlit(line.slope)} * {px} - {dlit(line.intercept)})"
+        f" * {dlit(line.dist_denom_inv)} <= {dlit(line.buf)})"
+    )
+
+
+def corridor_sql(shape, px: str, py: str) -> str:
+    """Covers test of a BufLineString: OR over segments of
+    (primary contains AND perp contains) — mirrors BufLineString.contains."""
+    segs = [
+        f"({_infbufline_sql(s.primary, px, py)} AND {_infbufline_sql(s.perp, px, py)})"
+        for s in shape.segments
+    ]
+    return "(" + " OR ".join(segs) + ")"
+
+
 # ---------------------------------------------------------------------------
 # geohash / integer cell ids
 # ---------------------------------------------------------------------------

@@ -128,11 +128,15 @@ def _classify_cells(shape, bboxes, geo: bool) -> np.ndarray:
     min_x, max_x, min_y, max_y = bboxes
     if isinstance(shape, (Polygon, MultiPolygon)):
         return _classify_poly_cells(shape, min_x, max_x, min_y, max_y, geo)
-    # Rect / Circle query shapes: exact scalar relate per cell (cheap kernels)
+    # Rect / Circle / buffered-line query shapes: exact scalar relate per
+    # cell (cheap kernels)
+    rel_fn = shape.relate_rect if hasattr(shape, "relate_rect") else (
+        lambda r: relate(shape, r, geo)
+    )
     out = np.empty(len(min_x), dtype=np.int8)
     for i in range(len(min_x)):
-        out[i] = relate(
-            shape, Rect(float(min_x[i]), float(max_x[i]), float(min_y[i]), float(max_y[i])), geo
+        out[i] = rel_fn(
+            Rect(float(min_x[i]), float(max_x[i]), float(min_y[i]), float(max_y[i]))
         )
     return out
 
@@ -144,10 +148,14 @@ def _cover_key(shape, level: int, geo: bool, max_cells: int):
     """Hashable cache key: value-keyed for query-side Circle/Rect constants
     (rebuilt per call by radius/knn planners), identity-keyed for parsed
     polygon layers (parsed once per process)."""
+    from spatial4n_spark.kernels.bufline import BufLineString
+
     if isinstance(shape, Circle):
         sk = ("circle", shape.x, shape.y, shape.radius, shape.geo)
     elif isinstance(shape, Rect):
         sk = ("rect", shape.min_x, shape.max_x, shape.min_y, shape.max_y)
+    elif isinstance(shape, BufLineString):
+        sk = ("bls", tuple((s.ax, s.ay, s.bx, s.by, s.buf) for s in shape.segments))
     else:
         sk = ("id", id(shape))
     return (sk, level, geo, max_cells)

@@ -357,6 +357,32 @@ def sql_circle_bbox() -> str:
     return f"WITH {cte}\n" + O.circle_bbox_select_sql("c", "s_suppkey", 4)
 
 
+CORRIDOR_ROUTES = [
+    ("r_diag", [(-30.0, -20.0), (0.0, 0.0), (40.0, 15.0)], 150.0),
+    ("r_polar", [(-60.0, 70.0), (30.0, 70.0)], 100.0),
+    ("r_vertical", [(100.0, -40.0), (100.0, 10.0)], 120.0),
+]
+
+
+def q_corridor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corridor (buffered-polyline) join — the BufferedLine operator."""
+    from spatial4n_spark.operators.corridor import corridor_join
+
+    out = corridor_join(pts_orders(spark, sf_dir), CORRIDOR_ROUTES)
+    return out.select("route_id", "o_orderkey")
+
+
+def sql_corridor_join() -> str:
+    from spatial4n_spark.operators.corridor import _route_shapes
+
+    shapes = _route_shapes(CORRIDOR_ROUTES)
+    parts = [
+        f"SELECT '{rid}' AS route_id, o_orderkey FROM pts WHERE {O.corridor_sql(shape, 'lon', 'lat')}"
+        for rid, shape in shapes.items()
+    ]
+    return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
 def q_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three great-circle calculators + the native Catalyst haversine."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -464,6 +490,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "rect_counts": q_rect_counts,
     "circle_bbox": q_circle_bbox,
     "distances": q_distances,
+    "corridor_join": q_corridor_join,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
@@ -486,6 +513,7 @@ def spatial_oracles() -> dict[str, str]:
                 "rect_counts": sql_rect_counts(),
                 "circle_bbox": sql_circle_bbox(),
                 "distances": sql_distances(),
+                "corridor_join": sql_corridor_join(),
             }
         )
     return SPATIAL_ORACLES
