@@ -44,31 +44,37 @@ def spatial_join_points_polygons(
     Returns the points' columns + ``poly_id`` (+ ``_cell`` if keep_cell).
     """
     spark = points.sparkSession
+    # cover rows carry the polygon bbox inline (composed driver-side — a
+    # Spark join between two tiny local tables would plan a sort-merge
+    # join with two shuffles for data that never leaves the driver)
     cover_rows = []
-    bbox_rows = {}
     for pid, shape in polygons:
         fulls, bounds = cover_cells(shape, level, geo)
         bb = shape_bbox(shape, geo)
-        bbox_rows[pid] = bb
         for c in fulls:
-            cover_rows.append((c, pid, True))
+            cover_rows.append((c, pid, True, bb.min_x, bb.max_x, bb.min_y, bb.max_y))
         for c in bounds:
-            cover_rows.append((c, pid, False))
-    cover_df = spark.createDataFrame(cover_rows, "_cell string, poly_id string, _full boolean")
-
-    # polygon bboxes as a broadcast dim for the native prefilter
-    bbox_df = spark.createDataFrame(
-        [(pid, b.min_x, b.max_x, b.min_y, b.max_y) for pid, b in bbox_rows.items()],
-        "poly_id string, _bminx double, _bmaxx double, _bminy double, _bmaxy double",
+            cover_rows.append((c, pid, False, bb.min_x, bb.max_x, bb.min_y, bb.max_y))
+    cover_df = spark.createDataFrame(
+        cover_rows,
+        "_cell string, poly_id string, _full boolean, "
+        "_bminx double, _bmaxx double, _bminy double, _bmaxy double",
     )
-    cover_df = cover_df.join(bbox_df, "poly_id")
 
     pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
-    cand = pts.join(F.broadcast(cover_df), "_cell")
 
-    # native bbox prefilter (only relevant for boundary cells; full cells pass)
-    bbox_ok = rect_contains_point("_bminx", "_bmaxx", "_bminy", "_bmaxy", F.col(lon), F.col(lat))
-    cand = cand.where(F.col("_full") | bbox_ok)
+    # the native bbox prefilter lives in the JOIN CONDITION, not a
+    # post-join .where(): Catalyst collapses adjacent filters, which would
+    # merge the cheap native predicate with the expensive PIP-UDF filter
+    # and evaluate the UDF on rows the bbox already rejects. As a join
+    # condition it is applied inside the broadcast hash join (codegen),
+    # so only bbox survivors reach the Arrow UDF.
+    bbox_ok = rect_contains_point(
+        cover_df["_bminx"], cover_df["_bmaxx"], cover_df["_bminy"], cover_df["_bmaxy"],
+        pts[lon], pts[lat],
+    )
+    cond = (pts["_cell"] == cover_df["_cell"]) & (cover_df["_full"] | bbox_ok)
+    cand = pts.join(F.broadcast(cover_df), cond).drop(cover_df["_cell"])
 
     shapes = {pid: s for pid, s in polygons}
     pip = pip_udf(shapes, geo)

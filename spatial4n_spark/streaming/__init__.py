@@ -1,0 +1,5 @@
+from spatial4n_spark.streaming.tile_stream import (  # noqa: F401
+    events_as_stream,
+    streaming_radius_alerts,
+    streaming_tile_counts,
+)

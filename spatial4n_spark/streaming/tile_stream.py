@@ -1,0 +1,99 @@
+"""Structured-Streaming spatial operators.
+
+The reference has no streaming surface (single-threaded library); these
+are the engine-level stream twins of the batch operators, built on
+Spark's native streaming machinery (SURVEY.md §2.9 "classic operators
+use Spark built-ins"):
+
+- ``streaming_tile_counts``: watermarked sliding-window per-cell event
+  aggregation — the streaming form of tiles.tile_stats. The geohash
+  cell-encode UDF runs unchanged on the stream (stateless, Arrow-
+  vectorized); state is bounded by the watermark.
+- ``streaming_radius_alerts``: stream-static broadcast join against
+  query circles with the native haversine predicate — the streaming
+  form of the radius join (no state at all).
+
+Both keep the unbounded side shuffle-minimal: the only stateful shuffle
+is the windowed groupBy on (window, cell), a bounded-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.functions.udfs import geohash_udf
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def derive_coords(df: DataFrame, key: str = "event_id") -> DataFrame:
+    """Deterministic dyadic-lattice coordinates from an integer key (same
+    derivation family as suite.pts_orders)."""
+    lon = (F.col(key) * F.lit(2371)) % F.lit(4096) * F.lit(45.0) / F.lit(512.0) - F.lit(180.0)
+    lat = (F.col(key) * F.lit(1381)) % F.lit(2048) * F.lit(45.0) / F.lit(512.0) - F.lit(90.0)
+    return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+def events_as_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of events parquet files, with
+    derived coordinates (the sandbox stand-in for a Kafka geotagged feed)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_dir)
+    )
+    return derive_coords(raw)
+
+
+def streaming_tile_counts(
+    stream: DataFrame,
+    level: int = 3,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+) -> DataFrame:
+    """Watermarked windowed per-cell aggregation of a geotagged stream.
+
+    Returns (window, cell, n, sum_value) — append-mode compatible: rows
+    finalize when the watermark passes the window end.
+    """
+    cells = stream.withColumn("cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
+    return (
+        cells.withWatermark(ts, watermark)
+        .groupBy(win.alias("window"), F.col("cell"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
+def streaming_radius_alerts(
+    stream: DataFrame,
+    centers: list[tuple[str, float, float, float]],
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Stream-static join: emit events within R km of any alert center.
+
+    ``centers``: [(alert_id, lon, lat, radius_km)] — broadcast constant;
+    completely stateless, so it runs in any output mode.
+    """
+    spark = stream.sparkSession
+    c = spark.createDataFrame(
+        centers, "alert_id string, c_lon double, c_lat double, r_km double"
+    )
+    joined = stream.crossJoin(F.broadcast(c))
+    dist = haversine_km(F.col(lon), F.col(lat), F.col("c_lon"), F.col("c_lat"))
+    return (
+        joined.where(dist <= F.col("r_km"))
+        .withColumn("dist_km", dist)
+        .drop("c_lon", "c_lat", "r_km")
+    )
