@@ -23,7 +23,15 @@ from pyspark.sql.types import (
 
 
 def geohash_udf(precision: int = 12):
-    """(lat, lon) -> geohash string at a fixed precision (vectorized)."""
+    """(lat, lon) -> geohash string at a fixed precision (vectorized).
+
+    Marked non-deterministic although it is pure: when the cell column
+    feeds an equi-join, Catalyst's inferred isnotnull(join key) filter
+    otherwise duplicates the UDF into a second ArrowEvalPython node and
+    every row pays the encode twice (verified via explain: 2 nodes -> 1).
+    The flag forbids the duplication; the function's actual determinism
+    means task retries still produce identical results.
+    """
     from spatial4n_spark.kernels.geohash import geohash_encode
 
     @F.pandas_udf(StringType())
@@ -31,7 +39,7 @@ def geohash_udf(precision: int = 12):
         h = geohash_encode(lat.to_numpy(np.float64), lon.to_numpy(np.float64), precision)
         return pd.Series(h).str.decode("ascii")
 
-    return _encode
+    return _encode.asNondeterministic()
 
 
 def geohash_bbox_udf():

@@ -1,0 +1,56 @@
+"""SpatialEngine facade: scalar surface, SQL registration, operator
+delegation — the reference-user migration path."""
+
+from __future__ import annotations
+
+import pytest
+
+from spatial4n_spark.engine import SpatialEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return SpatialEngine(spark)
+
+
+def test_scalar_surface(engine):
+    rect = engine.read_wkt("ENVELOPE(-10, 10, 10, -10)")
+    pt = engine.read_wkt("POINT(5 5)")
+    assert engine.relate(rect, pt) == "CONTAINS"
+    # golden distance vector (TestDistances.cs:45-55): (1,2)->(3,4) = 314.40338 km
+    assert engine.distance_km(2.0, 1.0, 4.0, 3.0) == pytest.approx(314.40338, abs=2e-3)
+
+
+def test_sql_registration(engine, spark):
+    engine.register()
+    row = spark.sql(
+        "SELECT s4n_geohash(42.6d, -5.6d) AS gh, "
+        "round(s4n_dist_km(2.0d, 1.0d, 4.0d, 3.0d), 3) AS d, "
+        "s4n_relate_wkt('ENVELOPE(-10, 10, 10, -10)', 'POINT(5 5)') AS rel"
+    ).collect()[0]
+    assert row["gh"] == "ezs4"  # golden geohash prefix (TestGeohashUtils.cs:32-40)
+    assert row["d"] == pytest.approx(314.403)
+    assert row["rel"] == "CONTAINS"
+
+
+def test_layer_ingestion_and_join(engine, spark):
+    layer_df = spark.createDataFrame(
+        [("box", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")], "poly_id string, wkt string"
+    )
+    polys = engine.read_wkt_layer(layer_df)
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 50.0, 50.0)], "id long, lon double, lat double"
+    )
+    got = {(r["id"], r["poly_id"]) for r in engine.spatial_join(pts, polys).collect()}
+    assert got == {(1, "box")}
+
+
+def test_operator_delegation(engine, spark):
+    pts = spark.createDataFrame(
+        [(i, float(i % 30), float(i % 20)) for i in range(200)],
+        "id long, lon double, lat double",
+    )
+    tiles = engine.tile_assign(pts, level=3)
+    assert "cell" in tiles.columns and tiles.count() == 200
+    knn = engine.knn(pts, [("q", 5.0, 5.0)], k=3, id_col="id")
+    assert knn.count() == 3
