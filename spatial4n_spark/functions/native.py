@@ -66,6 +66,40 @@ def within_radius_km(lon1, lat1, lon2, lat2, radius_km) -> Column:
     return haversine_km(lon1, lat1, lon2, lat2) <= _c(radius_km)
 
 
+RADIUS_DEG = 57.29577951308232  # 180/pi — sphere radius in degree units
+
+
+def rect_width_deg(min_x, max_x) -> Column:
+    """Dateline-aware rect width (RectangleImpl.cs:144-157), pure Catalyst."""
+    min_x, max_x = _c(min_x), _c(max_x)
+    w = max_x - min_x
+    return F.when(w < 0, w + F.lit(360.0)).otherwise(w)
+
+
+def rect_area_deg2(min_x, max_x, min_y, max_y) -> Column:
+    """Geo rect area in square degrees, pure Catalyst.
+
+    GeodesicSphereDistCalc.Area (GeodesicSphereDistCalc.cs:73-84):
+    pi/180 * R^2 * |sin lat1 - sin lat2| * width.
+    """
+    min_y, max_y = _c(min_y), _c(max_y)
+    const = 3.141592653589793 / 180.0 * RADIUS_DEG * RADIUS_DEG
+    return (
+        F.lit(const)
+        * F.abs(F.sin(F.radians(min_y)) - F.sin(F.radians(max_y)))
+        * rect_width_deg(min_x, max_x)
+    )
+
+
+def circle_area_deg2(radius_deg) -> Column:
+    """Spherical-cap circle area (GeodesicSphereDistCalc.cs:87-95)."""
+    r = _c(radius_deg)
+    return (
+        F.lit(2.0 * 3.141592653589793 * RADIUS_DEG * RADIUS_DEG)
+        * (F.lit(1.0) - F.sin(F.radians(F.lit(90.0) - r)))
+    )
+
+
 def cell_id_int(lon, lat, level: int) -> Column:
     """Integer tile id from lat/lon binning at 2^level x 2^level resolution.
 

@@ -170,6 +170,37 @@ def circle_bbox_udf():
     return _bbox
 
 
+def rect_buffer_udf(geo: bool = True):
+    """(min_x, max_x, min_y, max_y, dist) -> buffered rect struct.
+
+    Vectorized RectangleImpl.GetBuffered (RectangleImpl.cs:83-124) —
+    pole-touch world wrap, lon skew expansion, full-wrap check.
+    """
+    from spatial4n_spark.kernels.area import rect_buffer
+
+    schema = StructType(
+        [
+            StructField("min_x", DoubleType()),
+            StructField("max_x", DoubleType()),
+            StructField("min_y", DoubleType()),
+            StructField("max_y", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _buf(
+        min_x: pd.Series, max_x: pd.Series, min_y: pd.Series, max_y: pd.Series, dist: pd.Series
+    ) -> pd.DataFrame:
+        ox1, ox2, oy1, oy2 = rect_buffer(
+            min_x.to_numpy(np.float64), max_x.to_numpy(np.float64),
+            min_y.to_numpy(np.float64), max_y.to_numpy(np.float64),
+            dist.to_numpy(np.float64), geo=geo,
+        )
+        return pd.DataFrame({"min_x": ox1, "max_x": ox2, "min_y": oy1, "max_y": oy2})
+
+    return _buf
+
+
 def dist_km_udf(calculator: str = "haversine"):
     """(lon1, lat1, lon2, lat2) -> km for a configurable calculator.
 

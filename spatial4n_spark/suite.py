@@ -383,6 +383,109 @@ def sql_corridor_join() -> str:
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
+def _derived_rects(spark: SparkSession, sf_dir: str):
+    li = _scan(spark, sf_dir, "lineitem")
+    ukey = F.col("l_orderkey") * F.lit(7) + F.col("l_linenumber")
+    aminx = _lon_col(ukey)
+    aminy = (ukey * F.lit(LAT_MULT)) % F.lit(1536) * F.lit(45.0) / F.lit(512.0) - F.lit(90.0)
+    w = ((ukey * F.lit(13)) % F.lit(512) + F.lit(1)) * F.lit(45.0) / F.lit(512.0)
+    h = ((ukey * F.lit(29)) % F.lit(256) + F.lit(1)) * F.lit(45.0) / F.lit(512.0)
+    amaxx = F.when(aminx + w > F.lit(180.0), aminx + w - F.lit(360.0)).otherwise(aminx + w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        aminx.alias("aminx"),
+        amaxx.alias("amaxx"),
+        aminy.alias("aminy"),
+        (aminy + h).alias("amaxy"),
+        ((ukey * F.lit(11)) % F.lit(1024) * F.lit(45.0) / F.lit(512.0)).alias("d"),
+    )
+
+
+RECTS_CTE = f"""rects AS (
+  SELECT l_orderkey, l_linenumber, aminx,
+         CASE WHEN aminx + w > 180e0 THEN aminx + w - 360e0 ELSE aminx + w END AS amaxx,
+         aminy, aminy + h AS amaxy, d
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+           {_lon_sql('ukey')} AS aminx,
+           ((ukey * {LAT_MULT}) % 1536) * 45e0 / 512e0 - 90e0 AS aminy,
+           ((ukey * 13) % 512 + 1) * 45e0 / 512e0 AS w,
+           ((ukey * 29) % 256 + 1) * 45e0 / 512e0 AS h,
+           ((ukey * 11) % 1024) * 45e0 / 512e0 AS d
+    FROM (SELECT l_orderkey, l_linenumber, l_orderkey * 7 + l_linenumber AS ukey FROM lineitem)
+  )
+)"""
+
+
+def q_rect_area_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo rect area (native Catalyst) + buffered rect (pole/dateline-aware
+    kernel UDF) over derived rects — §2.3/§2.4 constructive ops."""
+    from spatial4n_spark.functions.native import rect_area_deg2
+    from spatial4n_spark.functions.udfs import rect_buffer_udf
+
+    r = _derived_rects(spark, sf_dir)
+    buf = rect_buffer_udf(True)(
+        F.col("aminx"), F.col("amaxx"), F.col("aminy"), F.col("amaxy"), F.col("d")
+    )
+    out = r.withColumn("bb", buf)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(rect_area_deg2("aminx", "amaxx", "aminy", "amaxy"), 4).alias("area_deg2"),
+        F.round(F.col("bb.min_x"), 4).alias("bminx"),
+        F.round(F.col("bb.max_x"), 4).alias("bmaxx"),
+        F.round(F.col("bb.min_y"), 4).alias("bminy"),
+        F.round(F.col("bb.max_y"), 4).alias("bmaxy"),
+    )
+
+
+def sql_rect_area_buffer() -> str:
+    import math
+
+    pi = O.dlit(math.pi)
+    const = O.dlit(math.pi / 180.0 * (180.0 / math.pi) ** 2)
+    width = "(CASE WHEN amaxx - aminx < 0e0 THEN amaxx - aminx + 360e0 ELSE amaxx - aminx END)"
+    area = (
+        f"{const} * abs(sin(aminy / 180e0 * {pi}) - sin(amaxy / 180e0 * {pi})) * {width}"
+    )
+    # kernel-mirror of rect_buffer (multiply-form DEG_TO_RAD constants)
+    ratio = f"(sin(d * {O.dlit(O.DEG_TO_RAD)}) / cos(closest * {O.dlit(O.DEG_TO_RAD)}))"
+    delta = (
+        f"(CASE WHEN d = 0e0 THEN 0e0 WHEN abs({ratio}) > 1e0 THEN 90e0 "
+        f"ELSE asin({ratio}) * {O.dlit(O.RAD_TO_DEG)} END)"
+    )
+    north = "(amaxy + d >= 90e0)"
+    south = "(aminy - d <= -90e0)"
+    world = f"(delta * 2e0 + {width} >= 360e0)"
+    bminx = (
+        f"CASE WHEN {north} OR {south} THEN -180e0 WHEN {world} THEN -180e0 "
+        f"ELSE {O.norm_lon_sql('(aminx - delta)')} END"
+    )
+    bmaxx = (
+        f"CASE WHEN {north} OR {south} THEN 180e0 WHEN {world} THEN 180e0 "
+        f"ELSE {O.norm_lon_sql('(amaxx + delta)')} END"
+    )
+    bminy = (
+        f"CASE WHEN {north} THEN greatest(-90e0, aminy - d) WHEN {south} THEN -90e0 "
+        f"ELSE greatest(aminy - d, -90e0) END"
+    )
+    bmaxy = (
+        f"CASE WHEN {north} THEN 90e0 WHEN {south} THEN least(90e0, amaxy + d) "
+        f"ELSE least(amaxy + d, 90e0) END"
+    )
+    return f"""WITH {RECTS_CTE},
+s AS (
+  SELECT *, CASE WHEN amaxy - aminy > 0e0 THEN amaxy ELSE aminy END AS closest FROM rects
+),
+t AS (SELECT *, {delta} AS delta FROM s)
+SELECT l_orderkey, l_linenumber,
+       round({area}, 4) AS area_deg2,
+       round({bminx}, 4) AS bminx, round({bmaxx}, 4) AS bmaxx,
+       round({bminy}, 4) AS bminy, round({bmaxy}, 4) AS bmaxy
+FROM t"""
+
+
 def q_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three great-circle calculators + the native Catalyst haversine."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -491,6 +594,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "circle_bbox": q_circle_bbox,
     "distances": q_distances,
     "corridor_join": q_corridor_join,
+    "rect_area_buffer": q_rect_area_buffer,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
@@ -514,6 +618,7 @@ def spatial_oracles() -> dict[str, str]:
                 "circle_bbox": sql_circle_bbox(),
                 "distances": sql_distances(),
                 "corridor_join": sql_corridor_join(),
+                "rect_area_buffer": sql_rect_area_buffer(),
             }
         )
     return SPATIAL_ORACLES
