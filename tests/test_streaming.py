@@ -120,3 +120,67 @@ def test_stream_is_incremental(spark, tmp_path):
     n2 = run()
     assert n1 == 1000
     assert n2 == 1010  # resumed run appended ONLY the new file's rows
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessions: a later micro-batch closes earlier
+    sessions; state persists across batches via the checkpoint."""
+    import pandas as pd
+    from spatial4n_spark.streaming.sessions import spatial_sessions
+    from spatial4n_spark.streaming.tile_stream import EVENTS_SCHEMA, derive_coords
+
+    d = tmp_path / "sess"
+    d.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def mk(rows, path):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        # Spark's timestamp reader wants annotated us, not pandas' raw ns
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(path)
+
+    # batch 1: user 1 has two close events; user 2 one event
+    mk(
+        [
+            (1, t0, 1, "m", 1.0, ""),
+            (2, t0 + pd.Timedelta(minutes=10), 1, "m", 1.0, ""),
+            (3, t0, 2, "m", 1.0, ""),
+        ],
+        d / "f1.parquet",
+    )
+
+    def run(qname):
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+        out = spatial_sessions(derive_coords(raw), gap_minutes=30.0)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "sess_out"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        try:
+            return spark.read.parquet(str(tmp_path / "sess_out")).toPandas()
+        except Exception:
+            return pd.DataFrame()
+
+    out1 = run("s1")
+    assert len(out1) == 0  # nothing closed yet
+
+    # batch 2: user 1 returns after 2h -> closes the first session
+    mk([(4, t0 + pd.Timedelta(hours=2), 1, "m", 1.0, "")], d / "f2.parquet")
+    out2 = run("s2")
+    assert len(out2) == 1
+    r = out2.iloc[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert pd.Timestamp(r["session_start"]) == t0
+    assert pd.Timestamp(r["session_end"]) == t0 + pd.Timedelta(minutes=10)
+    assert r["n_cells"] >= 1 and isinstance(r["first_cell"], str)
