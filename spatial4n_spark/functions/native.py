@@ -66,6 +66,28 @@ def within_radius_km(lon1, lat1, lon2, lat2, radius_km) -> Column:
     return haversine_km(lon1, lat1, lon2, lat2) <= _c(radius_km)
 
 
+def combine_relations_agg(rel) -> Column:
+    """Aggregate form of SpatialRelation.Combine (SpatialRelation.cs:110-126)
+    — the relation of a shape vs the UNION of a group of shapes, as a
+    native grouped aggregate over per-member relation names.
+
+    The sequential fold (same=>same; {DISJOINT,CONTAINS}=>CONTAINS; else
+    INTERSECTS, with INTERSECTS absorbing) is order-insensitive, so it has
+    this closed form over the distinct-value set: one distinct value =>
+    that value; exactly {DISJOINT, CONTAINS} => CONTAINS; anything else
+    => INTERSECTS. Native expressions only — usable in groupBy().agg().
+    """
+    rel = _c(rel)
+    any_w = F.max((rel == "WITHIN").cast("int"))
+    any_i = F.max((rel == "INTERSECTS").cast("int"))
+    n_distinct = F.count_distinct(rel)
+    return (
+        F.when(n_distinct == 1, F.min(rel))
+        .when((any_w == 0) & (any_i == 0), F.lit("CONTAINS"))
+        .otherwise(F.lit("INTERSECTS"))
+    )
+
+
 RADIUS_DEG = 57.29577951308232  # 180/pi — sphere radius in degree units
 
 

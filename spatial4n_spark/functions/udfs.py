@@ -201,6 +201,31 @@ def rect_buffer_udf(geo: bool = True):
     return _buf
 
 
+def point_on_bearing_udf():
+    """(lon, lat, dist_deg, bearing_deg) -> struct(lon2, lat2) degrees.
+
+    Vectorized DistanceUtils.PointOnBearingRAD (DistanceUtils.cs:224-288):
+    spherical direct problem + lon/lat normalization.
+    """
+    from spatial4n_spark.kernels.distance import DEG_TO_RAD, RAD_TO_DEG, point_on_bearing_rad
+
+    schema = StructType([StructField("lon2", DoubleType()), StructField("lat2", DoubleType())])
+
+    @F.pandas_udf(schema)
+    def _dest(
+        lon: pd.Series, lat: pd.Series, dist: pd.Series, bearing: pd.Series
+    ) -> pd.DataFrame:
+        lat2, lon2 = point_on_bearing_rad(
+            lat.to_numpy(np.float64) * DEG_TO_RAD,
+            lon.to_numpy(np.float64) * DEG_TO_RAD,
+            dist.to_numpy(np.float64) * DEG_TO_RAD,
+            bearing.to_numpy(np.float64) * DEG_TO_RAD,
+        )
+        return pd.DataFrame({"lon2": lon2 * RAD_TO_DEG, "lat2": lat2 * RAD_TO_DEG})
+
+    return _dest
+
+
 def dist_km_udf(calculator: str = "haversine"):
     """(lon1, lat1, lon2, lat2) -> km for a configurable calculator.
 

@@ -272,6 +272,40 @@ def norm_lon_sql(v: str) -> str:
     return f"(CASE WHEN {v} >= -180e0 AND {v} <= 180e0 THEN {v} ELSE {wrapped} END)"
 
 
+def norm_lat_sql(v: str) -> str:
+    """Mirrors kernels.norm.norm_lat_deg (C-style fmod == DuckDB %%)."""
+    off = f"abs(({v} + 90e0) % 360e0)"
+    folded = f"((CASE WHEN {off} <= 180e0 THEN {off} ELSE 360e0 - {off} END) - 90e0)"
+    return f"(CASE WHEN {v} >= -90e0 AND {v} <= 90e0 THEN {v} ELSE {folded} END)"
+
+
+def point_on_bearing_select_sql(cte: str, id_col: str, ndigits: int = 4) -> str:
+    """SELECT mirroring the point_on_bearing_udf chain over
+    ``{cte}(id_col, lon, lat, d, b)`` (degrees in, rounded degrees out)."""
+    la = f"(lat * {dlit(DEG_TO_RAD)})"
+    lo = f"(lon * {dlit(DEG_TO_RAD)})"
+    dr = f"(d * {dlit(DEG_TO_RAD)})"
+    br = f"(b * {dlit(DEG_TO_RAD)})"
+    sin_lat2 = f"(sin({la}) * cos({dr}) + cos({la}) * sin({dr}) * cos({br}))"
+    clip = (
+        f"(CASE WHEN {sin_lat2} < -1e0 THEN -1e0 "
+        f"WHEN {sin_lat2} > 1e0 THEN 1e0 ELSE {sin_lat2} END)"
+    )
+    lat2_rad = f"asin({clip})"
+    lon2_rad = (
+        f"({lo} + atan2(sin({br}) * sin({dr}) * cos({la}), "
+        f"cos({dr}) - sin({la}) * {sin_lat2}))"
+    )
+    # kernel normalizes in degrees then returns radians; the UDF multiplies
+    # back — mirror the whole chain
+    lon2 = f"(({norm_lon_sql(f'({lon2_rad} * {dlit(RAD_TO_DEG)})')} * {dlit(DEG_TO_RAD)}) * {dlit(RAD_TO_DEG)})"
+    lat2 = f"(({norm_lat_sql(f'({lat2_rad} * {dlit(RAD_TO_DEG)})')} * {dlit(DEG_TO_RAD)}) * {dlit(RAD_TO_DEG)})"
+    return (
+        f"SELECT {id_col}, round({lon2}, {ndigits}) AS lon2, "
+        f"round({lat2}, {ndigits}) AS lat2 FROM {cte}"
+    )
+
+
 def circle_bbox_select_sql(points_cte: str, id_col: str, ndigits: int = 4) -> str:
     """Full SELECT mirroring kernels.circle.circle_bbox over a CTE
     ``{points_cte}(id_col, cx, cy, r)``; outputs rounded bbox columns."""

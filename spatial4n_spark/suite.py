@@ -383,6 +383,57 @@ def sql_corridor_join() -> str:
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
+def q_rect_relate_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation-combine aggregation (ShapeCollection.Combine fold as a
+    native grouped aggregate): each derived rect vs the UNION of the
+    three query rects."""
+    from spatial4n_spark.functions.native import combine_relations_agg
+
+    per_member = q_rect_relate(spark, sf_dir)
+    return per_member.groupBy("l_orderkey", "l_linenumber").agg(
+        combine_relations_agg(F.col("rel")).alias("rel_combined")
+    )
+
+
+def sql_rect_relate_combined() -> str:
+    inner = sql_rect_relate()
+    return f"""WITH member AS ({inner})
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN count(DISTINCT rel) = 1 THEN min(rel)
+            WHEN max(CASE WHEN rel = 'WITHIN' THEN 1 ELSE 0 END) = 0
+             AND max(CASE WHEN rel = 'INTERSECTS' THEN 1 ELSE 0 END) = 0 THEN 'CONTAINS'
+            ELSE 'INTERSECTS' END AS rel_combined
+FROM member GROUP BY l_orderkey, l_linenumber"""
+
+
+def q_point_on_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Destination point from (start, distance, bearing) — the spherical
+    direct problem (test-vector generator of the reference)."""
+    from spatial4n_spark.functions.udfs import point_on_bearing_udf
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lon = _lon_col(F.col("c_custkey"))
+    lat = _lat_col(F.col("c_custkey"))
+    d = (F.col("c_custkey") * F.lit(17)) % F.lit(720) * F.lit(45.0) / F.lit(128.0)
+    b = (F.col("c_custkey") * F.lit(23)) % F.lit(1440) * F.lit(45.0) / F.lit(180.0)
+    dest = point_on_bearing_udf()(lon, lat, d, b)
+    return c.select(
+        "c_custkey",
+        F.round(dest["lon2"], 4).alias("lon2"),
+        F.round(dest["lat2"], 4).alias("lat2"),
+    )
+
+
+def sql_point_on_bearing() -> str:
+    cte = (
+        "c AS (SELECT c_custkey, "
+        f"{_lon_sql('c_custkey')} AS lon, {_lat_sql('c_custkey')} AS lat, "
+        "((c_custkey * 17) % 720) * 45e0 / 128e0 AS d, "
+        "((c_custkey * 23) % 1440) * 45e0 / 180e0 AS b FROM customer)"
+    )
+    return f"WITH {cte}\n" + O.point_on_bearing_select_sql("c", "c_custkey", 4)
+
+
 def _derived_rects(spark: SparkSession, sf_dir: str):
     li = _scan(spark, sf_dir, "lineitem")
     ukey = F.col("l_orderkey") * F.lit(7) + F.col("l_linenumber")
@@ -595,6 +646,8 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "distances": q_distances,
     "corridor_join": q_corridor_join,
     "rect_area_buffer": q_rect_area_buffer,
+    "rect_relate_combined": q_rect_relate_combined,
+    "point_on_bearing": q_point_on_bearing,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
@@ -619,6 +672,8 @@ def spatial_oracles() -> dict[str, str]:
                 "distances": sql_distances(),
                 "corridor_join": sql_corridor_join(),
                 "rect_area_buffer": sql_rect_area_buffer(),
+                "rect_relate_combined": sql_rect_relate_combined(),
+                "point_on_bearing": sql_point_on_bearing(),
             }
         )
     return SPATIAL_ORACLES

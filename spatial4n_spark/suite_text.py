@@ -276,6 +276,37 @@ WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM em
 SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM e"""
 
 
+DUP_COS_THRESHOLD = 0.4
+
+
+def q_emb_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (the embedding dedup flavor):
+    all pairs with cosine >= threshold, exact."""
+    e = _emb(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    cos = S._dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(S._norm2(F.col("ea"))) * F.sqrt(S._norm2(F.col("eb")))
+    )
+    out = pairs.withColumn("cos", cos).where(F.col("cos") >= F.lit(DUP_COS_THRESHOLD))
+    return out.select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+
+
+def _sql_emb_dup_pairs() -> str:
+    cos = (
+        f"({_dot_sql('a.v', 'b.v')} / "
+        f"(sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 4) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= {dlit(DUP_COS_THRESHOLD)}"""
+
+
 def q_emb_ann(spark, sf_dir):
     """LSH-bucketed approximate top-k (rows-only: recall is asserted vs the
     exact baseline in tests/test_text_similarity.py)."""
@@ -298,6 +329,7 @@ TEXT_QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn": q_emb_knn,
     "emb_lsh_buckets": q_emb_lsh_buckets,
+    "emb_dup_pairs": q_emb_dup_pairs,
     "emb_ann": q_emb_ann,
 }
 
@@ -315,5 +347,6 @@ def text_oracles() -> dict[str, str]:
         "emb_cosine_topk": _sql_emb_cosine_topk(),
         "emb_knn": _sql_emb_knn(),
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
+        "emb_dup_pairs": _sql_emb_dup_pairs(),
         # emb_ann: rows-only (approximate op; recall asserted in pytest)
     }
