@@ -48,6 +48,28 @@ def _reference_pixels(image_id: str, w: int, h: int) -> np.ndarray:
     return (pix & np.uint64(0xFF)).astype(np.uint8).reshape(h, w, 3)
 
 
+def _reference_pixels_batch(ids: list[str], w: int, h: int) -> np.ndarray:
+    """Vectorized reference pixels for k same-size images -> (k, h, w, 3)."""
+    from spatial4n_spark.sources.images import _mix64
+
+    nums = np.array([int(s[3:]) for s in ids], dtype=np.uint64)
+    npix = w * h * 3
+    idx = nums[:, None] * np.uint64(0x1F123) + np.arange(npix, dtype=np.uint64)[None, :]
+    pix = _mix64(idx)
+    return (pix & np.uint64(0xFF)).astype(np.uint8).reshape(len(ids), h, w, 3)
+
+
+def _psnr_batch(imgs: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """(k,h,w,3) x2 -> per-image PSNR dB. Integer error sums are exact in
+    float64, so this equals the scalar path bit-for-bit."""
+    err = imgs.astype(np.float64) - refs.astype(np.float64)
+    mse = np.mean(err * err, axis=(1, 2, 3))
+    out = np.full(len(imgs), PSNR_CAP_DB)
+    nz = mse > 0.0
+    out[nz] = 10.0 * np.log10(255.0 * 255.0 / mse[nz])
+    return out
+
+
 DECODE_CHECK_SCHEMA = (
     "image_id string, fmt string, cell string, psnr_db double, "
     "caption_ok boolean, mean_px double"
@@ -77,14 +99,26 @@ def decode_check(images: DataFrame, level: int = 4, chunk_rows: int = 2048) -> D
                 decoded = decode_image_batch(bufs, w, h, fmts)
                 cells = geohash_encode_str(lat, lon, level)
                 psnr = np.empty(len(ids), dtype=np.float64)
-                cap_ok = np.empty(len(ids), dtype=bool)
                 mean_px = np.empty(len(ids), dtype=np.float64)
-                for k, (iid, img) in enumerate(zip(ids, decoded)):
-                    ref = _reference_pixels(iid, int(w[k]), int(h[k]))
-                    psnr[k] = _psnr_db(img, ref)
-                    mean_px[k] = float(img.mean())
-                    expect = f"caption for img{int(iid[3:])} at {lat[k]:.4f},{lon[k]:.4f}"
-                    cap_ok[k] = caps[k] == expect
+                # vectorize per size group: stacked (k,h,w,3) reference
+                # regen + PSNR — integer sums keep it bit-equal to the
+                # per-image path while amortizing per-image Python cost
+                sizes = np.stack([w, h], axis=1)
+                for wh in np.unique(sizes, axis=0):
+                    sel = np.where((w == wh[0]) & (h == wh[1]))[0]
+                    imgs = np.stack([decoded[k] for k in sel])
+                    refs = _reference_pixels_batch(
+                        [ids[k] for k in sel], int(wh[0]), int(wh[1])
+                    )
+                    psnr[sel] = _psnr_batch(imgs, refs)
+                    mean_px[sel] = imgs.astype(np.float64).mean(axis=(1, 2, 3))
+                cap_ok = np.array(
+                    [
+                        caps[k] == f"caption for img{int(ids[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
+                        for k in range(len(ids))
+                    ],
+                    dtype=bool,
+                )
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(ids, pa.string()),
@@ -145,12 +179,11 @@ def tile_images(
 
                 out_id, out_cell, out_r, out_c = [], [], [], []
                 out_w, out_h, out_mean, out_bytes = [], [], [], []
-                for k, (iid, cell, img) in enumerate(zip(ids, cells, decoded)):
-                    if min_psnr_db is not None:
-                        ref = _reference_pixels(iid, int(w[k]), int(h[k]))
-                        expect = f"caption for img{int(iid[3:])} at {lat[k]:.4f},{lon[k]:.4f}"
-                        if _psnr_db(img, ref) < min_psnr_db or caps[k] != expect:
-                            continue
+
+                def emit_loop(k: int):
+                    """Per-image fallback (sizes not divisible by chip_px,
+                    or chip-bytes materialization)."""
+                    iid, cell, img = ids[k], cells[k], decoded[k]
                     hh, ww = img.shape[0], img.shape[1]
                     for r0 in range(0, hh, chip_px):
                         for c0 in range(0, ww, chip_px):
@@ -163,6 +196,49 @@ def tile_images(
                             out_h.append(chip.shape[0])
                             out_mean.append(float(chip.mean()))
                             out_bytes.append(chip.tobytes() if with_chip_bytes else b"")
+
+                keep = np.ones(len(ids), dtype=bool)
+                sizes = np.stack([w, h], axis=1)
+                groups = {}
+                for wh in np.unique(sizes, axis=0):
+                    groups[tuple(wh)] = np.where((w == wh[0]) & (h == wh[1]))[0]
+
+                if min_psnr_db is not None:
+                    for (gw, gh), sel in groups.items():
+                        imgs = np.stack([decoded[k] for k in sel])
+                        refs = _reference_pixels_batch([ids[k] for k in sel], int(gw), int(gh))
+                        keep[sel] = _psnr_batch(imgs, refs) >= min_psnr_db
+                    for k in range(len(ids)):
+                        if keep[k]:
+                            expect = (
+                                f"caption for img{int(ids[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
+                            )
+                            keep[k] = caps[k] == expect
+
+                for (gw, gh), sel in groups.items():
+                    sel = sel[keep[sel]]
+                    if len(sel) == 0:
+                        continue
+                    if gw % chip_px or gh % chip_px or with_chip_bytes:
+                        for k in sel:
+                            emit_loop(int(k))
+                        continue
+                    # fully-divisible fast path: (k,h,w,3) -> chip grid means
+                    nr, nc = int(gh) // chip_px, int(gw) // chip_px
+                    imgs = np.stack([decoded[k] for k in sel])
+                    grid = imgs.reshape(len(sel), nr, chip_px, nc, chip_px, 3)
+                    means = grid.astype(np.float64).mean(axis=(2, 4, 5))  # (k, nr, nc)
+                    n_chips = nr * nc
+                    out_id.extend(np.repeat([ids[k] for k in sel], n_chips).tolist())
+                    out_cell.extend(np.repeat([cells[k] for k in sel], n_chips).tolist())
+                    rows_grid = np.tile(np.repeat(np.arange(nr, dtype=np.int32), nc), len(sel))
+                    cols_grid = np.tile(np.tile(np.arange(nc, dtype=np.int32), nr), len(sel))
+                    out_r.extend(rows_grid.tolist())
+                    out_c.extend(cols_grid.tolist())
+                    out_w.extend([chip_px] * n_chips * len(sel))
+                    out_h.extend([chip_px] * n_chips * len(sel))
+                    out_mean.extend(means.reshape(-1).tolist())
+                    out_bytes.extend([b""] * n_chips * len(sel))
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(out_id, pa.string()),
