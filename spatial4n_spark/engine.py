@@ -46,6 +46,26 @@ class SpatialEngine:
 
         return float(deg_to_km(distance_deg(lon1, lat1, lon2, lat2, self.ctx.calculator)))
 
+    def to_binary(self, shape) -> bytes:
+        """Reference-layout binary codec (BinaryCodec.cs tag+payload)."""
+        from spatial4n_spark.io.binary import shape_to_bytes
+
+        return shape_to_bytes(shape, geo=self.ctx.geo)
+
+    def from_binary(self, buf: bytes):
+        from spatial4n_spark.io.binary import shape_from_bytes
+
+        return shape_from_bytes(buf, geo=self.ctx.geo)
+
+    def read_legacy(self, s: str):
+        """Deprecated legacy string format (falls back to WKT when the
+        string is letter-prefixed but not a Circle — the reference's
+        caller contract)."""
+        from spatial4n_spark.io.legacy import read_legacy
+
+        shape = read_legacy(s, geo=self.ctx.geo)
+        return shape if shape is not None else self.read_wkt(s)
+
     # -- layer ingestion --------------------------------------------------
 
     def read_wkt_layer(self, layer: DataFrame | list, id_col: str = "poly_id", wkt_col: str = "wkt"):

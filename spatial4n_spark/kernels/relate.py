@@ -181,6 +181,18 @@ def relate(a, b, geo: bool = True, calculator: str = "haversine") -> np.int8:
             return np.int8(
                 rect_relate_rect(a.min_x, a.max_x, a.min_y, a.max_y, b.min_x, b.max_x, b.min_y, b.max_y, geo)[0]
             )
+        if isinstance(b, LineString) and b.buffer == 0.0:
+            # rect x thin line: relate the rect's page polygons (dateline
+            # split) to the line and Combine — the transpose fallback would
+            # recurse forever (neither branch owns the pair)
+            from spatial4n_spark.kernels.polygon import rect_to_polygons
+            from spatial4n_spark.relation import combine
+
+            rel = None
+            for page in rect_to_polygons(a):
+                r = _relate_polygon_line(page, b)
+                rel = r if rel is None else combine(rel, r)
+            return np.int8(rel)
         return transpose(relate(b, a, geo, calculator))
 
     if isinstance(a, Circle):
