@@ -65,6 +65,7 @@ SQL_DOC_TOKEN_STATS = f"""
 WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t, text FROM documents)
 SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+       CAST(len(regexp_extract_all(text, '{T.SUBTOKEN_REGEX}')) AS INTEGER) AS n_subtokens,
        CAST(length(text) AS INTEGER) AS n_chars_m
 FROM toks"""
 

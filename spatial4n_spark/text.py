@@ -62,12 +62,19 @@ def exact_dedup(docs: DataFrame, text: str = "text", key: str = "doc_id") -> Dat
     )
 
 
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
+# non-space symbols — the word-split regex family BPE vocabularies use
+# (same semantics in Java regex and RE2 for the oracle)
+SUBTOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def token_stats(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
     toks = tokens_col(F.col(text))
     return docs.select(
         F.col(key),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.regexp_extract_all(F.col(text), F.lit(SUBTOKEN_REGEX), F.lit(0))).alias("n_subtokens"),
         F.length(F.col(text)).alias("n_chars_m"),
     )
 

@@ -206,3 +206,62 @@ def test_russia_style_wide_bbox():
     bb = shape_bbox(Polygon(ring))
     assert bb.crosses_dateline
     assert abs(bb.width - (360 - (20 - -172))) < 1e-9  # 168 degrees
+
+
+# ---------------------------------------------------------------------------
+# validation / repair rules (NtsWktShapeParser.cs:~398-436)
+# ---------------------------------------------------------------------------
+
+
+class TestValidationRules:
+    def _bowtie(self):
+        from spatial4n_spark.io.wkt import _parse_polygon_body  # noqa: F401
+        from spatial4n_spark.sources.polygons import BOWTIE_WKT
+        from spatial4n_spark.io import parse_wkt
+
+        # bowtie parses as a Polygon (covers-collapse doesn't apply)
+        return parse_wkt(BOWTIE_WKT)
+
+    def test_bowtie_detected_invalid(self):
+        from spatial4n_spark.kernels.validate import polygon_is_valid
+        from spatial4n_spark.io import parse_wkt
+
+        assert not polygon_is_valid(self._bowtie())
+        assert polygon_is_valid(parse_wkt("POLYGON((0 0, 10 0, 5 5, 0 0))"))
+
+    def test_error_rule_raises(self):
+        import pytest
+        from spatial4n_spark.kernels.validate import InvalidShapeError, apply_validation_rule
+
+        with pytest.raises(InvalidShapeError):
+            apply_validation_rule(self._bowtie(), "error")
+        # valid polygons pass through unchanged under every rule
+        from spatial4n_spark.io import parse_wkt
+
+        tri = parse_wkt("POLYGON((0 0, 10 0, 5 5, 0 0))")
+        assert apply_validation_rule(tri, "error") is tri
+
+    def test_convex_hull_repair(self):
+        import numpy as np
+        from spatial4n_spark.kernels.validate import apply_validation_rule, polygon_is_valid
+        from spatial4n_spark.kernels.polygon import points_covered
+
+        fixed = apply_validation_rule(self._bowtie(), "repair_convex_hull")
+        assert polygon_is_valid(fixed)
+        # hull of the bowtie is the square: center now covered
+        assert bool(points_covered([5.0], [5.0], fixed)[0])
+        assert bool(points_covered([9.0], [9.0], fixed)[0])
+
+    def test_buffer0_repair_even_odd_lobes(self):
+        from spatial4n_spark.kernels.validate import apply_validation_rule
+        from spatial4n_spark.kernels.polygon import points_covered
+
+        kept = apply_validation_rule(self._bowtie(), "repair_buffer0")
+        # bowtie (0 0, 10 10, 10 0, 0 10): crossing at (5,5) with lobes to
+        # the LEFT and RIGHT; the top/bottom wedges are outside (even-odd)
+        import numpy as np
+
+        px = np.array([1.0, 9.0, 5.0, 5.0])
+        py = np.array([5.0, 5.0, 8.5, 1.5])
+        got = points_covered(px, py, kept).tolist()
+        assert got == [True, True, False, False]
