@@ -27,12 +27,36 @@ from spatial4n_spark.kernels.polygon import Rect, shape_bbox
 from spatial4n_spark.plans.cover import cover_cells
 
 
+def choose_join_level(polygons: list[tuple[str, object]], max_cells: int = 20000) -> int:
+    """Auto-pick the uniform join level for a layer: the finest level whose
+    total cover stays under ``max_cells`` broadcast rows (finer cells mean
+    fewer candidate rows through the refinement UDF, coarser cells mean a
+    smaller broadcast — this balances the two driver-side)."""
+    from spatial4n_spark.plans.cover import cover_cells
+
+    level = 2
+    for cand in (3, 4):
+        total = 0
+        try:
+            for _, shape in polygons:
+                fulls, bounds = cover_cells(shape, cand, max_cells=max_cells)
+                total += len(fulls) + len(bounds)
+                if total > max_cells:
+                    break
+        except ValueError:  # a single shape blew the per-shape cap
+            break
+        if total > max_cells:
+            break
+        level = cand
+    return level
+
+
 def spatial_join_points_polygons(
     points: DataFrame,
     polygons: list[tuple[str, object]],
     lon: str = "lon",
     lat: str = "lat",
-    level: int = 4,
+    level: int | None = 4,
     geo: bool = True,
     keep_cell: bool = False,
 ) -> DataFrame:
@@ -40,10 +64,13 @@ def spatial_join_points_polygons(
 
     ``polygons``: [(poly_id, shape)] — the small/broadcast side (a polygon
     layer of up to ~10^5 features; for larger layers, partition the layer
-    and union the joins).
+    and union the joins). ``level=None`` auto-plans the join level from
+    the layer's cover sizes.
     Returns the points' columns + ``poly_id`` (+ ``_cell`` if keep_cell).
     """
     spark = points.sparkSession
+    if level is None:
+        level = choose_join_level(polygons)
     # cover rows carry the polygon bbox inline (composed driver-side — a
     # Spark join between two tiny local tables would plan a sort-merge
     # join with two shuffles for data that never leaves the driver)

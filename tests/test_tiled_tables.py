@@ -1,0 +1,59 @@
+"""Tile-partitioned storage: result parity with brute force AND proof of
+partition pruning in the physical plan (PartitionFilters reach the scan)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.io.tables import (
+    PARTITION_COL,
+    candidate_cells,
+    read_tiled,
+    tiled_radius_query,
+    write_tiled,
+)
+from spatial4n_spark.operators.spatial_join import choose_join_level, spatial_join_points_polygons
+from spatial4n_spark.suite import layer, pts_orders
+
+
+def test_tiled_radius_query_parity_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "tiled_pts")
+    pts = pts_orders(spark, "/root/testdata/sf0.001")
+    write_tiled(pts, path, level=2)
+
+    # partition directories exist
+    parts = [d for d in os.listdir(path) if d.startswith(f"{PARTITION_COL}=")]
+    assert len(parts) > 50
+
+    got = tiled_radius_query(spark, path, 2.3125, 48.875, 500.0, level=2)
+    got_keys = {r["o_orderkey"] for r in got.collect()}
+
+    brute = pts.where(
+        haversine_km(F.col("lon"), F.col("lat"), F.lit(2.3125), F.lit(48.875)) <= F.lit(500.0)
+    )
+    want_keys = {r["o_orderkey"] for r in brute.collect()}
+    assert got_keys == want_keys and len(want_keys) > 0
+
+    # the plan prunes partitions: PartitionFilters mention the cell column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and PARTITION_COL in plan
+    # and the pruned scan reads far fewer partitions than exist
+    from spatial4n_spark.kernels.polygon import Circle
+    from spatial4n_spark.kernels.distance import km_to_deg
+
+    cells = candidate_cells(Circle(2.3125, 48.875, float(km_to_deg(500.0)), geo=True), 2)
+    assert len(cells) < len(parts) / 4
+
+
+def test_auto_join_level_matches_fixed(spark):
+    pts = pts_orders(spark, "/root/testdata/sf0.001")
+    lvl = choose_join_level(layer())
+    assert 2 <= lvl <= 4
+    auto = spatial_join_points_polygons(pts, layer(), level=None)
+    fixed = spatial_join_points_polygons(pts, layer(), level=3)
+    a = {(r["o_orderkey"], r["poly_id"]) for r in auto.collect()}
+    b = {(r["o_orderkey"], r["poly_id"]) for r in fixed.collect()}
+    assert a == b
