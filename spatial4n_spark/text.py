@@ -138,6 +138,18 @@ def shingle_sets(
     return docs.select(F.col(key), F.array_distinct(grams).alias("shingles"))
 
 
+def _spread_input(docs: DataFrame) -> DataFrame:
+    """Repartition a small-partition-count input before the CPU-bound
+    shingle/hash stages (HOF expressions evaluate interpreted, outside
+    codegen — they must run on all cores). Single-row-group files arrive
+    as one partition; at design scale inputs already have thousands of
+    partitions and this is a no-op."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        return docs.repartition(sc.defaultParallelism)
+    return docs
+
+
 def _df_capped_shingles(sh: DataFrame, key: str, max_df: int) -> DataFrame:
     """Explode shingles and drop 'stop shingles' appearing in > max_df docs
     — the frequency cap that keeps the self-join key from exploding at
@@ -161,7 +173,7 @@ def jaccard_pairs(
     of the operator's semantics; it is what makes the join feasible at
     scale). Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = shingle_sets(docs, n, text, key)
+    sh = shingle_sets(_spread_input(docs), n, text, key)
     ex = _df_capped_shingles(sh, key, max_df)
     sizes = ex.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
     a = ex.select(F.col(key).alias("doc_a"), "shingle")
@@ -181,18 +193,21 @@ def jaccard_pairs(
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
-def minhash_signature(sh: DataFrame, k: int = 16) -> DataFrame:
-    """k MinHash values per doc, computed inside array expressions (no
-    explode): mh_i = min over shingles of H(shingle || '#i')."""
-    def seeded_hash(i):
-        return lambda s: md5_long(F.concat(s, F.lit(f"#{i}")))
+def minhash_signature(sh: DataFrame, k: int = 16, key: str = "doc_id") -> DataFrame:
+    """k MinHash values per doc: mh_i = min over shingles of H(shingle||'#i').
 
-    out = sh
-    for i in range(k):
-        out = out.withColumn(
-            f"mh{i}", F.array_min(F.transform(F.col("shingles"), seeded_hash(i)))
-        )
-    return out
+    Implemented as explode -> k flat md5 columns -> min-aggregate, NOT as
+    array higher-order functions: HOF lambdas evaluate interpreted
+    (outside whole-stage codegen), which made the k x |shingles| hashing
+    the pipeline bottleneck (16s -> ~2s at 5k docs x 50 shingles x 16).
+    The shuffle carries only (key, k longs) partial mins.
+    """
+    ex = sh.select(key, F.explode("shingles").alias("_s"))
+    hashed = ex.select(
+        key, *[md5_long(F.concat(F.col("_s"), F.lit(f"#{i}"))).alias(f"_h{i}") for i in range(k)]
+    )
+    agg = hashed.groupBy(key).agg(*[F.min(f"_h{i}").alias(f"mh{i}") for i in range(k)])
+    return sh.join(agg, key)
 
 
 def minhash_lsh_pairs(
@@ -213,7 +228,7 @@ def minhash_lsh_pairs(
     pairs — the scale path vs jaccard_pairs' exact join.
     """
     rows = k // bands
-    sh = shingle_sets(docs, n, text, key).where(F.size("shingles") > 0)
+    sh = shingle_sets(_spread_input(docs), n, text, key).where(F.size("shingles") > 0)
     sig = minhash_signature(sh, k)
     band_cols = [
         F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
