@@ -26,7 +26,7 @@ import sys
 
 RUNNER = r"""
 import json, sys, time
-cpus, rows, parts = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+cpus, rows, parts, job = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling-{cpus}")
@@ -37,26 +37,37 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
 spark.sparkContext.setLogLevel("ERROR")
 from spatial4n_spark.sources.images import images_df
 from spatial4n_spark.operators.raster import raster_pipeline
+from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+from spatial4n_spark.suite import layer
+
+def run_job(n):
+    if job == "raster":
+        return raster_pipeline(images_df(spark, n, partitions=parts), level=4, chip_px=8).count()
+    if job == "pip":
+        pts = images_df(spark, n, with_bytes=False, partitions=parts).select("image_id", "lon", "lat")
+        return spatial_join_points_polygons(pts, layer(), level=3).count()
+    raise ValueError(job)
+
 # warm-up: spin Python workers + JIT on a small slice
-raster_pipeline(images_df(spark, 4000, partitions=parts), level=4, chip_px=8).count()
+run_job(4000)
 # best-of-3: the sandbox is a shared VM with noisy neighbors; min time is
 # the standard throughput estimate under external interference
 times, out = [], 0
 for _ in range(3):
     t0 = time.time()
-    out = raster_pipeline(images_df(spark, rows, partitions=parts), level=4, chip_px=8).count()
+    out = run_job(rows)
     times.append(time.time() - t0)
 dt = min(times)
-print(json.dumps({"cpus": cpus, "rows": rows, "partitions": parts,
-                  "cells_out": out, "sec": round(dt, 3),
+print(json.dumps({"cpus": cpus, "rows": rows, "partitions": parts, "job": job,
+                  "rows_out": out, "sec": round(dt, 3),
                   "all_runs_sec": [round(t, 3) for t in times],
                   "rows_per_sec": round(rows / dt, 1)}))
 """
 
 
-def run_level(cpus: int, rows: int, parts: int) -> dict:
+def run_level(cpus: int, rows: int, parts: int, job: str = "raster") -> dict:
     res = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus), str(rows), str(parts)],
+        [sys.executable, "-c", RUNNER, str(cpus), str(rows), str(parts), job],
         capture_output=True, text=True, check=True, cwd=".",
     )
     line = res.stdout.strip().splitlines()[-1]
@@ -68,15 +79,16 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=400_000)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--job", type=str, default="raster", choices=["raster", "pip"])
     ap.add_argument("--write", action="store_true", help="append results to BENCH.md")
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
-    results = [run_level(c, args.rows, args.partitions) for c in levels]
+    results = [run_level(c, args.rows, args.partitions, args.job) for c in levels]
     lo, hi = results[0], results[-1]
     eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi["cpus"] / lo["cpus"])
     summary = {
-        "job": "raster_pipeline (decode+gate+chip+cell-agg)",
+        "job": args.job + (" (decode+gate+chip+cell-agg)" if args.job == "raster" else " (cell-cover broadcast join + exact PIP)"),
         "rows": args.rows,
         "partitions": args.partitions,
         "levels": results,
@@ -94,7 +106,7 @@ def main() -> int:
         with open("BENCH.md", "a") as f:
             f.write(
                 f"""
-## Scaling efficiency run ({args.rows} images, raster pipeline)
+## Scaling efficiency run ({args.rows} rows, job={args.job})
 
 | parallelism | input rows | partitions | sec | rows/sec |
 |---|---|---|---|---|
