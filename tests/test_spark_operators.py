@@ -153,3 +153,36 @@ def test_native_rect_contains_point_pushdown_shape(spark, points):
     filtered = points.where(rect_contains_point(F.lit(2.0), F.lit(2.7), F.lit(48.6), F.lit(49.1), F.col("lon"), F.col("lat")))
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salt_planner_detects_hot_clusters(spark):
+    """The salt planner's sketch finds the deliberately hot Paris/Tokyo
+    cells and sizes the bucket count from the hottest one; salted and
+    unsalted aggregation agree exactly."""
+    from spatial4n_spark.operators.tiles import tile_stats
+    from spatial4n_spark.plans.salt import choose_salt_buckets, sketch_hot_cells
+    from spatial4n_spark.sources.images import images_df
+
+    imgs = images_df(spark, 20_000, with_bytes=False, partitions=8).cache()
+    hot = sketch_hot_cells(imgs, level=4, top=3)
+    # ~18% of rows cluster near Paris: the hottest cell dwarfs the uniform
+    # background (world has ~thousands of occupied level-4 cells)
+    assert hot[0][1] > 1000
+    assert hot[0][0].startswith(("u09", "xn7"))  # Paris / Tokyo geohash cells
+
+    buckets = choose_salt_buckets(imgs, level=4, target_rows_per_bucket=500)
+    assert buckets > 1
+
+    from pyspark.sql import functions as F
+
+    withm = imgs.withColumn("pm", F.pmod("phash", F.lit(1000)))  # bounded: no ANSI overflow
+    unsalted = tile_stats(withm, level=4, salt_buckets=1, sum_col="pm")
+    salted = tile_stats(withm, level=4, salt_buckets=buckets, salt_col="phash", sum_col="pm")
+    a = {(r["cell"], r["n"], r["sum_pm"]) for r in unsalted.collect()}
+    b = {(r["cell"], r["n"], r["sum_pm"]) for r in salted.collect()}
+    assert a == b
+
+    # sampled sketch also finds the hot cell (scaled estimate)
+    hot_s = sketch_hot_cells(imgs, level=4, sample_fraction=0.25, top=1)
+    assert hot_s[0][0] == hot[0][0]
+    imgs.unpersist()
