@@ -120,6 +120,93 @@ def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> Data
     return emb.select("vec_id", bucket_col(F.col("embedding"), planes).alias("bucket"))
 
 
+def ivf_centroids(n_centroids: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-centroids: ((j*131 + i*37) % 21 - 10) / 10 —
+    the oracle-mirrorable coarse quantizer; see fit_ivf_centroids for the
+    data-adaptive variant."""
+    return [
+        [((j * 131 + i * 37) % 21 - 10) / 10.0 for i in range(dim)]
+        for j in range(n_centroids)
+    ]
+
+
+def fit_ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 5, sample: int = 2048
+) -> list[list[float]]:
+    """Data-adaptive centroids: numpy k-means on a driver-side sample
+    (seeded, deterministic) — the 'train the coarse quantizer on a sample'
+    step every IVF index performs; the result broadcasts as constants."""
+    import numpy as np
+
+    pdf = emb.select("embedding").limit(sample).toPandas()
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    rng = np.random.RandomState(42)
+    cent = x[rng.choice(len(x), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return [[float(v) for v in c] for c in cent]
+
+
+def centroid_col(emb_col: Column, centroids: list[list[float]]) -> Column:
+    """Argmax-dot centroid assignment (strict >: first centroid wins ties)
+    — the IVF inverted-list key."""
+    e = _emb_double(emb_col)
+    dots = []
+    for c in centroids:
+        cv = F.array(*[F.lit(float(v)) for v in c])
+        dots.append(_dot(e, cv))
+    # argmax = first index equal to the variadic greatest — an iterative
+    # when-fold would reference `best` three times per level and Catalyst
+    # copies expression TREES, going exponential (OOM at 16 centroids)
+    best = F.greatest(*dots)
+    idx = F.when(dots[0] == best, F.lit(0))
+    for j in range(1, len(dots)):
+        idx = idx.when(dots[j] == best, F.lit(j))
+    return idx.cast("int")
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]] | None = None) -> DataFrame:
+    centroids = centroids or ivf_centroids()
+    return emb.select("vec_id", centroid_col(F.col("embedding"), centroids).alias("centroid_id"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    centroids: list[list[float]] | None = None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids by dot with the query
+    (driver-side), probe the best ``nprobe`` inverted lists, exact cosine
+    rank inside. At design scale the table is partitioned by centroid_id,
+    so the probe reads nprobe/n_centroids of the data."""
+    centroids = centroids or ivf_centroids()
+    scores = []
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x, y in zip(qvec, c):
+            acc = acc + x * y
+        scores.append((acc, j))
+    probe = [j for _, j in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
+
+    cand = emb.where(
+        centroid_col(F.col("embedding"), centroids).isin([int(j) for j in probe])
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        with_cosine(cand, qvec)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
 def _query_bucket(qvec: list[float], planes: list[list[float]]) -> int:
     b = 0
     for j, plane in enumerate(planes):

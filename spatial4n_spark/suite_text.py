@@ -115,8 +115,7 @@ def q_doc_jaccard(spark, sf_dir):
     return T.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=MAX_DF)
 
 
-SQL_DOC_JACCARD = f"""
-WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+JACCARD_CTES = f"""toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
 g AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM toks),
 ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
 dfc AS (SELECT shingle, count(*) AS dfn FROM ex0 GROUP BY 1),
@@ -125,12 +124,39 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM ex a JOIN ex b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jacc
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE i / (sa.sz + sb.sz - i) >= {dlit(JACCARD_THRESHOLD)}
+)"""
+
+SQL_DOC_JACCARD = f"""
+WITH {JACCARD_CTES}
+SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM jpairs"""
+
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (distributed min-label
+    propagation) over the Jaccard near-dup pairs; cluster_id = min doc id."""
+    pairs = T.jaccard_pairs(_docs(spark, sf_dir), threshold=JACCARD_THRESHOLD, max_df=MAX_DF)
+    return T.dup_clusters(pairs)
+
+
+SQL_DOC_DUP_CLUSTERS = f"""
+WITH RECURSIVE {JACCARD_CTES},
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM jpairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
 )
-SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE i / (sa.sz + sb.sz - i) >= {dlit(JACCARD_THRESHOLD)}"""
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a"""
 
 MINHASH_K = 16
 MINHASH_BANDS = 4
@@ -308,6 +334,72 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {cos} >= {dlit(DUP_COS_THRESHOLD)}"""
 
 
+IVF_CENTROIDS = S.ivf_centroids(16, DIM)
+IVF_NPROBE = 4
+
+
+def q_emb_ivf_buckets(spark, sf_dir):
+    """IVF coarse-quantizer assignment (argmax-dot centroid per vector)."""
+    return S.ivf_assign(_emb(spark, sf_dir), IVF_CENTROIDS)
+
+
+def _ivf_stage_ctes():
+    """CTEs computing d0..d15, their variadic greatest, and the argmax as
+    first-index-equal-to-best — semantically identical to the Spark
+    strict-> fold (first maximum wins ties) but with every subexpression
+    referenced once (a chained fold goes exponential when DuckDB inlines
+    the stacked projections)."""
+    n = len(IVF_CENTROIDS)
+    dots = ", ".join(
+        f"{_dot_sql('v', f'({_list_lit(c)})')} AS d{j}" for j, c in enumerate(IVF_CENTROIDS)
+    )
+    best = "greatest(" + ", ".join(f"d{j}" for j in range(n)) + ")"
+    arg = "CASE " + " ".join(f"WHEN d{j} = best THEN {j}" for j in range(n)) + " END"
+    # AS MATERIALIZED: without it DuckDB inlines the CTEs and `best`
+    # re-expands into all 16 WHEN branches (16x16 dot folds per row)
+    ctes = (
+        f"dts AS MATERIALIZED (SELECT vec_id, v, {dots} FROM e),\n"
+        f"bst AS MATERIALIZED (SELECT *, {best} AS best FROM dts),\n"
+        f"am AS MATERIALIZED (SELECT *, {arg} AS amax FROM bst)"
+    )
+    return ctes, "am", "amax"
+
+
+def _sql_emb_ivf_buckets() -> str:
+    ctes, last, idx = _ivf_stage_ctes()
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+{ctes}
+SELECT vec_id, CAST({idx} AS INTEGER) AS centroid_id FROM {last}"""
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    """IVF probe search: top-nprobe inverted lists, exact cosine rank."""
+    return S.ivf_topk(_emb(spark, sf_dir), QVEC, k=10, centroids=IVF_CENTROIDS, nprobe=IVF_NPROBE)
+
+
+def _sql_emb_ivf_topk() -> str:
+    scores = []
+    for j, c in enumerate(IVF_CENTROIDS):
+        acc = 0.0
+        for x, y in zip(QVEC, c):
+            acc = acc + x * y
+        scores.append((acc, j))
+    probe = [j for _, j in sorted(scores, key=lambda t: (-t[0], t[1]))[:IVF_NPROBE]]
+    ctes, last, idx = _ivf_stage_ctes()
+    q = _list_lit(QVEC)
+    cos = f"({_dot_sql('v', f'({q})')} / (sqrt({_dot_sql('v', 'v')}) * {dlit(QNORM)}))"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+{ctes},
+cand AS (SELECT vec_id, v FROM {last} WHERE {idx} IN ({", ".join(str(j) for j in probe)})),
+c AS (SELECT vec_id, {cos} AS cos FROM cand),
+r AS (SELECT vec_id, cos,
+        CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM c)
+SELECT vec_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 10"""
+
+
 def q_emb_ann(spark, sf_dir):
     """LSH-bucketed approximate top-k (rows-only: recall is asserted vs the
     exact baseline in tests/test_text_similarity.py)."""
@@ -324,6 +416,7 @@ TEXT_QUERIES = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_jaccard": q_doc_jaccard,
+    "doc_dup_clusters": q_doc_dup_clusters,
     "doc_minhash": q_doc_minhash,
     "doc_simhash": q_doc_simhash,
     "doc_fingerprint": q_doc_fingerprint,
@@ -331,6 +424,8 @@ TEXT_QUERIES = {
     "emb_knn": q_emb_knn,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_dup_pairs": q_emb_dup_pairs,
+    "emb_ivf_buckets": q_emb_ivf_buckets,
+    "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ann": q_emb_ann,
 }
 
@@ -342,6 +437,7 @@ def text_oracles() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "doc_langid": _sql_doc_langid(),
         "doc_jaccard": SQL_DOC_JACCARD,
+        "doc_dup_clusters": SQL_DOC_DUP_CLUSTERS,
         "doc_minhash": _sql_doc_minhash(),
         "doc_simhash": _sql_doc_simhash(),
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
@@ -349,5 +445,7 @@ def text_oracles() -> dict[str, str]:
         "emb_knn": _sql_emb_knn(),
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_dup_pairs": _sql_emb_dup_pairs(),
+        "emb_ivf_buckets": _sql_emb_ivf_buckets(),
+        "emb_ivf_topk": _sql_emb_ivf_topk(),
         # emb_ann: rows-only (approximate op; recall asserted in pytest)
     }

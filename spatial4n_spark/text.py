@@ -264,6 +264,58 @@ def minhash_lsh_pairs(
     return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, cluster_id)
+    with cluster_id = the smallest doc id in the component.
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow). The
+    iteration joins are hash joins on doc ids — no driver-side
+    union-find, so it scales to billions of pairs.
+
+    ``pairs``: (doc_a, doc_b) near-dup edges (from jaccard_pairs /
+    minhash_lsh_pairs / emb_dup_pairs).
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    # symmetric closure + self edges = the propagation adjacency
+    sym = edges.unionAll(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    nodes = sym.select(F.col("doc_a").alias("doc")).distinct()
+    # localCheckpoint truncates the iterative lineage each round (20 join
+    # stages deep otherwise) — the standard pattern for loops over frames
+    labels = nodes.withColumn("cluster_id", F.col("doc")).localCheckpoint()
+
+    for _ in range(max_iters):
+        neigh_min = (
+            sym.join(labels, sym["doc_b"] == labels["doc"])
+            .groupBy(sym["doc_a"].alias("doc"))
+            .agg(F.min("cluster_id").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neigh_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("_nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), "cluster_id")
+
+
 def simhash(docs: DataFrame, bits: int = 16, text: str = "text", key: str = "doc_id") -> DataFrame:
     """SimHash fingerprint: per-bit +/-1 votes of token hashes.
 

