@@ -16,7 +16,8 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
+        .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
