@@ -67,6 +67,7 @@ def main() -> int:
         "knn": n_orders,
         "rect_relate": n_lineitem * 3,
         "rect_counts": n_orders * 3,
+        "event_tiles": None,
         "circle_bbox": None,
         "distances": None,
         "image_decode_check": n_images,
@@ -95,6 +96,7 @@ def main() -> int:
         "pip_join_lineitem", "image_decode_check", "image_tiles",
         "image_pip_join", "doc_dedup", "doc_minhash", "doc_simhash",
         "doc_fingerprint", "emb_cosine_topk", "emb_lsh_buckets", "emb_ann",
+        "event_tiles", "emb_ivf_buckets", "emb_ivf_topk",
     ]
     names = only or [n for n in default_names if n in queries]
 

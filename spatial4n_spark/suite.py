@@ -383,6 +383,43 @@ def sql_corridor_join() -> str:
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
+def q_event_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-cell event rollup (batch twin of streaming_tile_counts):
+    derive coordinates from event ids, truncate ts to the hour, aggregate
+    count + exact value sum per (hour, cell)."""
+    from spatial4n_spark.streaming.tile_stream import derive_coords
+
+    ev = derive_coords(_scan(spark, sf_dir, "events"), key="event_id")
+    cells = tile_assign(ev, level=3)
+    # ts is TIMESTAMP_NTZ: date_trunc/date_format operate on the naive
+    # value directly (no session-timezone dependence), so the formatted
+    # hour string is deterministic across engines
+    return (
+        cells.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_id") % F.lit(1000)).cast("long")).alias("sum_eid"),
+        )
+    )
+
+
+def sql_event_tiles() -> str:
+    ix, iy = O.geohash_ix_iy_sql("lon", "lat", 3)
+    packed = O.geohash_interleave_sql("ix", "iy", 3)
+    cell = O.geohash_chars_sql("packed", 3)
+    return f"""WITH ev AS (
+  SELECT event_id, ts, {_lon_sql('event_id')} AS lon, {_lat_sql('event_id')} AS lat FROM events
+),
+b AS (SELECT event_id, ts, {ix} AS ix, {iy} AS iy FROM ev),
+p AS (SELECT event_id, ts, {packed} AS packed FROM b)
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, {cell} AS cell,
+       count(*) AS n, CAST(sum(event_id % 1000) AS BIGINT) AS sum_eid
+FROM p GROUP BY 1, 2"""
+
+
 def q_rect_relate_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation-combine aggregation (ShapeCollection.Combine fold as a
     native grouped aggregate): each derived rect vs the UNION of the
@@ -648,6 +685,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "rect_area_buffer": q_rect_area_buffer,
     "rect_relate_combined": q_rect_relate_combined,
     "point_on_bearing": q_point_on_bearing,
+    "event_tiles": q_event_tiles,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
@@ -674,6 +712,7 @@ def spatial_oracles() -> dict[str, str]:
                 "rect_area_buffer": sql_rect_area_buffer(),
                 "rect_relate_combined": sql_rect_relate_combined(),
                 "point_on_bearing": sql_point_on_bearing(),
+                "event_tiles": sql_event_tiles(),
             }
         )
     return SPATIAL_ORACLES
