@@ -184,9 +184,17 @@ FROM p GROUP BY 1"""
 
 
 def q_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geohash string + integer tile id per point (the tile-assignment op)."""
+    """Geohash string + integer tile id + decoded cell bbox per point
+    (tile assignment and the inverse-subdivision decode)."""
+    from spatial4n_spark.functions.udfs import geohash_bbox_udf
+
     out = tile_assign(pts_orders(spark, sf_dir), level=4, int_cell=True)
-    return out.select("o_orderkey", "cell", "cell_id")
+    bb = geohash_bbox_udf()(F.col("cell"))
+    return out.select(
+        "o_orderkey", "cell", "cell_id",
+        bb["min_x"].alias("cminx"), bb["max_x"].alias("cmaxx"),
+        bb["min_y"].alias("cminy"), bb["max_y"].alias("cmaxy"),
+    )
 
 
 def sql_cell_assign() -> str:
@@ -194,10 +202,18 @@ def sql_cell_assign() -> str:
     packed = O.geohash_interleave_sql("ix", "iy", 4)
     cell = O.geohash_chars_sql("packed", 4)
     cid = O.cell_id_int_sql("lon", "lat", 4)
+    # decoded cell bbox: the iterative inverse subdivision lands exactly on
+    # dyadic boundaries, equal to the closed form min + i * world/2^bits
+    lon_bits, lat_bits = O.geohash_bits(4)
     return f"""WITH {ORDERS_PTS_CTE},
 b AS (SELECT o_orderkey, lon, lat, {ix} AS ix, {iy} AS iy FROM pts),
-p AS (SELECT o_orderkey, lon, lat, {packed} AS packed FROM b)
-SELECT o_orderkey, {cell} AS cell, {cid} AS cell_id FROM p"""
+p AS (SELECT o_orderkey, lon, lat, ix, iy, {packed} AS packed FROM b)
+SELECT o_orderkey, {cell} AS cell, {cid} AS cell_id,
+       -180e0 + ix * {O.dlit(360.0 / (1 << lon_bits))} AS cminx,
+       -180e0 + (ix + 1) * {O.dlit(360.0 / (1 << lon_bits))} AS cmaxx,
+       -90e0 + iy * {O.dlit(180.0 / (1 << lat_bits))} AS cminy,
+       -90e0 + (iy + 1) * {O.dlit(180.0 / (1 << lat_bits))} AS cmaxy
+FROM p"""
 
 
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,6 +397,25 @@ def sql_corridor_join() -> str:
         for rid, shape in shapes.items()
     ]
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
+def q_layer_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full 4-valued relate matrix of the polygon layer against itself via
+    the WKT relate UDF (the DataFrame-level dispatcher covering every
+    shape-pair kernel; rows-only — polygon x polygon DE-9IM has no simple
+    SQL twin, conformance is pinned by the reference vectors in pytest)."""
+    from spatial4n_spark.functions.udfs import relate_wkt_udf
+    from spatial4n_spark.sources.polygons import POLYGON_LAYER
+
+    rows = [(pid, wkt) for pid, wkt, _ in POLYGON_LAYER]
+    a = spark.createDataFrame(rows, "id_a string, wkt_a string")
+    b = spark.createDataFrame(rows, "id_b string, wkt_b string")
+    rel = relate_wkt_udf(geo=True)
+    return (
+        a.crossJoin(b)
+        .withColumn("rel", rel(F.col("wkt_a"), F.col("wkt_b")))
+        .select("id_a", "id_b", "rel")
+    )
 
 
 def q_event_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,6 +721,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "rect_relate_combined": q_rect_relate_combined,
     "point_on_bearing": q_point_on_bearing,
     "event_tiles": q_event_tiles,
+    "layer_relate_matrix": q_layer_relate_matrix,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
