@@ -38,7 +38,7 @@ def _run_stream(df, tmp_base: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     return name
 
 
@@ -55,7 +55,7 @@ def test_streaming_tile_counts_equals_batch(spark, events_dir, tmp_path):
         .option("checkpointLocation", f"{tmp_path}/c1")
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     got = spark.sql(f"select window.start as ws, cell, n, sum_value from {name}").toPandas()
 
     batch = derive_coords(spark.read.parquet(f"{SF_DIR}/events.parquet"))
@@ -109,7 +109,7 @@ def test_stream_is_incremental(spark, tmp_path):
             .option("checkpointLocation", ckpt)  # shared offsets checkpoint
             .trigger(availableNow=True).start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(300)
         return spark.read.parquet(out_dir).count()
 
     n1 = run()
@@ -166,7 +166,7 @@ def test_stateful_sessionization(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        q.awaitTermination(300)
         try:
             return spark.read.parquet(str(tmp_path / "sess_out")).toPandas()
         except Exception:
