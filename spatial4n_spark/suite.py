@@ -399,6 +399,37 @@ def sql_corridor_join() -> str:
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
+def q_group_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped smart bbox: shortest covering lon-arc per group (dateline-
+    aware ShapeCollection bbox as a distributed aggregate)."""
+    from spatial4n_spark.operators.group_bbox import group_bbox
+
+    pts = pts_orders(spark, sf_dir).withColumn("grp", F.col("o_orderkey") % F.lit(200))
+    return group_bbox(pts, "grp")
+
+
+def sql_group_bbox() -> str:
+    return f"""WITH {ORDERS_PTS_CTE},
+p AS (SELECT o_orderkey % 200 AS grp, lon, lat FROM pts),
+lons AS (SELECT DISTINCT grp, lon FROM p),
+nx AS (SELECT grp, lon, lead(lon) OVER (PARTITION BY grp ORDER BY lon ASC) AS _next FROM lons),
+fl AS (SELECT grp, min(lon) AS _first, max(lon) AS _last FROM lons GROUP BY grp),
+gaps AS (
+  SELECT grp, _next - lon AS _gap, _next AS _arc_start, lon AS _arc_end
+  FROM nx WHERE _next IS NOT NULL
+  UNION ALL
+  SELECT grp, _first + 360e0 - _last AS _gap, _first AS _arc_start, _last AS _arc_end FROM fl
+),
+best AS (
+  SELECT grp, _arc_start, _arc_end,
+         row_number() OVER (PARTITION BY grp ORDER BY _gap DESC, _arc_start ASC) AS _rn
+  FROM gaps
+),
+lats AS (SELECT grp, min(lat) AS min_y, max(lat) AS max_y FROM p GROUP BY grp)
+SELECT b.grp, b._arc_start AS min_x, b._arc_end AS max_x, l.min_y, l.max_y
+FROM best b JOIN lats l ON b.grp = l.grp WHERE b._rn = 1"""
+
+
 def q_layer_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full 4-valued relate matrix of the polygon layer against itself via
     the WKT relate UDF (the DataFrame-level dispatcher covering every
@@ -722,6 +753,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "point_on_bearing": q_point_on_bearing,
     "event_tiles": q_event_tiles,
     "layer_relate_matrix": q_layer_relate_matrix,
+    "group_bbox": q_group_bbox,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
@@ -749,6 +781,7 @@ def spatial_oracles() -> dict[str, str]:
                 "rect_relate_combined": sql_rect_relate_combined(),
                 "point_on_bearing": sql_point_on_bearing(),
                 "event_tiles": sql_event_tiles(),
+                "group_bbox": sql_group_bbox(),
             }
         )
     return SPATIAL_ORACLES

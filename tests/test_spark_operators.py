@@ -186,3 +186,29 @@ def test_salt_planner_detects_hot_clusters(spark):
     hot_s = sketch_hot_cells(imgs, level=4, sample_fraction=0.25, top=1)
     assert hot_s[0][0] == hot[0][0]
     imgs.unpersist()
+
+
+def test_group_bbox_dateline_smart(spark):
+    """Fiji property (NtsGeometryTest.cs:251-268): a group straddling the
+    dateline gets the SHORT crossing bbox, not a near-world-wide one."""
+    from spatial4n_spark.operators.group_bbox import group_bbox
+
+    rows = (
+        [("fiji", 179.0 + i * 0.1, -17.0 + i * 0.05) for i in range(5)]
+        + [("fiji", -179.8 + i * 0.1, -16.5 + i * 0.05) for i in range(5)]
+        + [("eu", -10.0 + i, 40.0 + i * 0.5) for i in range(5)]
+        + [("solo", 42.5, 7.25)]
+    )
+    df = spark.createDataFrame(rows, "grp string, lon double, lat double")
+    out = {r["grp"]: r for r in group_bbox(df, "grp").collect()}
+
+    fiji = out["fiji"]
+    assert fiji["min_x"] > fiji["max_x"]  # crossing encoded
+    width = fiji["max_x"] - fiji["min_x"] + 360.0
+    assert width < 5.0  # the smart merge keeps it tight
+    assert fiji["min_y"] == -17.0 and fiji["max_y"] == pytest.approx(-16.3)
+
+    eu = out["eu"]
+    assert eu["min_x"] == -10.0 and eu["max_x"] == -6.0  # plain bbox
+    solo = out["solo"]
+    assert solo["min_x"] == solo["max_x"] == 42.5
