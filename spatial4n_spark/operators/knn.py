@@ -60,6 +60,7 @@ def knn_join(
     id_col: str = "image_id",
     level: int = 3,
     max_rounds: int = 4,
+    estimated_total: int | None = None,
 ) -> DataFrame:
     """``queries``: [(query_id, qlon, qlat)]. Returns (query_id, <id_col>, dist_km, rank).
 
@@ -67,6 +68,11 @@ def knn_join(
     k-th distance is within the radius guaranteed covered by the rings it
     searched; otherwise the ring set doubles (bounded driver loop).
     Ties break on <id_col> for determinism.
+
+    The initial ring count is pre-sized from a density estimate (rows /
+    world cells at ``level``) so typical queries pass the acceptance
+    check in round 1 instead of rescanning per expansion; pass
+    ``estimated_total`` to skip the count job when the size is known.
     """
     spark = points.sparkSession
     id_type = points.schema[id_col].dataType.simpleString()
@@ -78,8 +84,17 @@ def knn_join(
     # reuse pattern, not a driver-side materialization
     pts = pts.persist()
 
+    n_total = estimated_total if estimated_total is not None else pts.count()
+    n_cells_world = 32 ** level
+    density = max(n_total / n_cells_world, 1e-9)  # rows per cell (uniform est.)
+    # cells needed for ~4x k candidates; ring r covers (2r+1)^2 cells
+    import math
+
+    cells_needed = 4.0 * k / density
+    rings0 = max(1, min(8, math.ceil((math.sqrt(cells_needed) - 1) / 2)))
+
     pending = {qid: (qlon, qlat) for qid, qlon, qlat in queries}
-    rings = 1
+    rings = rings0
     results = []
     w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
 
