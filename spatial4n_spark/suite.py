@@ -583,14 +583,16 @@ def q_rect_area_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aminx"), F.col("amaxx"), F.col("aminy"), F.col("amaxy"), F.col("d")
     )
     out = r.withColumn("bb", buf)
+    # `+ 0.0` after round: IEEE-754 collapses -0.0 to 0.0 so the value hash
+    # can't diverge from the oracle on sign-of-zero representation.
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(rect_area_deg2("aminx", "amaxx", "aminy", "amaxy"), 4).alias("area_deg2"),
-        F.round(F.col("bb.min_x"), 4).alias("bminx"),
-        F.round(F.col("bb.max_x"), 4).alias("bmaxx"),
-        F.round(F.col("bb.min_y"), 4).alias("bminy"),
-        F.round(F.col("bb.max_y"), 4).alias("bmaxy"),
+        (F.round(rect_area_deg2("aminx", "amaxx", "aminy", "amaxy"), 4) + F.lit(0.0)).alias("area_deg2"),
+        (F.round(F.col("bb.min_x"), 4) + F.lit(0.0)).alias("bminx"),
+        (F.round(F.col("bb.max_x"), 4) + F.lit(0.0)).alias("bmaxx"),
+        (F.round(F.col("bb.min_y"), 4) + F.lit(0.0)).alias("bminy"),
+        (F.round(F.col("bb.max_y"), 4) + F.lit(0.0)).alias("bmaxy"),
     )
 
 
@@ -634,9 +636,9 @@ s AS (
 ),
 t AS (SELECT *, {delta} AS delta FROM s)
 SELECT l_orderkey, l_linenumber,
-       round({area}, 4) AS area_deg2,
-       round({bminx}, 4) AS bminx, round({bmaxx}, 4) AS bmaxx,
-       round({bminy}, 4) AS bminy, round({bmaxy}, 4) AS bmaxy
+       round({area}, 4) + 0e0 AS area_deg2,
+       round({bminx}, 4) + 0e0 AS bminx, round({bmaxx}, 4) + 0e0 AS bmaxx,
+       round({bminy}, 4) + 0e0 AS bminy, round({bmaxy}, 4) + 0e0 AS bmaxy
 FROM t"""
 
 
