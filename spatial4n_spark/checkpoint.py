@@ -84,6 +84,11 @@ class SnapshotStore:
         data_dir = os.path.join(snap, "data")
         lineage_dir = os.path.join(snap, "lineage")
 
+        if "_partition_id" in df.columns:
+            raise ValueError(
+                "input DataFrame already has a '_partition_id' column — it would "
+                "be overwritten by the snapshot's internal lineage column; rename it"
+            )
         with_part = df.withColumn("_partition_id", F.spark_partition_id())
         with_part.write.mode("overwrite").parquet(data_dir)
 

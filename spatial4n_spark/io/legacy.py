@@ -32,9 +32,18 @@ def write_legacy(shape, fmt: str = "{:.6f}") -> str:
     raise TypeError(f"legacy format: unsupported {type(shape).__name__}")
 
 
+def _num(tok: str, s: str) -> float:
+    """float() that reports malformed numbers as invalid-shape errors
+    (the reference parser's contract — never a bare ValueError)."""
+    try:
+        return float(tok)
+    except ValueError:
+        raise InvalidShapeError(f"bad number {tok!r} :: {s}") from None
+
+
 def _lat_comma_lon(token: str) -> Point:
     lat_s, lon_s = token.split(",", 1)
-    return Point(float(lon_s), float(lat_s))  # comma form is lat,lon order
+    return Point(_num(lon_s, token), _num(lat_s, token))  # comma form is lat,lon order
 
 
 def read_legacy(s: str, geo: bool = True):
@@ -51,13 +60,17 @@ def read_legacy(s: str, geo: bool = True):
             return None
         body = s[len("Circle("):idx]
         tokens = [t for t in body.split(" ") if t]
+        if len(tokens) < 2:
+            raise InvalidShapeError(f"Circle needs a center and a distance :: {s}")
         i = 0
         if "," in tokens[i]:
             pt = _lat_comma_lon(tokens[i])
         else:
-            x = float(tokens[i])
+            x = _num(tokens[i], s)
             i += 1
-            y = float(tokens[i])
+            if i >= len(tokens) - 1:
+                raise InvalidShapeError(f"Circle needs a center and a distance :: {s}")
+            y = _num(tokens[i], s)
             pt = Point(x, y)
         i += 1
         arg = tokens[i]
@@ -66,19 +79,21 @@ def read_legacy(s: str, geo: bool = True):
             k, v = arg[:eq], arg[eq + 1:]
             if k not in ("d", "distance"):
                 raise InvalidShapeError(f"unknown arg: {k} :: {s}")
-            d = float(v)
+            d = _num(v, s)
         else:
-            d = float(arg)
+            d = _num(arg, s)
         if i < len(tokens) - 1:
             raise InvalidShapeError(f"Extra arguments: {tokens[i + 1]} :: {s}")
         return Circle(pt.x, pt.y, d, geo=geo)
 
     if "," in s:
         return _lat_comma_lon(s)
-    tokens = s.split(" ")
-    p0, p1 = float(tokens[0]), float(tokens[1])
+    tokens = [t for t in s.split(" ") if t]
+    if len(tokens) < 2 or len(tokens) == 3:
+        raise InvalidShapeError(f"expected 2 (point) or 4 (rect) numbers: {s}")
+    p0, p1 = _num(tokens[0], s), _num(tokens[1], s)
     if len(tokens) > 2:
-        p2, p3 = float(tokens[2]), float(tokens[3])
+        p2, p3 = _num(tokens[2], s), _num(tokens[3], s)
         if len(tokens) > 4:
             raise InvalidShapeError(f"Only 4 numbers supported (rect) but found more: {s}")
         return make_rect(p0, p2, p1, p3, geo=geo)
@@ -90,7 +105,7 @@ def parse_point(s: str) -> Point:
     parts = [p for p in s.replace(",", " ").split(" ") if p]
     if len(parts) != 2:
         raise InvalidShapeError(f"expected two coordinates: {s!r}")
-    return Point(float(parts[0]), float(parts[1]))
+    return Point(_num(parts[0], s), _num(parts[1], s))
 
 
 def parse_lat_lon(s: str) -> tuple[float, float]:
@@ -99,4 +114,4 @@ def parse_lat_lon(s: str) -> tuple[float, float]:
     parts = [p for p in s.replace(",", " ").split(" ") if p]
     if len(parts) != 2:
         raise InvalidShapeError(f"expected lat,lon: {s!r}")
-    return float(parts[0]), float(parts[1])
+    return _num(parts[0], s), _num(parts[1], s)

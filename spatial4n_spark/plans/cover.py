@@ -142,6 +142,7 @@ def _classify_cells(shape, bboxes, geo: bool) -> np.ndarray:
 
 
 _COVER_CACHE: dict = {}
+_COVER_CACHE_MAX = 256  # bound: layers are small; evict oldest on overflow
 
 
 def _cover_key(shape, level: int, geo: bool, max_cells: int):
@@ -172,7 +173,12 @@ def cover_cells(shape, level: int, geo: bool = True, max_cells: int = 4096):
     key = _cover_key(shape, level, geo, max_cells)
     hit = _COVER_CACHE.get(key)
     if hit is not None:
-        return hit
+        # The value pins the shape object: for identity-keyed entries the
+        # cached shape stays alive, so CPython cannot reuse its id for a
+        # different object — an id-collision stale hit is impossible.
+        cached_shape, result = hit
+        if cached_shape is shape or key[0][0] != "id":
+            return result
 
     full: list[str] = []
     boundary: list[str] = []
@@ -204,5 +210,7 @@ def cover_cells(shape, level: int, geo: bool = True, max_cells: int = 4096):
                 raise ValueError(f"cell cover exceeds {max_cells} cells at level {level}")
         frontier = nxt
 
-    _COVER_CACHE[key] = (full, boundary)
+    if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
+        _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
+    _COVER_CACHE[key] = (shape, (full, boundary))
     return full, boundary

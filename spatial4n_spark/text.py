@@ -313,6 +313,13 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        # a component with diameter > max_iters would yield silently wrong
+        # cluster ids — fail loudly instead (callers can raise max_iters)
+        raise RuntimeError(
+            f"dup_clusters did not converge within {max_iters} rounds; "
+            "increase max_iters (component diameter exceeds it)"
+        )
     return labels.select(F.col("doc").alias("doc_id"), "cluster_id")
 
 

@@ -109,3 +109,51 @@ def test_legacy_letter_prefix_returns_none():
 def test_parse_utils():
     assert (parse_point("1.5 2.5").x, parse_point("1.5,2.5").y) == (1.5, 2.5)
     assert parse_lat_lon("48.85, 2.35") == (48.85, 2.35)
+
+
+def test_legacy_malformed_raise_invalid_shape():
+    """Malformed legacy strings report InvalidShapeError, never bare
+    ValueError/IndexError (LegacyShapeReadWriterFormat.cs error contract)."""
+    from spatial4n_spark.io.wkt import InvalidShapeError
+
+    for bad in [
+        "1.5  2.5x",      # malformed number after empty-token drop
+        "Circle()",        # no tokens
+        "Circle(1.5)",     # center but no distance
+        "Circle(1 2 d=x)", # bad distance
+        "1 2 3",           # 3 numbers: neither point nor rect
+    ]:
+        with pytest.raises(InvalidShapeError):
+            read_legacy(bad)
+    # letter-prefix non-circle stays None (caller tries other parsers)
+    assert read_legacy("abc,def") is None
+    # double spaces between valid numbers are tolerated (empty tokens drop)
+    p = read_legacy("1.5  2.5")
+    assert (p.x, p.y) == (1.5, 2.5)
+    with pytest.raises(InvalidShapeError):
+        parse_point("1.5 abc")
+    with pytest.raises(InvalidShapeError):
+        parse_lat_lon("x,1")
+
+
+def test_cover_cache_identity_pinning():
+    """Identity-keyed cover-cache entries pin the shape object, so a hit is
+    returned only for the very same live object (no id-reuse aliasing)."""
+    from spatial4n_spark.plans import cover as C
+    from spatial4n_spark.io import parse_wkt
+
+    poly = parse_wkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    r1 = C.cover_cells(poly, level=2)
+    key = C._cover_key(poly, 2, True, 4096)
+    assert C._COVER_CACHE[key][0] is poly
+    assert C.cover_cells(poly, level=2) == r1  # same object -> cache hit
+
+
+def test_checkpoint_rejects_partition_id_column(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from spatial4n_spark.checkpoint import SnapshotStore
+
+    df = spark.range(3).withColumn("_partition_id", F.lit(7))
+    store = SnapshotStore(str(tmp_path / "snap"))
+    with pytest.raises(ValueError, match="_partition_id"):
+        store.write(df, "stage", "fp")
