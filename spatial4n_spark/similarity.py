@@ -67,15 +67,23 @@ def with_cosine(emb: DataFrame, qvec: list[float], out: str = "cos") -> DataFram
     return emb.withColumn(out, cos)
 
 
-def cosine_topk(emb: DataFrame, qvec: list[float], k: int = 20) -> DataFrame:
-    """Exact brute-force cosine top-k: (vec_id, rank, cos)."""
+def _topk_ranked(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k of a scored frame: ``orderBy().limit(k)`` plans as
+    TakeOrderedAndProject (map-side partial top-k per partition, then a
+    k-row merge on the driver) — no single-reducer global Window over the
+    full candidate set, which is the scaling bottleneck at 10^12 rows.
+    The rank window then runs over only the k survivors."""
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        with_cosine(emb, qvec)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "rank", F.round("cos", 4).alias("cos"))
     )
+
+
+def cosine_topk(emb: DataFrame, qvec: list[float], k: int = 20) -> DataFrame:
+    """Exact brute-force cosine top-k: (vec_id, rank, cos)."""
+    return _topk_ranked(with_cosine(emb, qvec), k)
 
 
 def knn_pairs(emb: DataFrame, k: int = 3) -> DataFrame:
@@ -198,12 +206,54 @@ def ivf_topk(
     cand = emb.where(
         centroid_col(F.col("embedding"), centroids).isin([int(j) for j in probe])
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return _topk_ranked(with_cosine(cand, qvec), k)
+
+
+def lsh_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via multi-table sign-LSH candidate
+    generation + exact cosine verification — the scale path for embedding
+    dedup (mirrors text.minhash_lsh_pairs for documents).
+
+    A pair is a candidate when the two vectors share a bucket in ANY of
+    ``n_tables`` hash tables (OR-construction). Each table's self-join is
+    an equi-join on the bucket id — NO crossJoin anywhere, so the work is
+    sum over buckets of |bucket|^2 instead of n^2. Candidates are then
+    exact-cosine verified against ``threshold``.
+
+    Output: (vec_a, vec_b, cos) with vec_a < vec_b, cos >= threshold,
+    restricted to LSH candidates (approximate recall, exact precision).
+    """
+    b = emb.select("vec_id", _emb_double(F.col("embedding")).alias("e"))
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, seed=t * 1000)
+        b = b.withColumn(f"b{t}", bucket_col(F.col("e"), planes))
+    # one pass computes every table's bucket; the per-table self-joins
+    # reuse it (cache() at design scale or materialize via write_emb_index)
+    cand = None
+    for t in range(n_tables):
+        a_side = b.select(F.col("vec_id").alias("vec_a"), F.col(f"b{t}").alias("bk"))
+        b_side = b.select(F.col("vec_id").alias("vec_b"), F.col(f"b{t}").alias("bk"))
+        pairs_t = a_side.join(b_side, "bk").where(F.col("vec_a") < F.col("vec_b")).select(
+            "vec_a", "vec_b"
+        )
+        cand = pairs_t if cand is None else cand.unionAll(pairs_t)
+    cand = cand.distinct()
+    ea = b.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = b.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    verified = cand.join(ea, "vec_a").join(eb, "vec_b")
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    )
     return (
-        with_cosine(cand, qvec)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "rank", F.round("cos", 4).alias("cos"))
+        verified.withColumn("cos", cos)
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
     )
 
 
@@ -241,10 +291,4 @@ def ann_topk(
         qb = _query_bucket(qvec, planes)
         match = match | (bucket_col(F.col("embedding"), planes) == F.lit(qb))
     cand = emb.where(match)
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        with_cosine(cand, qvec)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("vec_id", "rank", F.round("cos", 4).alias("cos"))
-    )
+    return _topk_ranked(with_cosine(cand, qvec), k)

@@ -304,34 +304,51 @@ SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM e"""
 
 
 DUP_COS_THRESHOLD = 0.4
+DUP_PLANES = 4
+DUP_TABLES = 8
 
 
 def q_emb_dup_pairs(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the embedding dedup flavor):
-    all pairs with cosine >= threshold, exact."""
-    e = _emb(spark, sf_dir)
-    from pyspark.sql import functions as F
-
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").cast("array<double>").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").cast("array<double>").alias("eb"))
-    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
-    cos = S._dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(S._norm2(F.col("ea"))) * F.sqrt(S._norm2(F.col("eb")))
+    multi-table sign-LSH bucket candidates (equi-joins, no crossJoin) +
+    exact cosine verification >= threshold."""
+    return S.lsh_dup_pairs(
+        _emb(spark, sf_dir),
+        threshold=DUP_COS_THRESHOLD,
+        dim=DIM,
+        n_planes=DUP_PLANES,
+        n_tables=DUP_TABLES,
     )
-    out = pairs.withColumn("cos", cos).where(F.col("cos") >= F.lit(DUP_COS_THRESHOLD))
-    return out.select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
 
 
 def _sql_emb_dup_pairs() -> str:
+    """Mirror of lsh_dup_pairs: same per-table bucket formulas, same
+    bucket self-joins, same exact verify (pattern of _sql_doc_minhash)."""
+    bucket_cols = []
+    for t in range(DUP_TABLES):
+        planes = S.hyperplanes(DUP_PLANES, DIM, seed=t * 1000)
+        expr = " + ".join(
+            f"(CASE WHEN {_dot_sql('v', f'({_list_lit(p)})')} > 0e0 THEN {2 ** j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+        bucket_cols.append(f"CAST({expr} AS BIGINT) AS b{t}")
+    cand_union = "\nUNION ALL\n".join(
+        f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM bk x "
+        f"JOIN bk y ON x.b{t} = y.b{t} AND x.vec_id < y.vec_id"
+        for t in range(DUP_TABLES)
+    )
     cos = (
-        f"({_dot_sql('a.v', 'b.v')} / "
-        f"(sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})))"
+        f"({_dot_sql('ea.v', 'eb.v')} / "
+        f"(sqrt({_dot_sql('ea.v', 'ea.v')}) * sqrt({_dot_sql('eb.v', 'eb.v')})))"
     )
     return f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 4) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {cos} >= {dlit(DUP_COS_THRESHOLD)}"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+bk AS MATERIALIZED (SELECT vec_id, v, {", ".join(bucket_cols)} FROM e),
+cand AS (SELECT DISTINCT vec_a, vec_b FROM ({cand_union}))
+SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
+  SELECT c.vec_a, c.vec_b, {cos} AS cos
+  FROM cand c JOIN bk ea ON ea.vec_id = c.vec_a JOIN bk eb ON eb.vec_id = c.vec_b
+) WHERE cos >= {dlit(DUP_COS_THRESHOLD)}"""
 
 
 IVF_CENTROIDS = S.ivf_centroids(16, DIM)
@@ -400,10 +417,41 @@ r AS (SELECT vec_id, cos,
 SELECT vec_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 10"""
 
 
+ANN_PLANES = 4
+ANN_TABLES = 8
+
+
 def q_emb_ann(spark, sf_dir):
-    """LSH-bucketed approximate top-k (rows-only: recall is asserted vs the
-    exact baseline in tests/test_text_similarity.py)."""
-    return S.ann_topk(_emb(spark, sf_dir), QVEC, k=10)
+    """Multi-table LSH-bucketed approximate top-k (recall vs the exact
+    baseline additionally asserted in tests/test_text_similarity.py)."""
+    return S.ann_topk(_emb(spark, sf_dir), QVEC, k=10, n_planes=ANN_PLANES, n_tables=ANN_TABLES)
+
+
+def _sql_emb_ann() -> str:
+    """SQL twin of the multi-table bucket filter: per-table sign buckets
+    from the same integer-formula hyperplanes, OR-matched against the
+    query's bucket (computed here, driver-side, exactly as ann_topk does),
+    then exact cosine rank."""
+    match_terms = []
+    for t in range(ANN_TABLES):
+        planes = S.hyperplanes(ANN_PLANES, DIM, seed=t * 1000)
+        qb = S._query_bucket(QVEC, planes)
+        bucket = " + ".join(
+            f"(CASE WHEN {_dot_sql('v', f'({_list_lit(p)})')} > 0e0 THEN {2 ** j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+        match_terms.append(f"(({bucket}) = {qb})")
+    match = " OR ".join(match_terms)
+    q = _list_lit(QVEC)
+    cos = f"({_dot_sql('v', f'({q})')} / (sqrt({_dot_sql('v', 'v')}) * {dlit(QNORM)}))"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+cand AS (SELECT vec_id, v FROM e WHERE {match}),
+c AS (SELECT vec_id, {cos} AS cos FROM cand),
+r AS (SELECT vec_id, cos,
+        CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rank
+      FROM c)
+SELECT vec_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 10"""
 
 
 # ---------------------------------------------------------------------------
@@ -447,5 +495,5 @@ def text_oracles() -> dict[str, str]:
         "emb_dup_pairs": _sql_emb_dup_pairs(),
         "emb_ivf_buckets": _sql_emb_ivf_buckets(),
         "emb_ivf_topk": _sql_emb_ivf_topk(),
-        # emb_ann: rows-only (approximate op; recall asserted in pytest)
+        "emb_ann": _sql_emb_ann(),
     }

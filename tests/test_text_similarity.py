@@ -175,3 +175,38 @@ def test_ivf_fit_and_recall(spark, emb):
     # than half the table
     probe_counts = assign.groupby("centroid_id").size()
     assert probe_counts.nlargest(3).sum() < len(assign)
+
+
+def test_lsh_dup_pairs_no_crossjoin_and_exact_precision(spark, emb):
+    """lsh_dup_pairs: every returned pair truly passes the exact cosine
+    threshold (exact precision), and the physical plan has no cartesian
+    product — candidates come from bucket equi-joins."""
+    import numpy as np
+    from spatial4n_spark import similarity as S
+
+    out = S.lsh_dup_pairs(emb, threshold=0.4, n_planes=4, n_tables=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    rows = out.collect()
+    pdf = emb.toPandas().set_index("vec_id")
+    for r in rows:
+        a = np.asarray(pdf.loc[r.vec_a, "embedding"], dtype=np.float64)
+        b = np.asarray(pdf.loc[r.vec_b, "embedding"], dtype=np.float64)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos >= 0.4 - 1e-9
+        assert abs(round(cos, 4) - r.cos) <= 1e-4
+
+
+def test_topk_plans_are_distributed(spark, emb):
+    """cosine_topk / ivf_topk / ann_topk plan as TakeOrderedAndProject —
+    map-side partial top-k, no single-reducer Window over candidates."""
+    from spatial4n_spark import similarity as S
+
+    for df in [
+        S.cosine_topk(emb, S.query_vector(), k=20),
+        S.ivf_topk(emb, S.query_vector(), k=10),
+        S.ann_topk(emb, S.query_vector(), k=10),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
