@@ -449,6 +449,16 @@ def q_layer_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_layer_relate_matrix() -> str:
+    """Literal VALUES oracle: the pinned expected matrix (see
+    sources/relate_expected.py for provenance). The gate fails if any
+    kernel or layer change shifts a single relate value."""
+    from spatial4n_spark.sources.relate_expected import LAYER_RELATE_EXPECTED
+
+    vals = ",\n".join(f"('{a}', '{b}', '{r}')" for a, b, r in LAYER_RELATE_EXPECTED)
+    return f"SELECT * FROM (VALUES\n{vals}\n) AS t(id_a, id_b, rel)"
+
+
 def q_event_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-cell event rollup (batch twin of streaming_tile_counts):
     derive coordinates from event ids, truncate ts to the hour, aggregate
@@ -784,6 +794,7 @@ def spatial_oracles() -> dict[str, str]:
                 "point_on_bearing": sql_point_on_bearing(),
                 "event_tiles": sql_event_tiles(),
                 "group_bbox": sql_group_bbox(),
+                "layer_relate_matrix": sql_layer_relate_matrix(),
             }
         )
     return SPATIAL_ORACLES
