@@ -136,7 +136,7 @@ def decode_check(images: DataFrame, level: int = 4, chunk_rows: int = 2048) -> D
 
 CHIPS_SCHEMA = (
     "image_id string, cell string, chip_row int, chip_col int, "
-    "chip_w int, chip_h int, chip_mean double, chip binary"
+    "chip_w int, chip_h int, chip_sum long, chip_mean double, chip binary"
 )
 
 
@@ -178,7 +178,7 @@ def tile_images(
                 cells = geohash_encode_str(lat, lon, level)
 
                 out_id, out_cell, out_r, out_c = [], [], [], []
-                out_w, out_h, out_mean, out_bytes = [], [], [], []
+                out_w, out_h, out_sum, out_mean, out_bytes = [], [], [], [], []
 
                 def emit_loop(k: int):
                     """Per-image fallback (sizes not divisible by chip_px,
@@ -194,6 +194,7 @@ def tile_images(
                             out_c.append(c0 // chip_px)
                             out_w.append(chip.shape[1])
                             out_h.append(chip.shape[0])
+                            out_sum.append(int(chip.astype(np.int64).sum()))
                             out_mean.append(float(chip.mean()))
                             out_bytes.append(chip.tobytes() if with_chip_bytes else b"")
 
@@ -227,6 +228,10 @@ def tile_images(
                     nr, nc = int(gh) // chip_px, int(gw) // chip_px
                     imgs = np.stack([decoded[k] for k in sel])
                     grid = imgs.reshape(len(sel), nr, chip_px, nc, chip_px, 3)
+                    # exact integer pixel sums: the mosaic aggregate downstream
+                    # is order-independent (integer partial sums), so results
+                    # are bit-stable under any shuffle/partitioning
+                    sums = grid.astype(np.int64).sum(axis=(2, 4, 5))  # (k, nr, nc)
                     means = grid.astype(np.float64).mean(axis=(2, 4, 5))  # (k, nr, nc)
                     n_chips = nr * nc
                     out_id.extend(np.repeat([ids[k] for k in sel], n_chips).tolist())
@@ -237,6 +242,7 @@ def tile_images(
                     out_c.extend(cols_grid.tolist())
                     out_w.extend([chip_px] * n_chips * len(sel))
                     out_h.extend([chip_px] * n_chips * len(sel))
+                    out_sum.extend(sums.reshape(-1).tolist())
                     out_mean.extend(means.reshape(-1).tolist())
                     out_bytes.extend([b""] * n_chips * len(sel))
                 yield pa.RecordBatch.from_arrays(
@@ -247,12 +253,13 @@ def tile_images(
                         pa.array(out_c, pa.int32()),
                         pa.array(out_w, pa.int32()),
                         pa.array(out_h, pa.int32()),
+                        pa.array(out_sum, pa.int64()),
                         pa.array(out_mean, pa.float64()),
                         pa.array(out_bytes, pa.binary()),
                     ],
                     names=[
                         "image_id", "cell", "chip_row", "chip_col",
-                        "chip_w", "chip_h", "chip_mean", "chip",
+                        "chip_w", "chip_h", "chip_sum", "chip_mean", "chip",
                     ],
                 )
 
@@ -273,13 +280,18 @@ def cell_mosaic_stats(chips: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # avg_brightness from exact integer partial sums (one final double
+    # division): order-independent, so bit-stable under any shuffle order —
+    # a float avg() over chip means would depend on reduction order
     return chips.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_chips"),
         F.sum(
             ((F.col("chip_row") == 0) & (F.col("chip_col") == 0)).cast("long")
         ).alias("n_images"),
         F.sum(F.col("chip_w") * F.col("chip_h")).alias("sum_px"),
-        F.avg("chip_mean").alias("avg_brightness"),
+        (
+            F.sum("chip_sum") / (F.sum(F.col("chip_w") * F.col("chip_h")) * F.lit(3))
+        ).alias("avg_brightness"),
     )
 
 

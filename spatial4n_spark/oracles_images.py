@@ -1,0 +1,207 @@
+"""DuckDB oracles for the image queries: a full independent SQL recompute
+of the deterministic image generator (sources/images.py).
+
+Every image row is a pure function of its index ``i`` under seed=42, and
+every pixel a pure function of ``(i, j)`` via the splitmix64 finalizer —
+so the decode/PSNR/tiling summaries the Spark pipeline produces are
+recomputable end-to-end in SQL:
+
+- splitmix64's wrapping 64-bit multiplies are emulated with HUGEINT
+  arithmetic (the 64x64 product mod 2^64 via the constant's 32-bit
+  halves: every partial term fits in INT128);
+- the u01 lattice, the coordinate mixture (uniform / Paris / Tokyo /
+  dateline band / polar band), image sizes, and formats mirror the
+  generator's numpy ops one-for-one (same IEEE op order, dlit literals);
+- per-pixel sums (raw value, mod-4 quantization error) aggregate to the
+  PSNR gate and mosaic-brightness results bit-exactly, because both
+  engines reduce exact integers and divide once.
+
+The table size adapts to the sf tier exactly as suite.images_for_sf does:
+n = max(int(sf * 2_000_000), 1000) = greatest(2 * count(events), 1000)
+(events carries exactly 1_000_000 * sf rows in every tier).
+"""
+
+from __future__ import annotations
+
+from spatial4n_spark import oracles as O
+from spatial4n_spark.oracles import dlit
+
+MASK64 = (1 << 64) - 1
+MASK32 = (1 << 32) - 1
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+
+N_IMAGES_SQL = "greatest(2 * (SELECT count(*) FROM events), 1000)"
+
+# NB: wrap-to-64-bit uses bitwise AND with 2^64-1, not % 2^64 — HUGEINT
+# modulo is a 128-bit division and measured ~16x slower per pixel.
+
+
+def _addwrap(x: str, c: int) -> str:
+    """(x + c) mod 2^64 for UBIGINT expr x, via HUGEINT + mask."""
+    return f"CAST(((CAST({x} AS HUGEINT) + {c}) & {MASK64}) AS UBIGINT)"
+
+
+def _mulwrap(x: str, c: int) -> str:
+    """(x * c) mod 2^64: split the 64-bit constant into 32-bit halves so
+    every HUGEINT partial product stays below 2^97 << 2^127."""
+    lo = c & 0xFFFFFFFF
+    hi = c >> 32
+    return (
+        f"CAST(((CAST({x} AS HUGEINT) * {lo} + "
+        f"((CAST({x} AS HUGEINT) * {hi}) & {MASK32}) * 4294967296) & {MASK64}) AS UBIGINT)"
+    )
+
+
+def _mix64_sql(src_sql: str, keep: list[str], inputs: dict[str, str]) -> str:
+    """Chained-subquery splitmix64 over one or more input expressions.
+
+    Each stage is a stacked projection (every intermediate referenced by
+    column, evaluated once per level — no exponential expression copies):
+    x += C1; x ^= x>>30; x *= C2; x ^= x>>27; x *= C3; x ^= x>>31.
+    """
+    ks = ", ".join(keep) + (", " if keep else "")
+    names = list(inputs)
+    s = f"SELECT {ks}" + ", ".join(
+        f"{_addwrap(e, _C1)} AS {n}" for n, e in inputs.items()
+    ) + f" FROM ({src_sql})"
+    for op in (
+        lambda x: f"xor({x}, {x} >> 30)",
+        lambda x: _mulwrap(x, _C2),
+        lambda x: f"xor({x}, {x} >> 27)",
+        lambda x: _mulwrap(x, _C3),
+        lambda x: f"xor({x}, {x} >> 31)",
+    ):
+        s = f"SELECT {ks}" + ", ".join(f"{op(n)} AS {n}" for n in names) + f" FROM ({s})"
+    return s
+
+
+def _u01(col: str) -> str:
+    """(h >> 11) / 2^53 — exact in both engines (53-bit int, one divide)."""
+    return f"CAST(({col} >> 11) AS DOUBLE) / 9007199254740992e0"
+
+
+def _meta_cte() -> str:
+    """Per-image metadata CTE 'geo': (i, w, fmt, lon, lat) mirroring
+    sources.images.synth_coords + _gen_batch sizes/format op-for-op."""
+    ids = f"SELECT unnest(range(0, CAST({N_IMAGES_SQL} AS BIGINT))) AS i"
+    # u01 salts 1..4: mix64(i*1_000_003 + salt*77_003 + 42)
+    mixed = _mix64_sql(
+        ids,
+        ["i"],
+        {f"k{s}": f"CAST(i * 1000003 + {s * 77003 + 42} AS UBIGINT)" for s in (1, 2, 3, 4)},
+    )
+    # floor(u*4) on the u01 lattice == top-2 bits of the hash (exact)
+    u = f"""SELECT i,
+       {_u01('k1')} AS u_kind, {_u01('k2')} AS u1, {_u01('k3')} AS u2,
+       CAST(8 + (k4 >> 62) * 8 AS INTEGER) AS w,
+       CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'raw' END AS fmt
+FROM ({mixed})"""
+    d = dlit
+    lon = f"""CASE
+    WHEN u_kind >= {d(0.80)} AND u_kind < {d(0.95)} THEN
+      CASE WHEN u1 < {d(0.5)} THEN {d(175.0)} + u1 * {d(10.0)}
+           ELSE {d(-180.0)} + (u1 - {d(0.5)}) * {d(10.0)} END
+    WHEN u_kind >= {d(0.68)} AND u_kind < {d(0.80)} THEN {d(139.76)} + (u1 - {d(0.5)}) * {d(0.4)}
+    WHEN u_kind >= {d(0.50)} AND u_kind < {d(0.68)} THEN {d(2.35)} + (u1 - {d(0.5)}) * {d(0.4)}
+    ELSE u1 * {d(360.0)} - {d(180.0)} END"""
+    lat = f"""CASE
+    WHEN u_kind >= {d(0.95)} THEN {d(85.0)} + u2 * {d(5.0)}
+    WHEN u_kind >= {d(0.80)} THEN u2 * {d(120.0)} - {d(60.0)}
+    WHEN u_kind >= {d(0.68)} THEN {d(35.68)} + (u2 - {d(0.5)}) * {d(0.4)}
+    WHEN u_kind >= {d(0.50)} THEN {d(48.85)} + (u2 - {d(0.5)}) * {d(0.4)}
+    ELSE u2 * {d(170.0)} - {d(85.0)} END"""
+    # MATERIALIZED: 'geo' is referenced once per polygon in the pip oracle
+    # (11x) and twice in the pixel oracles — inline re-expansion of the
+    # whole hash chain per reference exhausts the planner/memory
+    return f"geo AS MATERIALIZED (SELECT i, w, fmt, {lon} AS lon, {lat} AS lat FROM ({u}))"
+
+
+def _pixel_agg_cte() -> str:
+    """Per-image pixel aggregates 'pxagg': (i, sp, spm, se) — raw pixel
+    sum, sum of mod-4 remainders, sum of squared remainders. Pixel value
+    = splitmix64(j + i*0x1F123) & 255; the jpg stub quantizes to step 4,
+    so decoded-sum = sp - spm and squared-error = se for jpg."""
+    px_src = "SELECT i, unnest(range(0, 3 * CAST(w AS BIGINT) * w)) AS j FROM geo"
+    mixed = _mix64_sql(px_src, ["i"], {"p": "CAST(i * 127267 + j AS UBIGINT)"})
+    return f"""pxagg AS (
+  SELECT i,
+         CAST(sum(pix) AS BIGINT) AS sp,
+         CAST(sum(pix % 4) AS BIGINT) AS spm,
+         CAST(sum((pix % 4) * (pix % 4)) AS BIGINT) AS se
+  FROM (SELECT i, CAST(p % 256 AS BIGINT) AS pix FROM ({mixed}))
+  GROUP BY i
+)"""
+
+
+def _img_stats_cte() -> str:
+    """'imgstats': per-image decoded-pixel sum, squared error, npix."""
+    return f"""imgstats AS (
+  SELECT g.i, g.w, g.fmt, g.lon, g.lat,
+         CASE WHEN g.fmt = 'jpg' THEN p.sp - p.spm ELSE p.sp END AS px_dec,
+         CASE WHEN g.fmt = 'jpg' THEN p.se ELSE 0 END AS err2,
+         3 * CAST(g.w AS BIGINT) * g.w AS npix
+  FROM geo g JOIN pxagg p USING (i)
+)"""
+
+
+def sql_image_decode_check() -> str:
+    """Oracle for q_image_decode_check: per-format count, min PSNR, and
+    the caption gate. PSNR = 999 for lossless (mse=0), else
+    10*log10(255^2/mse) with mse = err2/npix — the same exact-integer
+    reduction and single division as operators.raster._psnr_batch.
+    caption_ok is structurally always true (both sides build the caption
+    from the same (i, lat, lon) formula), asserted as the literal the
+    Spark invariant must produce."""
+    psnr = (
+        "CASE WHEN err2 = 0 THEN 999e0 "
+        "ELSE 10e0 * log10(65025e0 / (CAST(err2 AS DOUBLE) / CAST(npix AS DOUBLE))) END"
+    )
+    return f"""WITH {_meta_cte()},
+{_pixel_agg_cte()},
+{_img_stats_cte()}
+SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+       round(min({psnr}), 3) AS min_psnr_db,
+       CAST(1 AS INTEGER) AS all_captions_ok
+FROM imgstats GROUP BY fmt"""
+
+
+def sql_image_tiles() -> str:
+    """Oracle for q_image_tiles: geohash-4 cell mosaics. Every generated
+    image passes the PSNR>=40 gate (jpg quantization mse ~= 3.5 -> ~42.7 dB,
+    11.9 sigma above the floor even for 8x8 images), so the gate drops no
+    rows. Chip counts/sums per image collapse to closed forms:
+    n_chips = (w/8)^2, sum_px = w^2, sum(chip_sum) = decoded pixel sum."""
+    ix, iy = O.geohash_ix_iy_sql("lon", "lat", 4)
+    packed = O.geohash_interleave_sql("ix", "iy", 4)
+    cell = O.geohash_chars_sql("packed", 4)
+    return f"""WITH {_meta_cte()},
+{_pixel_agg_cte()},
+{_img_stats_cte()},
+b AS (SELECT i, w, px_dec, {ix} AS ix, {iy} AS iy FROM imgstats),
+p AS (SELECT i, w, px_dec, {packed} AS packed FROM b),
+cells AS (SELECT i, w, px_dec, {cell} AS cell FROM p)
+SELECT cell,
+       CAST(sum((w // 8) * (w // 8)) AS BIGINT) AS n_chips,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) AS sum_px,
+       round(CAST(sum(px_dec) AS BIGINT) / (CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) * 3), 3)
+         AS avg_brightness
+FROM cells GROUP BY cell"""
+
+
+def sql_image_pip_join() -> str:
+    """Oracle for q_image_pip_join: per-polygon image counts via the same
+    covers-test SQL the lineitem pip_join oracle uses, over the generated
+    (lon, lat) points. Pixels are not needed — metadata CTE only."""
+    from spatial4n_spark.suite import layer
+
+    parts = [
+        f"SELECT '{pid}' AS poly_id, CAST(count(*) AS BIGINT) AS n_images "
+        f"FROM geo WHERE {O.pip_sql(shape, 'lon', 'lat')}"
+        for pid, shape in layer()
+    ]
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_meta_cte()}
+SELECT poly_id, n_images FROM ({union}) WHERE n_images > 0"""

@@ -797,4 +797,13 @@ def spatial_oracles() -> dict[str, str]:
                 "layer_relate_matrix": sql_layer_relate_matrix(),
             }
         )
+        from spatial4n_spark import oracles_images as OI
+
+        SPATIAL_ORACLES.update(
+            {
+                "image_decode_check": OI.sql_image_decode_check(),
+                "image_tiles": OI.sql_image_tiles(),
+                "image_pip_join": OI.sql_image_pip_join(),
+            }
+        )
     return SPATIAL_ORACLES
