@@ -95,7 +95,7 @@ def knn_join(
 
     pending = {qid: (qlon, qlat) for qid, qlon, qlat in queries}
     rings = rings0
-    results = []
+    accepted: list[DataFrame] = []
     w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
 
     for _ in range(max_rounds):
@@ -113,19 +113,25 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select("query_id", id_col, "dist_km", "rank")
         )
-        got = ranked.collect()
-        by_q: dict[str, list] = {}
-        for r in got:
-            by_q.setdefault(r["query_id"], []).append(r)
-        next_pending = {}
-        for qid, (qlon, qlat) in pending.items():
-            rs = by_q.get(qid, [])
-            guaranteed = _covered_radius_km(qlat, level, rings)
-            if len(rs) >= k and max(r["dist_km"] for r in rs) <= guaranteed:
-                results.extend(rs)
-            else:
-                next_pending[qid] = (qlon, qlat)
-        pending = next_pending
+        # ONE Spark job per round: materialize the bounded top-k
+        # (<= |pending| * k rows) and truncate lineage; the acceptance
+        # summary and the accepted-rows filter below read the
+        # materialized result, never re-running the join
+        ranked = ranked.localCheckpoint(eager=True)
+        summ = ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("dist_km").alias("dmax")
+        ).collect()
+        info = {r["query_id"]: (r["n"], r["dmax"]) for r in summ}
+        ok = [
+            qid
+            for qid, (qlon, qlat) in pending.items()
+            if info.get(qid, (0, None))[0] >= k
+            and info[qid][1] <= _covered_radius_km(qlat, level, rings)
+        ]
+        if ok:
+            accepted.append(ranked.where(F.col("query_id").isin(ok)))
+        ok_set = set(ok)
+        pending = {qid: v for qid, v in pending.items() if qid not in ok_set}
         rings *= 2
 
     if pending:
@@ -133,7 +139,7 @@ def knn_join(
         # regions) — still a broadcast join, no big-side shuffle
         rows = [(qid, qlon, qlat) for qid, (qlon, qlat) in pending.items()]
         q_df = spark.createDataFrame(rows, "query_id string, _qlon double, _qlat double")
-        ranked = (
+        fb = (
             points.select(id_col, lon, lat)
             .crossJoin(F.broadcast(q_df))
             .withColumn("dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat"))
@@ -141,7 +147,12 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select("query_id", id_col, "dist_km", "rank")
         )
-        results.extend(ranked.collect())
+        accepted.append(fb.localCheckpoint(eager=True))
 
     pts.unpersist()
-    return spark.createDataFrame(results, out_schema)
+    if not accepted:
+        return spark.createDataFrame([], out_schema)
+    out = accepted[0]
+    for df in accepted[1:]:
+        out = out.unionAll(df)
+    return out

@@ -235,11 +235,37 @@ def sql_radius_join() -> str:
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
+def _parquet_num_rows(path: str) -> int | None:
+    """Row count from parquet footers, driver-side — saves the count() job
+    that would otherwise pre-size the kNN rings."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN via cell-ring candidates + window top-k."""
     queries = [(qid, qlon, qlat) for qid, qlon, qlat, _ in RADIUS_CENTERS]
     out = knn_join(
-        pts_orders(spark, sf_dir), queries, k=KNN_K, id_col="o_orderkey", level=3
+        pts_orders(spark, sf_dir),
+        queries,
+        k=KNN_K,
+        id_col="o_orderkey",
+        level=3,
+        estimated_total=_parquet_num_rows(f"{sf_dir}/orders.parquet"),
     )
     return out.select("query_id", "o_orderkey", "rank")
 
