@@ -183,6 +183,18 @@ def ivf_assign(emb: DataFrame, centroids: list[list[float]] | None = None) -> Da
     return emb.select("vec_id", centroid_col(F.col("embedding"), centroids).alias("centroid_id"))
 
 
+def ivf_probe_order(qvec: list[float], centroids: list[list[float]]) -> list[int]:
+    """Centroid indices ranked by dot(query, centroid) desc (index asc on
+    ties) — the driver-side probe order for IVF search."""
+    scores = []
+    for j, c in enumerate(centroids):
+        acc = 0.0
+        for x, y in zip(qvec, c):
+            acc = acc + x * y
+        scores.append((acc, j))
+    return [j for _, j in sorted(scores, key=lambda t: (-t[0], t[1]))]
+
+
 def ivf_topk(
     emb: DataFrame,
     qvec: list[float],
@@ -192,16 +204,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: rank centroids by dot with the query
     (driver-side), probe the best ``nprobe`` inverted lists, exact cosine
-    rank inside. At design scale the table is partitioned by centroid_id,
-    so the probe reads nprobe/n_centroids of the data."""
+    rank inside. At design scale the table is partitioned by centroid_id
+    (io.ann_index), so the probe reads nprobe/n_centroids of the data."""
     centroids = centroids or ivf_centroids()
-    scores = []
-    for j, c in enumerate(centroids):
-        acc = 0.0
-        for x, y in zip(qvec, c):
-            acc = acc + x * y
-        scores.append((acc, j))
-    probe = [j for _, j in sorted(scores, key=lambda t: (-t[0], t[1]))[:nprobe]]
+    probe = ivf_probe_order(qvec, centroids)[:nprobe]
 
     cand = emb.where(
         centroid_col(F.col("embedding"), centroids).isin([int(j) for j in probe])

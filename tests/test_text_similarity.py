@@ -210,3 +210,31 @@ def test_topk_plans_are_distributed(spark, emb):
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+def test_emb_index_pruning_and_equivalence(spark, emb, tmp_path_factory):
+    """Materialized ANN index: IVF probes prune partitions (Catalyst
+    PartitionFilters on centroid_id), ANN probes filter stored bucket
+    columns (pushed filters, no dot-product recompute), and both return
+    exactly what the scan-time operators return."""
+    from spatial4n_spark.io import ann_index as AI
+
+    path = str(tmp_path_factory.mktemp("annidx") / "emb_index")
+    AI.write_emb_index(emb, path)
+
+    q = S.query_vector()
+    ivf_idx = AI.ivf_topk_indexed(spark, path, q, k=10, nprobe=4)
+    ivf_ref = S.ivf_topk(emb, q, k=10, nprobe=4)
+    assert sorted(map(tuple, ivf_idx.collect())) == sorted(map(tuple, ivf_ref.collect()))
+
+    ann_idx = AI.ann_topk_indexed(spark, path, q, k=10)
+    ann_ref = S.ann_topk(emb, q, k=10)
+    assert sorted(map(tuple, ann_idx.collect())) == sorted(map(tuple, ann_ref.collect()))
+
+    # plan inspection: the IVF probe must reach the scan as a partition
+    # filter (directory pruning), not a post-scan predicate
+    plan = ivf_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # the ANN probe's bucket equalities reach the parquet reader
+    ann_plan = ann_idx._jdf.queryExecution().executedPlan().toString()
+    assert "bucket_t0" in ann_plan and "PushedFilters" in ann_plan
