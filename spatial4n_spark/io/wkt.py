@@ -281,6 +281,12 @@ def _parse_shape(t: _Tokens, geo: bool = True):
             return Circle(inner.x, inner.y, dist, geo=geo)
         if isinstance(inner, LineString):
             return LineString(inner.coords, buffer=dist)
+        if isinstance(inner, (Polygon, MultiPolygon, Rect)):
+            # GetBuffered on polygons (NtsGeometry.cs:203-211); a
+            # rect-collapsed polygon buffers to a Rect (RectangleImpl.cs:83)
+            from spatial4n_spark.kernels.polybuf import buffer_polygon
+
+            return buffer_polygon(inner, dist, geo=geo)
         raise WktParseError(f"BUFFER of {type(inner).__name__} not supported")
 
     if kw == "CIRCLE":

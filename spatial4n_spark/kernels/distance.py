@@ -105,6 +105,21 @@ def km_to_deg(km, radius_km: float = EARTH_MEAN_RADIUS_KM):
     return np.asarray(km, dtype=np.float64) / radius_km * RAD_TO_DEG
 
 
+def point_on_bearing_cartesian(x, y, dist, bearing_deg):
+    """Euclidean destination point: x + sin(b)*d, y + cos(b)*d.
+
+    CartesianDistCalc.PointOnBearing (CartesianDistCalc.cs:80-107);
+    dist == 0 returns the start point exactly (the reference's shortcut).
+    Vectorized; bearing in degrees clockwise from +y (north)."""
+    x, y, dist, bearing_deg = (
+        np.asarray(a, dtype=np.float64) for a in (x, y, dist, bearing_deg)
+    )
+    b = bearing_deg * DEG_TO_RAD
+    out_x = np.where(dist == 0.0, x, x + np.sin(b) * dist)
+    out_y = np.where(dist == 0.0, y, y + np.cos(b) * dist)
+    return out_x, out_y
+
+
 def point_on_bearing_rad(lat, lon, dist_rad, bearing_rad):
     """Destination point given start, angular distance, and bearing.
 

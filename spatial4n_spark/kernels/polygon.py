@@ -181,6 +181,8 @@ def shape_bbox(shape, geo: bool = True) -> Rect:
     if isinstance(shape, MultiPolygon):
         boxes = [shape_bbox(p, geo) for p in shape.polys]
         return merge_bboxes(boxes, geo)
+    if type(shape).__name__ == "BufferedPolygon":  # avoid circular import
+        return shape.bbox()
     if isinstance(shape, GeometryCollection):
         boxes = [shape_bbox(s, geo) for s in shape.shapes]
         return merge_bboxes(boxes, geo)
@@ -315,6 +317,8 @@ def points_covered(px, py, poly, geo: bool = True):
         for p in poly.polys:
             out |= points_covered(px, py, p, geo)
         return out
+    if type(poly).__name__ == "BufferedPolygon":  # avoid circular import
+        return poly.covers(px, py)
     if not isinstance(poly, Polygon):
         raise TypeError(type(poly))
     if geo:

@@ -206,6 +206,21 @@ def relate(a, b, geo: bool = True, calculator: str = "haversine") -> np.int8:
             return _relate_circle_circle(a, b, calculator)
         return transpose(relate(b, a, geo, calculator))
 
+    from spatial4n_spark.kernels.polybuf import BufferedPolygon
+
+    if isinstance(a, BufferedPolygon):
+        if isinstance(b, Point):
+            return CONTAINS if bool(a.covers([b.x], [b.y])[0]) else DISJOINT
+        if isinstance(b, Rect):
+            return np.int8(a.relate_rect(b))
+        raise TypeError(
+            f"relate(BufferedPolygon, {type(b).__name__}) not supported — "
+            "buffered polygons are predicate shapes (point covers, rect "
+            "classify, bbox, area); materialize an outline for full relate"
+        )
+    if isinstance(b, BufferedPolygon):
+        return transpose(relate(b, a, geo, calculator))
+
     if isinstance(a, (Polygon, MultiPolygon)):
         # bbox gate (NtsGeometry.cs:268-269, :284-287)
         if isinstance(b, Point):

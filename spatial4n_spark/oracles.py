@@ -122,6 +122,38 @@ def pip_sql(shape, px: str, py: str) -> str:
     return "(" + " OR ".join(pages) + ")"
 
 
+def bufpoly_sql(bp, px: str, py: str) -> str:
+    """Covers-test SQL for a BufferedPolygon, mirroring
+    kernels.polybuf.BufferedPolygon.covers: in the core polygon OR within
+    buf (flat degrees) of a boundary segment, minimized over the
+    360-degree pages. Segment constants (a, d, |d|^2) are emitted as
+    literals from the same unwrapped rings the kernel uses."""
+    core = pip_sql(bp.poly, px, py)
+    if bp.buf == 0.0:
+        return core
+    b2 = dlit(bp.buf * bp.buf)
+    segs = bp._segments()
+    pages = ["0e0", "360e0", "-360e0"] if bp.geo else ["0e0"]
+    conds = [core]
+    for ax, ay, bx, by in segs:
+        dx, dy = bx - ax, by - ay
+        ln2 = dx * dx + dy * dy
+        for page in pages:
+            x = f"({px} + {page})" if page != "0e0" else px
+            if ln2 > 0.0:
+                t = (
+                    f"least(greatest((({x} - {dlit(ax)}) * {dlit(dx)} + "
+                    f"({py} - {dlit(ay)}) * {dlit(dy)}) / {dlit(ln2)}, 0e0), 1e0)"
+                )
+                ex = f"({x} - ({dlit(ax)} + {t} * {dlit(dx)}))"
+                ey = f"({py} - ({dlit(ay)} + {t} * {dlit(dy)}))"
+            else:
+                ex = f"({x} - {dlit(ax)})"
+                ey = f"({py} - {dlit(ay)})"
+            conds.append(f"({ex} * {ex} + {ey} * {ey} <= {b2})")
+    return "(" + " OR ".join(conds) + ")"
+
+
 def _infbufline_sql(line, px: str, py: str) -> str:
     """Mirrors kernels.bufline.InfBufLine.contains op-for-op."""
     import math

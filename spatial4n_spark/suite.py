@@ -475,6 +475,39 @@ def q_layer_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# buffered-polygon layer: a polygon with holes (hole shrink), a dateline
+# multipolygon (page logic), and a plain polygon — GetBuffered contract
+POLY_BUFFER_SPECS = [("base_poly", 3.0), ("holed", 2.0), ("fiji_style", 1.5)]
+
+
+def _buffered_layer() -> list[tuple[str, object]]:
+    from spatial4n_spark.kernels.polybuf import buffer_polygon
+
+    by_id = dict(layer())
+    return [
+        (f"{pid}_buf", buffer_polygon(by_id[pid], d)) for pid, d in POLY_BUFFER_SPECS
+    ]
+
+
+def q_poly_buffer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-buffer join (GetBuffered on polygons, Shape.cs:90 /
+    NtsGeometry.cs:203-211): widen a polygon layer by a per-feature
+    distance, then run the same cell-cover broadcast PIP join — the
+    'corridor around a region' use the reference's buffer contract
+    exists for. Exercises hole shrink, dateline pages, and the
+    conservative buffered cell classifier."""
+    out = spatial_join_points_polygons(pts_orders(spark, sf_dir), _buffered_layer(), level=3)
+    return out.select("o_orderkey", "poly_id")
+
+
+def sql_poly_buffer_join() -> str:
+    parts = [
+        f"SELECT o_orderkey, '{pid}' AS poly_id FROM pts WHERE {O.bufpoly_sql(bp, 'lon', 'lat')}"
+        for pid, bp in _buffered_layer()
+    ]
+    return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
 def sql_layer_relate_matrix() -> str:
     """Literal VALUES oracle: the pinned expected matrix (see
     sources/relate_expected.py for provenance). The gate fails if any
@@ -795,6 +828,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
+    "poly_buffer_join": q_poly_buffer_join,
 }
 
 SPATIAL_ORACLES: dict[str, str] = {}
@@ -821,6 +855,7 @@ def spatial_oracles() -> dict[str, str]:
                 "event_tiles": sql_event_tiles(),
                 "group_bbox": sql_group_bbox(),
                 "layer_relate_matrix": sql_layer_relate_matrix(),
+                "poly_buffer_join": sql_poly_buffer_join(),
             }
         )
         from spatial4n_spark import oracles_images as OI

