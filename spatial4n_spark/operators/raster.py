@@ -76,6 +76,53 @@ DECODE_CHECK_SCHEMA = (
 )
 
 
+def _check_chunk(chunk: pa.RecordBatch, level: int) -> pa.RecordBatch:
+    """Decode + PSNR/caption gate of one Arrow chunk -> result batch."""
+    ids = chunk.column("image_id").to_pylist()
+    bufs = chunk.column("bytes").to_pylist()
+    w = chunk.column("w").to_numpy()
+    h = chunk.column("h").to_numpy()
+    fmts = chunk.column("fmt").to_pylist()
+    caps = chunk.column("caption").to_pylist()
+    lon = chunk.column("lon").to_numpy()
+    lat = chunk.column("lat").to_numpy()
+
+    decoded = decode_image_batch(bufs, w, h, fmts)
+    cells = geohash_encode_str(lat, lon, level)
+    psnr = np.empty(len(ids), dtype=np.float64)
+    mean_px = np.empty(len(ids), dtype=np.float64)
+    # vectorize per size group: stacked (k,h,w,3) reference
+    # regen + PSNR — integer sums keep it bit-equal to the
+    # per-image path while amortizing per-image Python cost
+    sizes = np.stack([w, h], axis=1)
+    for wh in np.unique(sizes, axis=0):
+        sel = np.where((w == wh[0]) & (h == wh[1]))[0]
+        imgs = np.stack([decoded[k] for k in sel])
+        refs = _reference_pixels_batch(
+            [ids[k] for k in sel], int(wh[0]), int(wh[1])
+        )
+        psnr[sel] = _psnr_batch(imgs, refs)
+        mean_px[sel] = imgs.astype(np.float64).mean(axis=(1, 2, 3))
+    cap_ok = np.array(
+        [
+            caps[k] == f"caption for img{int(ids[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
+            for k in range(len(ids))
+        ],
+        dtype=bool,
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(fmts, pa.string()),
+            pa.array(cells, pa.string()),
+            pa.array(psnr, pa.float64()),
+            pa.array(cap_ok, pa.bool_()),
+            pa.array(mean_px, pa.float64()),
+        ],
+        names=["image_id", "fmt", "cell", "psnr_db", "caption_ok", "mean_px"],
+    )
+
+
 def decode_check(images: DataFrame, level: int = 4, chunk_rows: int = 2048) -> DataFrame:
     """Decode every image, verify PSNR + caption invariants, assign a cell.
 
@@ -86,52 +133,36 @@ def decode_check(images: DataFrame, level: int = 4, chunk_rows: int = 2048) -> D
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
-                chunk = batch.slice(s, chunk_rows)
-                ids = chunk.column("image_id").to_pylist()
-                bufs = chunk.column("bytes").to_pylist()
-                w = chunk.column("w").to_numpy()
-                h = chunk.column("h").to_numpy()
-                fmts = chunk.column("fmt").to_pylist()
-                caps = chunk.column("caption").to_pylist()
-                lon = chunk.column("lon").to_numpy()
-                lat = chunk.column("lat").to_numpy()
-
-                decoded = decode_image_batch(bufs, w, h, fmts)
-                cells = geohash_encode_str(lat, lon, level)
-                psnr = np.empty(len(ids), dtype=np.float64)
-                mean_px = np.empty(len(ids), dtype=np.float64)
-                # vectorize per size group: stacked (k,h,w,3) reference
-                # regen + PSNR — integer sums keep it bit-equal to the
-                # per-image path while amortizing per-image Python cost
-                sizes = np.stack([w, h], axis=1)
-                for wh in np.unique(sizes, axis=0):
-                    sel = np.where((w == wh[0]) & (h == wh[1]))[0]
-                    imgs = np.stack([decoded[k] for k in sel])
-                    refs = _reference_pixels_batch(
-                        [ids[k] for k in sel], int(wh[0]), int(wh[1])
-                    )
-                    psnr[sel] = _psnr_batch(imgs, refs)
-                    mean_px[sel] = imgs.astype(np.float64).mean(axis=(1, 2, 3))
-                cap_ok = np.array(
-                    [
-                        caps[k] == f"caption for img{int(ids[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
-                        for k in range(len(ids))
-                    ],
-                    dtype=bool,
-                )
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(ids, pa.string()),
-                        pa.array(fmts, pa.string()),
-                        pa.array(cells, pa.string()),
-                        pa.array(psnr, pa.float64()),
-                        pa.array(cap_ok, pa.bool_()),
-                        pa.array(mean_px, pa.float64()),
-                    ],
-                    names=["image_id", "fmt", "cell", "psnr_db", "caption_ok", "mean_px"],
-                )
+                yield _check_chunk(batch.slice(s, chunk_rows), level)
 
     return images.mapInArrow(run, DECODE_CHECK_SCHEMA)
+
+
+def generate_decode_check(
+    spark,
+    n_rows: int,
+    level: int = 4,
+    partitions: int | None = None,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Fused source -> decode -> gate: ONE Python stage over spark.range.
+
+    The separate-source form (images_df |> decode_check) ships every image
+    payload Python -> JVM -> Python; a production scan -> decode pipeline
+    crosses the Arrow boundary once, and this fused stand-in matches it —
+    bytes are generated, decoded, and gated inside the same worker, and
+    only the per-image summary leaves the stage."""
+    from spatial4n_spark.sources.images import _gen_batch
+
+    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+
+    def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            for s in range(0, len(ids), chunk_rows):
+                yield _check_chunk(_gen_batch(ids[s : s + chunk_rows], True), level)
+
+    return rng.mapInArrow(run, DECODE_CHECK_SCHEMA)
 
 
 CHIPS_SCHEMA = (
@@ -164,106 +195,118 @@ def tile_images(
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
-                chunk = batch.slice(s, chunk_rows)
-                ids = chunk.column("image_id").to_pylist()
-                bufs = chunk.column("bytes").to_pylist()
-                w = chunk.column("w").to_numpy()
-                h = chunk.column("h").to_numpy()
-                fmts = chunk.column("fmt").to_pylist()
-                caps = chunk.column("caption").to_pylist()
-                lon = chunk.column("lon").to_numpy()
-                lat = chunk.column("lat").to_numpy()
-
-                decoded = decode_image_batch(bufs, w, h, fmts)
-                cells = geohash_encode_str(lat, lon, level)
-
-                out_id, out_cell, out_r, out_c = [], [], [], []
-                out_w, out_h, out_sum, out_mean, out_bytes = [], [], [], [], []
-
-                def emit_loop(k: int):
-                    """Per-image fallback (sizes not divisible by chip_px,
-                    or chip-bytes materialization)."""
-                    iid, cell, img = ids[k], cells[k], decoded[k]
-                    hh, ww = img.shape[0], img.shape[1]
-                    for r0 in range(0, hh, chip_px):
-                        for c0 in range(0, ww, chip_px):
-                            chip = img[r0 : r0 + chip_px, c0 : c0 + chip_px]
-                            out_id.append(iid)
-                            out_cell.append(cell)
-                            out_r.append(r0 // chip_px)
-                            out_c.append(c0 // chip_px)
-                            out_w.append(chip.shape[1])
-                            out_h.append(chip.shape[0])
-                            out_sum.append(int(chip.astype(np.int64).sum()))
-                            out_mean.append(float(chip.mean()))
-                            out_bytes.append(chip.tobytes() if with_chip_bytes else b"")
-
-                keep = np.ones(len(ids), dtype=bool)
-                sizes = np.stack([w, h], axis=1)
-                groups = {}
-                for wh in np.unique(sizes, axis=0):
-                    groups[tuple(wh)] = np.where((w == wh[0]) & (h == wh[1]))[0]
-
-                if min_psnr_db is not None:
-                    for (gw, gh), sel in groups.items():
-                        imgs = np.stack([decoded[k] for k in sel])
-                        refs = _reference_pixels_batch([ids[k] for k in sel], int(gw), int(gh))
-                        keep[sel] = _psnr_batch(imgs, refs) >= min_psnr_db
-                    for k in range(len(ids)):
-                        if keep[k]:
-                            expect = (
-                                f"caption for img{int(ids[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
-                            )
-                            keep[k] = caps[k] == expect
-
-                for (gw, gh), sel in groups.items():
-                    sel = sel[keep[sel]]
-                    if len(sel) == 0:
-                        continue
-                    if gw % chip_px or gh % chip_px or with_chip_bytes:
-                        for k in sel:
-                            emit_loop(int(k))
-                        continue
-                    # fully-divisible fast path: (k,h,w,3) -> chip grid means
-                    nr, nc = int(gh) // chip_px, int(gw) // chip_px
-                    imgs = np.stack([decoded[k] for k in sel])
-                    grid = imgs.reshape(len(sel), nr, chip_px, nc, chip_px, 3)
-                    # exact integer pixel sums: the mosaic aggregate downstream
-                    # is order-independent (integer partial sums), so results
-                    # are bit-stable under any shuffle/partitioning
-                    sums = grid.astype(np.int64).sum(axis=(2, 4, 5))  # (k, nr, nc)
-                    means = grid.astype(np.float64).mean(axis=(2, 4, 5))  # (k, nr, nc)
-                    n_chips = nr * nc
-                    out_id.extend(np.repeat([ids[k] for k in sel], n_chips).tolist())
-                    out_cell.extend(np.repeat([cells[k] for k in sel], n_chips).tolist())
-                    rows_grid = np.tile(np.repeat(np.arange(nr, dtype=np.int32), nc), len(sel))
-                    cols_grid = np.tile(np.tile(np.arange(nc, dtype=np.int32), nr), len(sel))
-                    out_r.extend(rows_grid.tolist())
-                    out_c.extend(cols_grid.tolist())
-                    out_w.extend([chip_px] * n_chips * len(sel))
-                    out_h.extend([chip_px] * n_chips * len(sel))
-                    out_sum.extend(sums.reshape(-1).tolist())
-                    out_mean.extend(means.reshape(-1).tolist())
-                    out_bytes.extend([b""] * n_chips * len(sel))
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(out_id, pa.string()),
-                        pa.array(out_cell, pa.string()),
-                        pa.array(out_r, pa.int32()),
-                        pa.array(out_c, pa.int32()),
-                        pa.array(out_w, pa.int32()),
-                        pa.array(out_h, pa.int32()),
-                        pa.array(out_sum, pa.int64()),
-                        pa.array(out_mean, pa.float64()),
-                        pa.array(out_bytes, pa.binary()),
-                    ],
-                    names=[
-                        "image_id", "cell", "chip_row", "chip_col",
-                        "chip_w", "chip_h", "chip_sum", "chip_mean", "chip",
-                    ],
+                yield _tile_chunk(
+                    batch.slice(s, chunk_rows), level, chip_px, with_chip_bytes, min_psnr_db
                 )
 
     return images.mapInArrow(run, CHIPS_SCHEMA)
+
+
+def _tile_chunk(
+    chunk: pa.RecordBatch,
+    level: int,
+    chip_px: int,
+    with_chip_bytes: bool,
+    min_psnr_db: float | None,
+) -> pa.RecordBatch:
+    """Decode + optional gate + chip of one Arrow chunk -> chips batch."""
+    ids = chunk.column("image_id").to_pylist()
+    bufs = chunk.column("bytes").to_pylist()
+    w = chunk.column("w").to_numpy()
+    h = chunk.column("h").to_numpy()
+    fmts = chunk.column("fmt").to_pylist()
+    caps = chunk.column("caption").to_pylist()
+    lon = chunk.column("lon").to_numpy()
+    lat = chunk.column("lat").to_numpy()
+
+    decoded = decode_image_batch(bufs, w, h, fmts)
+    cells = geohash_encode_str(lat, lon, level)
+
+    out_id, out_cell, out_r, out_c = [], [], [], []
+    out_w, out_h, out_sum, out_mean, out_bytes = [], [], [], [], []
+
+    def emit_loop(k: int):
+        """Per-image fallback (sizes not divisible by chip_px,
+        or chip-bytes materialization)."""
+        iid, cell, img = ids[k], cells[k], decoded[k]
+        hh, ww = img.shape[0], img.shape[1]
+        for r0 in range(0, hh, chip_px):
+            for c0 in range(0, ww, chip_px):
+                chip = img[r0 : r0 + chip_px, c0 : c0 + chip_px]
+                out_id.append(iid)
+                out_cell.append(cell)
+                out_r.append(r0 // chip_px)
+                out_c.append(c0 // chip_px)
+                out_w.append(chip.shape[1])
+                out_h.append(chip.shape[0])
+                out_sum.append(int(chip.astype(np.int64).sum()))
+                out_mean.append(float(chip.mean()))
+                out_bytes.append(chip.tobytes() if with_chip_bytes else b"")
+
+    keep = np.ones(len(ids), dtype=bool)
+    sizes = np.stack([w, h], axis=1)
+    groups = {}
+    for wh in np.unique(sizes, axis=0):
+        groups[tuple(wh)] = np.where((w == wh[0]) & (h == wh[1]))[0]
+
+    if min_psnr_db is not None:
+        for (gw, gh), sel in groups.items():
+            imgs = np.stack([decoded[k] for k in sel])
+            refs = _reference_pixels_batch([ids[k] for k in sel], int(gw), int(gh))
+            keep[sel] = _psnr_batch(imgs, refs) >= min_psnr_db
+        for k in range(len(ids)):
+            if keep[k]:
+                expect = (
+                    f"caption for img{int(ids[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
+                )
+                keep[k] = caps[k] == expect
+
+    for (gw, gh), sel in groups.items():
+        sel = sel[keep[sel]]
+        if len(sel) == 0:
+            continue
+        if gw % chip_px or gh % chip_px or with_chip_bytes:
+            for k in sel:
+                emit_loop(int(k))
+            continue
+        # fully-divisible fast path: (k,h,w,3) -> chip grid means
+        nr, nc = int(gh) // chip_px, int(gw) // chip_px
+        imgs = np.stack([decoded[k] for k in sel])
+        grid = imgs.reshape(len(sel), nr, chip_px, nc, chip_px, 3)
+        # exact integer pixel sums: the mosaic aggregate downstream
+        # is order-independent (integer partial sums), so results
+        # are bit-stable under any shuffle/partitioning
+        sums = grid.astype(np.int64).sum(axis=(2, 4, 5))  # (k, nr, nc)
+        means = grid.astype(np.float64).mean(axis=(2, 4, 5))  # (k, nr, nc)
+        n_chips = nr * nc
+        out_id.extend(np.repeat([ids[k] for k in sel], n_chips).tolist())
+        out_cell.extend(np.repeat([cells[k] for k in sel], n_chips).tolist())
+        rows_grid = np.tile(np.repeat(np.arange(nr, dtype=np.int32), nc), len(sel))
+        cols_grid = np.tile(np.tile(np.arange(nc, dtype=np.int32), nr), len(sel))
+        out_r.extend(rows_grid.tolist())
+        out_c.extend(cols_grid.tolist())
+        out_w.extend([chip_px] * n_chips * len(sel))
+        out_h.extend([chip_px] * n_chips * len(sel))
+        out_sum.extend(sums.reshape(-1).tolist())
+        out_mean.extend(means.reshape(-1).tolist())
+        out_bytes.extend([b""] * n_chips * len(sel))
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(out_id, pa.string()),
+            pa.array(out_cell, pa.string()),
+            pa.array(out_r, pa.int32()),
+            pa.array(out_c, pa.int32()),
+            pa.array(out_w, pa.int32()),
+            pa.array(out_h, pa.int32()),
+            pa.array(out_sum, pa.int64()),
+            pa.array(out_mean, pa.float64()),
+            pa.array(out_bytes, pa.binary()),
+        ],
+        names=[
+            "image_id", "cell", "chip_row", "chip_col",
+            "chip_w", "chip_h", "chip_sum", "chip_mean", "chip",
+        ],
+    )
 
 
 def cell_mosaic_stats(chips: DataFrame) -> DataFrame:
@@ -307,3 +350,35 @@ def raster_pipeline(
     """
     chips = tile_images(images, level, chip_px, min_psnr_db=min_psnr_db)
     return cell_mosaic_stats(chips)
+
+
+def generate_raster_pipeline(
+    spark,
+    n_rows: int,
+    level: int = 4,
+    chip_px: int = 8,
+    min_psnr_db: float = 40.0,
+    partitions: int | None = None,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Fused source -> decode -> gate -> chip -> mosaic: the image payload
+    never crosses the Arrow boundary (see generate_decode_check); only
+    per-chip aggregates leave the Python stage, and the one shuffle
+    carries per-cell partial sums."""
+    from spatial4n_spark.sources.images import _gen_batch
+
+    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+
+    def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            for s in range(0, len(ids), chunk_rows):
+                yield _tile_chunk(
+                    _gen_batch(ids[s : s + chunk_rows], True),
+                    level,
+                    chip_px,
+                    False,
+                    min_psnr_db,
+                )
+
+    return cell_mosaic_stats(rng.mapInArrow(run, CHIPS_SCHEMA))

@@ -767,11 +767,23 @@ def images_for_sf(
     return images_df(spark, n, with_bytes=with_bytes, partitions=parts)
 
 
-def q_image_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode gate summary by format: PSNR floor + caption equality."""
-    from spatial4n_spark.operators.raster import decode_check
+def _images_scale(sf_dir: str, rows_per_sf: int = 2_000_000) -> tuple[int, int]:
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(tail)
+    except ValueError:
+        sf = 0.01
+    n = max(int(sf * rows_per_sf), 1000)
+    return n, max(4, min(64, n // 8192))
 
-    out = decode_check(images_for_sf(spark, sf_dir), level=4)
+
+def q_image_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode gate summary by format: PSNR floor + caption equality.
+    Fused generate+decode+gate — bytes never cross the Arrow boundary."""
+    from spatial4n_spark.operators.raster import generate_decode_check
+
+    n, parts = _images_scale(sf_dir)
+    out = generate_decode_check(spark, n, level=4, partitions=parts)
     return out.groupBy("fmt").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("psnr_db"), 3).alias("min_psnr_db"),
@@ -780,10 +792,12 @@ def q_image_decode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full raster pipeline: decode -> gate -> chip -> per-cell mosaic."""
-    from spatial4n_spark.operators.raster import raster_pipeline
+    """Full raster pipeline: decode -> gate -> chip -> per-cell mosaic
+    (fused single Python stage; only chip aggregates leave it)."""
+    from spatial4n_spark.operators.raster import generate_raster_pipeline
 
-    out = raster_pipeline(images_for_sf(spark, sf_dir), level=4, chip_px=8)
+    n, parts = _images_scale(sf_dir)
+    out = generate_raster_pipeline(spark, n, level=4, chip_px=8, partitions=parts)
     return out.select(
         "cell",
         "n_chips",
