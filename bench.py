@@ -116,7 +116,7 @@ def main() -> int:
     times: dict[str, float] = {}
     rates: dict[str, float] = {}
     rows_out: dict[str, int] = {}
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     for name in names:
         fn = queries[name]
         # best-of-N: the sandbox VM suffers multi-x hypervisor CPU steal

@@ -134,9 +134,15 @@ def _gen_batch(ids: np.ndarray, with_bytes: bool) -> pa.RecordBatch:
     phash = _mix64(ids.astype(np.uint64) + np.uint64(0xABCD)).astype(np.int64)
 
     image_id = np.char.add("img", np.char.zfill(ids.astype(str), 9))
-    caption = [
-        f"caption for img{int(i)} at {la:.4f},{lo:.4f}" for i, la, lo in zip(ids, lat, lon)
-    ]
+    if with_bytes:
+        caption = [
+            f"caption for img{int(i)} at {la:.4f},{lo:.4f}" for i, la, lo in zip(ids, lat, lon)
+        ]
+    else:
+        # lean metadata mode: payload-dependent columns (bytes, caption)
+        # are empty — the per-row Python string formatting is the dominant
+        # cost when a consumer only needs (image_id, lon, lat)
+        caption = [""] * n
     fmts = [_FMTS[int(k)] for k in fmt_idx]
 
     if with_bytes:
