@@ -36,13 +36,14 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from spatial4n_spark.sources.images import images_df
-from spatial4n_spark.operators.raster import raster_pipeline
+from spatial4n_spark.operators.raster import generate_raster_pipeline
 from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
 from spatial4n_spark.suite import layer
 
 def run_job(n):
     if job == "raster":
-        return raster_pipeline(images_df(spark, n, partitions=parts), level=4, chip_px=8).count()
+        # fused generate->decode->gate->chip->agg (bytes never cross Arrow)
+        return generate_raster_pipeline(spark, n, level=4, chip_px=8, partitions=parts).count()
     if job == "pip":
         pts = images_df(spark, n, with_bytes=False, partitions=parts).select("image_id", "lon", "lat")
         return spatial_join_points_polygons(pts, layer(), level=3).count()
