@@ -21,22 +21,34 @@ from spatial4n_spark.kernels.distance import deg_to_km
 from spatial4n_spark.kernels.geohash import (
     geohash_cell_sizes,
     geohash_encode_str,
-    geohash_neighbors,
 )
 
 
 def _ring_cells(qlon: float, qlat: float, level: int, rings: int) -> set[str]:
+    """All cells within ``rings`` of the query's cell — enumerated as one
+    vectorized (2r+1)^2 block (decode the center cell, offset the block's
+    cell centers by integer cell sizes, re-encode), not a per-cell BFS:
+    the BFS was the driver-side hot spot when sparse data forced large
+    rings."""
+    import numpy as np
+
+    from spatial4n_spark.kernels.geohash import geohash_decode_bbox
+
     center = geohash_encode_str([qlat], [qlon], level)[0]
-    cells = {center}
-    frontier = {center}
-    for _ in range(rings):
-        nxt = set()
-        for c in frontier:
-            nxt.update(geohash_neighbors(c))
-        nxt -= cells
-        cells |= nxt
-        frontier = nxt
-    return cells
+    if rings == 0:
+        return {center}
+    lat_h, lon_w = geohash_cell_sizes(level)
+    mnx, mxx, mny, mxy = geohash_decode_bbox([center])
+    cx = (float(mnx[0]) + float(mxx[0])) * 0.5
+    cy = (float(mny[0]) + float(mxy[0])) * 0.5
+    off = np.arange(-rings, rings + 1, dtype=np.float64)
+    gx, gy = np.meshgrid(cx + off * lon_w, cy + off * lat_h)
+    gx = gx.ravel()
+    gy = gy.ravel()
+    # wrap lon to [-180, 180); drop rows beyond the poles (no wrap in lat)
+    gx = ((gx + 180.0) % 360.0) - 180.0
+    keep = (gy > -90.0) & (gy < 90.0)
+    return set(geohash_encode_str(gy[keep], gx[keep], level))
 
 
 def _covered_radius_km(qlat: float, level: int, rings: int) -> float:
@@ -91,16 +103,25 @@ def knn_join(
     import math
 
     cells_needed = 4.0 * k / density
-    rings0 = max(1, min(8, math.ceil((math.sqrt(cells_needed) - 1) / 2)))
+    rings0 = max(1, math.ceil((math.sqrt(cells_needed) - 1) / 2))
 
     pending = {qid: (qlon, qlat) for qid, qlon, qlat in queries}
     rings = rings0
     accepted: list[DataFrame] = []
     w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
 
-    for _ in range(max_rounds):
+    # if the density-sized block already covers a big fraction of the
+    # world's cells, ring pruning cannot help — go straight to the exact
+    # brute-force fallback, which is cheap precisely when the table is
+    # that sparse (ring search is the win on dense tables)
+    world_cells = 32 ** level
+    rounds = max_rounds if (2 * rings0 + 1) ** 2 < world_cells // 4 else 0
+
+    for _ in range(rounds):
         if not pending:
             break
+        if (2 * rings + 1) ** 2 >= world_cells // 4:
+            break  # doubled past the useful range: fall back
         rows = []
         for qid, (qlon, qlat) in pending.items():
             for c in _ring_cells(qlon, qlat, level, rings):

@@ -27,6 +27,7 @@ import sys
 RUNNER = r"""
 import json, sys, time
 cpus, rows, parts, job = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+reps = int(sys.argv[5]) if len(sys.argv) > 5 else 3
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master(f"local[{cpus}]")
     .appName(f"scaling-{cpus}")
@@ -54,7 +55,7 @@ run_job(4000)
 # best-of-3: the sandbox is a shared VM with noisy neighbors; min time is
 # the standard throughput estimate under external interference
 times, out = [], 0
-for _ in range(3):
+for _ in range(reps):
     t0 = time.time()
     out = run_job(rows)
     times.append(time.time() - t0)
@@ -66,9 +67,9 @@ print(json.dumps({"cpus": cpus, "rows": rows, "partitions": parts, "job": job,
 """
 
 
-def run_level(cpus: int, rows: int, parts: int, job: str = "raster") -> dict:
+def run_level(cpus: int, rows: int, parts: int, job: str = "raster", reps: int = 3) -> dict:
     res = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(cpus), str(rows), str(parts), job],
+        [sys.executable, "-c", RUNNER, str(cpus), str(rows), str(parts), job, str(reps)],
         capture_output=True, text=True, check=True, cwd=".",
     )
     line = res.stdout.strip().splitlines()[-1]
@@ -81,11 +82,12 @@ def main() -> int:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--levels", type=str, default="8,32")
     ap.add_argument("--job", type=str, default="raster", choices=["raster", "pip"])
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--write", action="store_true", help="append results to BENCH.md")
     args = ap.parse_args()
 
     levels = [int(x) for x in args.levels.split(",")]
-    results = [run_level(c, args.rows, args.partitions, args.job) for c in levels]
+    results = [run_level(c, args.rows, args.partitions, args.job, args.reps) for c in levels]
     lo, hi = results[0], results[-1]
     eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi["cpus"] / lo["cpus"])
     summary = {
