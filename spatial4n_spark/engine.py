@@ -46,6 +46,31 @@ class SpatialEngine:
 
         return float(deg_to_km(distance_deg(lon1, lat1, lon2, lat2, self.ctx.calculator)))
 
+    def buffer(self, shape, dist: float):
+        """Shape.GetBuffered(dist, ctx) (Shape.cs:90): point -> circle,
+        rect -> rect (RectangleImpl.cs:83-124), line -> buffered line,
+        polygon/multipolygon -> predicate-exact BufferedPolygon
+        (NtsGeometry.cs:203-211), circle -> circle with radius + dist."""
+        from spatial4n_spark.kernels.polybuf import buffer_polygon
+        from spatial4n_spark.kernels.polygon import (
+            Circle,
+            LineString,
+            MultiPolygon,
+            Point,
+            Polygon,
+            Rect,
+        )
+
+        if isinstance(shape, Point):
+            return Circle(shape.x, shape.y, dist, geo=self.ctx.geo)
+        if isinstance(shape, Circle):
+            return Circle(shape.x, shape.y, shape.radius + dist, geo=shape.geo)
+        if isinstance(shape, LineString):
+            return LineString(shape.coords, buffer=shape.buffer + dist)
+        if isinstance(shape, (Polygon, MultiPolygon, Rect)):
+            return buffer_polygon(shape, dist, geo=self.ctx.geo)
+        raise TypeError(f"GetBuffered: unsupported {type(shape).__name__}")
+
     def to_binary(self, shape) -> bytes:
         """Reference-layout binary codec (BinaryCodec.cs tag+payload)."""
         from spatial4n_spark.io.binary import shape_to_bytes

@@ -54,3 +54,23 @@ def test_operator_delegation(engine, spark):
     assert "cell" in tiles.columns and tiles.count() == 200
     knn = engine.knn(pts, [("q", 5.0, 5.0)], k=3, id_col="id")
     assert knn.count() == 3
+
+
+def test_facade_buffer_dispatch(spark):
+    """engine.buffer == Shape.GetBuffered dispatch across all shape types."""
+    from spatial4n_spark.engine import SpatialEngine
+    from spatial4n_spark.kernels.polybuf import BufferedPolygon
+    from spatial4n_spark.kernels.polygon import Circle, LineString, Rect
+
+    e = SpatialEngine(spark)
+    c = e.buffer(e.read_wkt("POINT(10 20)"), 5.0)
+    assert isinstance(c, Circle) and c.radius == 5.0
+    c2 = e.buffer(c, 2.0)
+    assert isinstance(c2, Circle) and c2.radius == 7.0
+    r = e.buffer(e.read_wkt("ENVELOPE(0, 10, 10, 0)"), 1.0)
+    assert isinstance(r, Rect) and r.min_y == -1.0
+    ln = e.buffer(e.read_wkt("LINESTRING(0 0, 10 0)"), 2.0)
+    assert isinstance(ln, LineString) and ln.buffer == 2.0
+    bp = e.buffer(e.read_wkt("POLYGON((0 0, 10 0, 11 10, 0 10, 0 0))"), 2.0)
+    assert isinstance(bp, BufferedPolygon)
+    assert e.relate(bp, e.read_wkt("POINT(-1 5)")) == "CONTAINS"
