@@ -167,26 +167,65 @@ SELECT fmt, CAST(count(*) AS BIGINT) AS n,
 FROM imgstats GROUP BY fmt"""
 
 
+def _geohash_bisect_sql(src_sql: str, keep: list[str], lon: str, lat: str, precision: int) -> str:
+    """Exact SQL mirror of kernels.geohash.geohash_encode's binary
+    subdivision: 5*precision chained stages, each computing
+    mid = (lo + hi) * 0.5 and the strictly-greater test with the SAME
+    double ops the kernel uses. The closed-form ceil twin
+    (O.geohash_ix_iy_sql) is only bit-equal on dyadic-lattice
+    coordinates; the image generator's coordinates are arbitrary doubles,
+    so boundary straddlers (~3e-4 of rows at sf0.1) need the true
+    bisection. Returns a subquery with columns keep + ix + iy."""
+    ks = ", ".join(keep) + (", " if keep else "")
+    s = (
+        f"SELECT {ks}{lon} AS _v_lon, {lat} AS _v_lat, "
+        "-180e0 AS lo_x, 180e0 AS hi_x, -90e0 AS lo_y, 90e0 AS hi_y, "
+        f"0::BIGINT AS ix, 0::BIGINT AS iy FROM ({src_sql})"
+    )
+    even = True
+    for _ in range(precision * 5):
+        if even:
+            s = (
+                f"SELECT {ks}_v_lon, _v_lat, lo_y, hi_y, iy, "
+                "CASE WHEN _v_lon > (lo_x + hi_x) * 0.5e0 THEN (lo_x + hi_x) * 0.5e0 ELSE lo_x END AS lo_x, "
+                "CASE WHEN _v_lon > (lo_x + hi_x) * 0.5e0 THEN hi_x ELSE (lo_x + hi_x) * 0.5e0 END AS hi_x, "
+                "ix * 2 + (CASE WHEN _v_lon > (lo_x + hi_x) * 0.5e0 THEN 1 ELSE 0 END) AS ix "
+                f"FROM ({s})"
+            )
+        else:
+            s = (
+                f"SELECT {ks}_v_lon, _v_lat, lo_x, hi_x, ix, "
+                "CASE WHEN _v_lat > (lo_y + hi_y) * 0.5e0 THEN (lo_y + hi_y) * 0.5e0 ELSE lo_y END AS lo_y, "
+                "CASE WHEN _v_lat > (lo_y + hi_y) * 0.5e0 THEN hi_y ELSE (lo_y + hi_y) * 0.5e0 END AS hi_y, "
+                "iy * 2 + (CASE WHEN _v_lat > (lo_y + hi_y) * 0.5e0 THEN 1 ELSE 0 END) AS iy "
+                f"FROM ({s})"
+            )
+        even = not even
+    return f"SELECT {ks}ix, iy FROM ({s})"
+
+
 def sql_image_tiles() -> str:
     """Oracle for q_image_tiles: geohash-4 cell mosaics. Every generated
     image passes the PSNR>=40 gate (jpg quantization mse ~= 3.5 -> ~42.7 dB,
     11.9 sigma above the floor even for 8x8 images), so the gate drops no
     rows. Chip counts/sums per image collapse to closed forms:
     n_chips = (w/8)^2, sum_px = w^2, sum(chip_sum) = decoded pixel sum."""
-    ix, iy = O.geohash_ix_iy_sql("lon", "lat", 4)
+    bisect = _geohash_bisect_sql(
+        "SELECT w, px_dec, lon, lat FROM imgstats", ["w", "px_dec"], "lon", "lat", 4
+    )
     packed = O.geohash_interleave_sql("ix", "iy", 4)
     cell = O.geohash_chars_sql("packed", 4)
     return f"""WITH {_meta_cte()},
 {_pixel_agg_cte()},
 {_img_stats_cte()},
-b AS (SELECT i, w, px_dec, {ix} AS ix, {iy} AS iy FROM imgstats),
-p AS (SELECT i, w, px_dec, {packed} AS packed FROM b),
-cells AS (SELECT i, w, px_dec, {cell} AS cell FROM p)
+b AS ({bisect}),
+p AS (SELECT w, px_dec, {packed} AS packed FROM b),
+cells AS (SELECT w, px_dec, {cell} AS cell FROM p)
 SELECT cell,
        CAST(sum((w // 8) * (w // 8)) AS BIGINT) AS n_chips,
        CAST(count(*) AS BIGINT) AS n_images,
        CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) AS sum_px,
-       round(CAST(sum(px_dec) AS BIGINT) / (CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) * 3), 3)
+       CAST(sum(px_dec) AS BIGINT) / (CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) * 3)
          AS avg_brightness
 FROM cells GROUP BY cell"""
 

@@ -803,7 +803,12 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chips",
         "n_images",
         "sum_px",
-        F.round("avg_brightness", 3).alias("avg_brightness"),
+        # no rounding: the value is exact_int / exact_int (one IEEE divide,
+        # bit-identical in both engines); round(x, 3) is NOT — engines
+        # disagree on inputs within 1 ulp of a .0005 boundary (Spark
+        # BigDecimal HALF_UP vs DuckDB scaled rounding), which flipped 7
+        # of 117709 cells at sf0.1
+        F.col("avg_brightness"),
     )
 
 

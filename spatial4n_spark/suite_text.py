@@ -79,7 +79,7 @@ WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t, text FROM documents)
 SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
        CAST(len(list_filter(t, x -> x IN {T.STOPWORDS!r})) AS INTEGER) AS n_stop,
        CAST(length(regexp_replace(text, '[ -~]', '', 'g')) AS INTEGER) AS n_non_ascii,
-       round(len(list_filter(t, x -> x IN {T.STOPWORDS!r})) / len(t), 4) AS stop_ratio
+       len(list_filter(t, x -> x IN {T.STOPWORDS!r})) / len(t) AS stop_ratio
 FROM toks"""
 
 
@@ -135,7 +135,7 @@ jpairs AS (
 
 SQL_DOC_JACCARD = f"""
 WITH {JACCARD_CTES}
-SELECT doc_a, doc_b, round(jacc, 4) AS jaccard FROM jpairs"""
+SELECT doc_a, doc_b, jacc AS jaccard FROM jpairs"""
 
 def q_doc_dup_clusters(spark, sf_dir):
     """Near-dup clustering: connected components (distributed min-label
@@ -193,7 +193,7 @@ g AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM toks),
 sig AS (SELECT doc_id, sh, {mh_cols} FROM g WHERE len(sh) > 0),
 bands AS (SELECT doc_id, sh, {band_cols} FROM sig),
 cand AS (SELECT DISTINCT doc_a, doc_b FROM ({cand_union}))
-SELECT doc_a, doc_b, round(i / (la + lb - i), 4) AS jaccard FROM (
+SELECT doc_a, doc_b, i / (la + lb - i) AS jaccard FROM (
   SELECT c.doc_a, c.doc_b,
          len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
          len(a.sh) AS la, len(b.sh) AS lb

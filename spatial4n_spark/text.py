@@ -91,7 +91,9 @@ def quality(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFra
         n_tok.alias("n_tokens"),
         n_stop.alias("n_stop"),
         non_ascii.alias("n_non_ascii"),
-        F.round(n_stop / n_tok, 4).alias("stop_ratio"),
+        # unrounded: exact_int/exact_int is bit-identical across engines;
+        # round(x, 4) is not (tie-boundary algorithm differences)
+        (n_stop / n_tok).alias("stop_ratio"),
     )
 
 
@@ -190,7 +192,7 @@ def jaccard_pairs(
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .where(F.col("jaccard") >= F.lit(threshold))
     )
-    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("doc_a", "doc_b", F.col("jaccard"))
 
 
 def minhash_signature(sh: DataFrame, k: int = 16, key: str = "doc_id") -> DataFrame:
@@ -261,7 +263,7 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
-    return out.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    return out.select("doc_a", "doc_b", F.col("jaccard"))
 
 
 def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
