@@ -3,3 +3,8 @@ from spatial4n_spark.streaming.tile_stream import (  # noqa: F401
     streaming_radius_alerts,
     streaming_tile_counts,
 )
+from spatial4n_spark.streaming.image_stream import (  # noqa: F401
+    images_as_stream,
+    streaming_image_chips,
+    streaming_image_mosaics,
+)

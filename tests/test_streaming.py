@@ -184,3 +184,73 @@ def test_stateful_sessionization(spark, tmp_path):
     assert pd.Timestamp(r["session_start"]) == t0
     assert pd.Timestamp(r["session_end"]) == t0 + pd.Timedelta(minutes=10)
     assert r["n_cells"] >= 1 and isinstance(r["first_cell"], str)
+
+
+@pytest.fixture(scope="module")
+def images_dir(tmp_path_factory, spark):
+    """Two parquet files of generated images with event timestamps —
+    streamed over two triggers."""
+    from spatial4n_spark.sources.images import images_df
+
+    d = tmp_path_factory.mktemp("images_stream")
+    base = images_df(spark, 2000, with_bytes=True, partitions=2)
+    with_ts = base.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + (F.col("phash") % 7200).cast("int") * F.expr("INTERVAL 1 SECOND"),
+    )
+    with_ts.where(F.col("phash") % 2 == 0).write.parquet(f"{d}/f0")
+    with_ts.where(F.col("phash") % 2 != 0).write.parquet(f"{d}/f1")
+    # flatten: file source wants a flat dir of parquet files
+    import glob
+    import shutil as sh
+
+    flat = tmp_path_factory.mktemp("images_stream_flat")
+    n = 0
+    for f in glob.glob(f"{d}/f*/part-*.parquet"):
+        sh.copy(f, flat / f"part-{n:03d}.parquet")
+        n += 1
+    return str(flat)
+
+
+def test_streaming_image_mosaics_equals_batch(spark, images_dir, tmp_path):
+    """Streamed decode->gate->chip->windowed mosaic == batch over the same
+    frames (exact integer sums; bit-equality by construction)."""
+    from spatial4n_spark.streaming.image_stream import (
+        images_as_stream,
+        streaming_image_chips,
+        streaming_image_mosaics,
+    )
+
+    stream = images_as_stream(spark, images_dir, max_files_per_trigger=1)
+    agg = streaming_image_mosaics(stream, level=4, window="1 hour")
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/cimg")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        f"select window.start as ws, cell, n_chips, n_images, sum_px, sum_val from {name}"
+    ).toPandas()
+
+    batch_imgs = spark.read.parquet(images_dir)
+    chips = streaming_image_chips(batch_imgs, level=4)
+    want = (
+        chips.groupBy(F.window("ts", "1 hour").alias("window"), "cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_chips"),
+            F.sum(((F.col("chip_row") == 0) & (F.col("chip_col") == 0)).cast("long")).alias("n_images"),
+            F.sum(F.col("chip_w") * F.col("chip_h")).alias("sum_px"),
+            F.sum("chip_sum").alias("sum_val"),
+        )
+        .select(F.col("window.start").alias("ws"), "cell", "n_chips", "n_images", "sum_px", "sum_val")
+        .toPandas()
+    )
+    key = ["ws", "cell"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 0
+    for c in ["n_chips", "n_images", "sum_px", "sum_val"]:
+        assert (got[c].values == want[c].values).all(), c
