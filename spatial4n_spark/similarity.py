@@ -263,6 +263,53 @@ def lsh_dup_pairs(
     )
 
 
+def lsh_knn_pairs(
+    emb: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Approximate all-pairs top-k neighbors via multi-table sign-LSH —
+    the scale path for knn_pairs' O(n^2) crossJoin.
+
+    Candidates for each vector are the vectors sharing a bucket in ANY
+    hash table (equi-joins only); exact cosine ranks candidates per
+    vector with a key-partitioned window (vec_id keys — a distributed
+    shuffle, not a single reducer). Vectors whose buckets are singletons
+    in every table produce no rows (approximate recall, exact precision
+    on returned ranks).
+    """
+    b = emb.select("vec_id", _emb_double(F.col("embedding")).alias("e"))
+    for t in range(n_tables):
+        planes = hyperplanes(n_planes, dim, seed=t * 1000)
+        b = b.withColumn(f"b{t}", bucket_col(F.col("e"), planes))
+    cand = None
+    for t in range(n_tables):
+        a_side = b.select(F.col("vec_id"), F.col(f"b{t}").alias("bk"))
+        n_side = b.select(F.col("vec_id").alias("neighbor_id"), F.col(f"b{t}").alias("bk"))
+        pairs_t = (
+            a_side.join(n_side, "bk")
+            .where(F.col("vec_id") != F.col("neighbor_id"))
+            .select("vec_id", "neighbor_id")
+        )
+        cand = pairs_t if cand is None else cand.unionAll(pairs_t)
+    cand = cand.distinct()
+    ea = b.select(F.col("vec_id"), F.col("e").alias("ea"))
+    eb = b.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"))
+    scored = cand.join(ea, "vec_id").join(eb, "neighbor_id")
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_norm2(F.col("ea"))) * F.sqrt(_norm2(F.col("eb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank")
+    )
+
+
 def _query_bucket(qvec: list[float], planes: list[list[float]]) -> int:
     b = 0
     for j, plane in enumerate(planes):

@@ -417,6 +417,51 @@ r AS (SELECT vec_id, cos,
 SELECT vec_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 10"""
 
 
+def q_emb_knn_lsh(spark, sf_dir):
+    """Approximate all-pairs kNN via multi-table sign-LSH candidates —
+    the scale path for emb_knn's O(n^2) baseline (equi-joins + a
+    key-partitioned top-k window only)."""
+    return S.lsh_knn_pairs(
+        _emb(spark, sf_dir), k=3, dim=DIM, n_planes=DUP_PLANES, n_tables=DUP_TABLES
+    )
+
+
+def _sql_emb_knn_lsh() -> str:
+    """Mirror of lsh_knn_pairs: per-table bucket self-joins (directional),
+    exact cosine, per-vector rank."""
+    bucket_cols = []
+    for t in range(DUP_TABLES):
+        planes = S.hyperplanes(DUP_PLANES, DIM, seed=t * 1000)
+        expr = " + ".join(
+            f"(CASE WHEN {_dot_sql('v', f'({_list_lit(p)})')} > 0e0 THEN {2 ** j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+        bucket_cols.append(f"CAST({expr} AS BIGINT) AS b{t}")
+    cand_union = "\nUNION ALL\n".join(
+        f"SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id FROM bk x "
+        f"JOIN bk y ON x.b{t} = y.b{t} AND x.vec_id <> y.vec_id"
+        for t in range(DUP_TABLES)
+    )
+    cos = (
+        f"({_dot_sql('ea.v', 'eb.v')} / "
+        f"(sqrt({_dot_sql('ea.v', 'ea.v')}) * sqrt({_dot_sql('eb.v', 'eb.v')})))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+bk AS MATERIALIZED (SELECT vec_id, v, {", ".join(bucket_cols)} FROM e),
+cand AS (SELECT DISTINCT vec_id, neighbor_id FROM ({cand_union})),
+scored AS (
+  SELECT c.vec_id, c.neighbor_id, {cos} AS cos
+  FROM cand c JOIN bk ea ON ea.vec_id = c.vec_id JOIN bk eb ON eb.vec_id = c.neighbor_id
+)
+SELECT vec_id, neighbor_id, rank FROM (
+  SELECT vec_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC)
+              AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 3"""
+
+
 ANN_PLANES = 4
 ANN_TABLES = 8
 
@@ -470,6 +515,7 @@ TEXT_QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn": q_emb_knn,
+    "emb_knn_lsh": q_emb_knn_lsh,
     "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_dup_pairs": q_emb_dup_pairs,
     "emb_ivf_buckets": q_emb_ivf_buckets,
@@ -491,6 +537,7 @@ def text_oracles() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "emb_cosine_topk": _sql_emb_cosine_topk(),
         "emb_knn": _sql_emb_knn(),
+        "emb_knn_lsh": _sql_emb_knn_lsh(),
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_dup_pairs": _sql_emb_dup_pairs(),
         "emb_ivf_buckets": _sql_emb_ivf_buckets(),

