@@ -97,6 +97,7 @@ def main() -> int:
         "image_pip_join", "doc_dedup", "doc_minhash", "doc_simhash",
         "doc_fingerprint", "emb_cosine_topk", "emb_lsh_buckets", "emb_ann",
         "event_tiles", "emb_ivf_buckets", "emb_ivf_topk",
+        "poly_buffer_join", "emb_knn_lsh",
     ]
     names = [n for n in (only or default_names) if n in queries]
 
