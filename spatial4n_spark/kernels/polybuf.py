@@ -168,6 +168,59 @@ class BufferedPolygon:
         return np.int8(INTERSECTS)
 
 
+    def _dist_to_shape(self, x: float, y: float) -> float:
+        """Flat distance from a point to the core polygon (0 if covered)."""
+        import numpy as np
+
+        if bool(points_covered([x], [y], self.poly, self.geo)[0]):
+            return 0.0
+        return float(np.sqrt(self._dist2_to_boundary(np.array([x]), np.array([y]))[0]))
+
+    def _max_vertex_dist(self, x: float, y: float) -> float:
+        """Max flat distance from a point to the core region — attained at
+        a shell vertex (distance is convex; max over a region equals max
+        over its hull's extreme points, which are shell vertices)."""
+        import numpy as np
+
+        best = 0.0
+        polys = self.poly.polys if isinstance(self.poly, MultiPolygon) else [self.poly]
+        for p in polys:
+            c = unwrap_dateline(p.shell) if self.geo else np.asarray(p.shell)
+            # align the query point onto the ring's page (the page that
+            # brings it closest to the ring's lon center) — maximizing
+            # over pages would wrongly inflate the distance by 360
+            if self.geo:
+                cx = float((c[:, 0].min() + c[:, 0].max()) * 0.5)
+                page = min((0.0, 360.0, -360.0), key=lambda s: abs(x + s - cx))
+            else:
+                page = 0.0
+            d = np.hypot(c[:, 0] - (x + page), c[:, 1] - y)
+            best = max(best, float(d.max()))
+        return best
+
+    def relate_circle(self, c) -> np.int8:
+        """Exact 4-valued relate vs a circle in the buffer's own flat
+        metric: with d = dist(center, P),
+        - d + r <= buf       -> the buffer CONTAINS the circle (distance to
+                                P is 1-Lipschitz, and the bound is attained
+                                moving radially away from P);
+        - maxdist + buf <= r -> the circle contains the buffer (WITHIN);
+        - d > buf + r        -> DISJOINT; else INTERSECTS.
+        Geo circles (great-circle radius in degrees) are related in the
+        same flat degree space the buffer itself is defined in — the
+        reference's GetBuffered is flat too (NtsGeometry.cs:208-209)."""
+        d = self._dist_to_shape(c.x, c.y)
+        if d > self.buf + c.radius:
+            return np.int8(DISJOINT)
+        if d + c.radius <= self.buf:
+            return np.int8(CONTAINS)
+        if self._max_vertex_dist(c.x, c.y) + self.buf <= c.radius:
+            from spatial4n_spark.relation import WITHIN
+
+            return np.int8(WITHIN)
+        return np.int8(INTERSECTS)
+
+
 def buffer_polygon(poly: Polygon | MultiPolygon | Rect, d: float, geo: bool = True):
     """GetBuffered for polygons (NtsGeometry.cs:203-211). d=0 returns the
     polygon itself (JTS buffer(0) of a valid polygon is identity). A Rect

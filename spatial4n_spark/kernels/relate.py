@@ -213,10 +213,13 @@ def relate(a, b, geo: bool = True, calculator: str = "haversine") -> np.int8:
             return CONTAINS if bool(a.covers([b.x], [b.y])[0]) else DISJOINT
         if isinstance(b, Rect):
             return np.int8(a.relate_rect(b))
+        if isinstance(b, Circle):
+            return np.int8(a.relate_circle(b))
         raise TypeError(
             f"relate(BufferedPolygon, {type(b).__name__}) not supported — "
             "buffered polygons are predicate shapes (point covers, rect "
-            "classify, bbox, area); materialize an outline for full relate"
+            "classify, circle relate, bbox, area); materialize an outline "
+            "for polygon x polygon relate"
         )
     if isinstance(b, BufferedPolygon):
         return transpose(relate(b, a, geo, calculator))

@@ -148,3 +148,23 @@ def test_cartesian_point_on_bearing_goldens():
     assert x[1] == pytest.approx(0.0, abs=1e-12) and y[1] == pytest.approx(5.0)
     assert x[2] == 0.0 and y[2] == 0.0  # dist=0 shortcut is exact
     assert x[3] == pytest.approx(3.0, abs=1e-12) and y[3] == pytest.approx(2.0)
+
+
+def test_relate_circle_exact_flat():
+    """BufferedPolygon x Circle: exact in the buffer's flat metric."""
+    from spatial4n_spark.kernels.polygon import Circle
+    from spatial4n_spark.kernels.relate import relate
+    from spatial4n_spark.relation import WITHIN
+
+    bp = buffer_polygon(SQUARE, 2.0)  # buffer of [0,10]^2 by 2
+    # circle fully inside the buffer: center (5,5), dist to P = 0, r=1 <= 2
+    assert relate(bp, Circle(5.0, 5.0, 1.0, geo=False), True) == CONTAINS
+    # center outside at (13,5): dist to P = 3 > buf; r=0.5 -> disjoint
+    assert relate(bp, Circle(13.0, 5.0, 0.5, geo=False), True) == DISJOINT
+    # grazing: dist 3, r 1.5 -> 3 <= 2+1.5 intersects
+    assert relate(bp, Circle(13.0, 5.0, 1.5, geo=False), True) == INTERSECTS
+    # huge circle containing the whole buffer: maxdist from (5,5) to a
+    # vertex is sqrt(50)~7.07; + buf 2 = 9.07 <= r=10 -> WITHIN
+    assert relate(bp, Circle(5.0, 5.0, 10.0, geo=False), True) == WITHIN
+    # boundary-exact: center (14,5): d=4 = buf+r for r=2 -> not disjoint
+    assert relate(bp, Circle(14.0, 5.0, 2.0, geo=False), True) == INTERSECTS
