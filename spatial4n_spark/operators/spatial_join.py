@@ -88,7 +88,14 @@ def spatial_join_points_polygons(
         "_bminx double, _bmaxx double, _bminy double, _bmaxy double",
     )
 
-    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    # reuse a pre-computed cell column when the source already assigned it
+    # (compute-at-ingest: e.g. images_df(cell_level=...) emits the cell in
+    # the same Python pass that generates/decodes the row — no second
+    # Arrow stage just to re-encode coordinates)
+    if "_cell" in points.columns:
+        pts = points
+    else:
+        pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
 
     # the native bbox prefilter lives in the JOIN CONDITION, not a
     # post-join .where(): Catalyst collapses adjacent filters, which would

@@ -123,7 +123,7 @@ def decode_image_batch(buf_list, w: np.ndarray, h: np.ndarray, fmt_list) -> list
     return out
 
 
-def _gen_batch(ids: np.ndarray, with_bytes: bool) -> pa.RecordBatch:
+def _gen_batch(ids: np.ndarray, with_bytes: bool, cell_level: int | None = None) -> pa.RecordBatch:
     n = len(ids)
     lon, lat = synth_coords(ids)
     # sizes 8x8..32x32, deterministic
@@ -156,31 +156,48 @@ def _gen_batch(ids: np.ndarray, with_bytes: bool) -> pa.RecordBatch:
     else:
         payloads = [b""] * n
 
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array(image_id.tolist(), pa.string()),
-            pa.array(payloads, pa.binary()),
-            pa.array(w, pa.int32()),
-            pa.array(h, pa.int32()),
-            pa.array(fmts, pa.string()),
-            pa.array(caption, pa.string()),
-            pa.array(phash, pa.int64()),
-            pa.array(lon, pa.float64()),
-            pa.array(lat, pa.float64()),
-        ],
-        names=["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"],
-    )
+    arrays = [
+        pa.array(image_id.tolist(), pa.string()),
+        pa.array(payloads, pa.binary()),
+        pa.array(w, pa.int32()),
+        pa.array(h, pa.int32()),
+        pa.array(fmts, pa.string()),
+        pa.array(caption, pa.string()),
+        pa.array(phash, pa.int64()),
+        pa.array(lon, pa.float64()),
+        pa.array(lat, pa.float64()),
+    ]
+    names = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lon", "lat"]
+    if cell_level is not None:
+        # compute-at-ingest cell assignment: same numpy pass, no second
+        # Arrow stage downstream just to re-encode the coordinates
+        from spatial4n_spark.kernels.geohash import geohash_encode_str
+
+        arrays.append(pa.array(geohash_encode_str(lat, lon, cell_level), pa.string()))
+        names.append("_cell")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def images_df(spark, n_rows: int, with_bytes: bool = True, partitions: int | None = None):
-    """Distributed deterministic images table: spark.range -> mapInArrow."""
+def images_df(
+    spark,
+    n_rows: int,
+    with_bytes: bool = True,
+    partitions: int | None = None,
+    cell_level: int | None = None,
+):
+    """Distributed deterministic images table: spark.range -> mapInArrow.
+
+    ``cell_level``: also emit the geohash ``_cell`` column at that level
+    in the same generation pass (consumed directly by the spatial join).
+    """
     rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+    schema = IMAGES_SCHEMA + (", _cell string" if cell_level is not None else "")
 
     def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             ids = batch.column(0).to_numpy()
             # bound batch memory: chunk to <= 8192 rows
             for s in range(0, len(ids), 8192):
-                yield _gen_batch(ids[s : s + 8192], with_bytes)
+                yield _gen_batch(ids[s : s + 8192], with_bytes, cell_level)
 
-    return rng.mapInArrow(gen, IMAGES_SCHEMA)
+    return rng.mapInArrow(gen, schema)

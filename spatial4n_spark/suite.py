@@ -827,7 +827,14 @@ def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_bytes=False: the join only needs (image_id, lon, lat) — never
     materialize the payload column you don't read (column pruning can't
     reach inside the generator)."""
-    imgs = images_for_sf(spark, sf_dir, with_bytes=False).select("image_id", "lon", "lat")
+    from spatial4n_spark.sources.images import images_df
+
+    n, parts = _images_scale(sf_dir)
+    # cell assigned inside the generator pass (compute-at-ingest) — the
+    # join consumes the _cell column directly, no second Python stage
+    imgs = images_df(spark, n, with_bytes=False, partitions=parts, cell_level=3).select(
+        "image_id", "lon", "lat", "_cell"
+    )
     out = spatial_join_points_polygons(imgs, layer(), level=3)
     return out.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_images"))
 
