@@ -66,6 +66,8 @@ def spatial_join_points_polygons(
     layer of up to ~10^5 features; for larger layers, partition the layer
     and union the joins). ``level=None`` auto-plans the join level from
     the layer's cover sizes.
+    If ``points`` already carries a ``_cell`` column it is trusted as the
+    join key and MUST be the geohash at ``level`` (compute-at-ingest path).
     Returns the points' columns + ``poly_id`` (+ ``_cell`` if keep_cell).
     """
     spark = points.sparkSession
