@@ -145,21 +145,25 @@ def main() -> int:
             from spatial4n_spark.suite_text import QVEC, _emb
 
             idx_dir = tempfile.mkdtemp(prefix="annidx_")
-            path = os.path.join(idx_dir, "emb_index")
-            AI.write_emb_index(_emb(spark, sf_dir), path)
-            AI.ann_topk_indexed(spark, path, QVEC, k=10).count()  # warm
-            best = None
-            for _ in range(max(reps, 1)):
-                t0 = time.time()
-                rows_out["emb_ann_indexed"] = AI.ann_topk_indexed(
-                    spark, path, QVEC, k=10
-                ).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            times["emb_ann_indexed"] = round(best, 3)
-            shutil.rmtree(idx_dir, ignore_errors=True)
-        except Exception:  # noqa: BLE001
-            pass
+            try:
+                path = os.path.join(idx_dir, "emb_index")
+                AI.write_emb_index(_emb(spark, sf_dir), path)
+                AI.ann_topk_indexed(spark, path, QVEC, k=10).count()  # warm
+                best = None
+                for _ in range(max(reps, 1)):
+                    t0 = time.time()
+                    rows_out["emb_ann_indexed"] = AI.ann_topk_indexed(
+                        spark, path, QVEC, k=10
+                    ).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                times["emb_ann_indexed"] = round(best, 3)
+            finally:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            # visible, not fatal: a broken index path must show up on
+            # stderr rather than silently dropping the row
+            print(f"emb_ann_indexed FAILED: {e!r}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

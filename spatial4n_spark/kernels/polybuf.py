@@ -129,17 +129,19 @@ class BufferedPolygon:
         return Rect(float(mnx), float(mxx), float(mny), float(mxy))
 
     def area(self) -> float:
-        """Flat buffered area: A + perimeter*d + pi*d^2 (exact for convex
-        cores; an upper-bound estimate for reflex corners, consistent with
-        the engine's estimate-grade polygon areas, SURVEY.md §2.3)."""
+        """Flat buffered area: A + perimeter*d + k*pi*d^2, one full arc
+        set per disjoint component k (exact for convex components; an
+        upper-bound estimate for reflex corners, consistent with the
+        engine's estimate-grade polygon areas, SURVEY.md §2.3)."""
         from spatial4n_spark.kernels.area import polygon_area
 
         segs = self._segments()
         perim = float(np.sum(np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])))
+        n_comp = len(self.poly.polys) if isinstance(self.poly, MultiPolygon) else 1
         return (
             float(polygon_area(self.poly, geo=False))
             + perim * self.buf
-            + math.pi * self.buf * self.buf
+            + n_comp * math.pi * self.buf * self.buf
         )
 
     def relate_rect(self, r: Rect) -> np.int8:
@@ -148,9 +150,22 @@ class BufferedPolygon:
         DISJOINT when even the buf-expanded rect misses the core
         (necessary: |p-q|<=buf implies q within the per-axis expansion),
         INTERSECTS otherwise — boundary cells are refined per point."""
+        from spatial4n_spark.kernels.bbox import rect_relate_rect
+        from spatial4n_spark.relation import WITHIN
+
         core_rel = relate_polygon_rect(self.poly, r, self.geo)
         if core_rel == CONTAINS:
             return np.int8(CONTAINS)
+        if core_rel == WITHIN:
+            # the rect containing the CORE does not imply it contains the
+            # buffer band; it does when it contains the buffered bbox
+            # (buffer ⊆ bbox(buffer)) — else the band sticks out
+            bb = self.bbox()
+            rr = rect_relate_rect(
+                r.min_x, r.max_x, r.min_y, r.max_y,
+                bb.min_x, bb.max_x, bb.min_y, bb.max_y, self.geo,
+            )[0]
+            return np.int8(WITHIN if rr == CONTAINS else INTERSECTS)
         if core_rel != DISJOINT or self.buf == 0.0:
             return np.int8(core_rel)
         # rect_buffer's geo lon expansion is >= the flat buf everywhere

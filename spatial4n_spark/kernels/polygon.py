@@ -131,12 +131,16 @@ def unwrap_dateline(coords: np.ndarray) -> np.ndarray:
     # cumulative page shift: each jump > 180 pulls subsequent points back
     steps = np.where(dx > 180.0, -360.0, np.where(dx < -180.0, 360.0, 0.0))
     shift[1:] = np.cumsum(steps)
-    # a closed ring with net winding (e.g. a polar cap spanning all 360 deg
-    # of longitude) cannot be unwrapped — page-shifting would break ring
+    # a ring with net winding (e.g. a polar cap spanning all 360 deg of
+    # longitude) cannot be unwrapped — page-shifting would break ring
     # closure and collapse the shell; keep the flat interpretation (the
-    # reference's NTS path also treats such rings as flat lat/lon rings)
-    closed_in = np.array_equal(coords[0], coords[-1])
-    if closed_in and shift[-1] != 0.0:
+    # reference's NTS path also treats such rings as flat lat/lon rings).
+    # The net includes the VIRTUAL closing step (last -> first), so open
+    # ring forms are caught too; for ordinary open polylines the closing
+    # step compensates any single crossing and the net stays 0.
+    close_dx = coords[0, 0] - coords[-1, 0]
+    close_step = -360.0 if close_dx > 180.0 else (360.0 if close_dx < -180.0 else 0.0)
+    if shift[-1] + close_step != 0.0:
         return coords
     coords[:, 0] += shift
     return coords

@@ -114,13 +114,12 @@ def knn_join(
     # world's cells, ring pruning cannot help — go straight to the exact
     # brute-force fallback, which is cheap precisely when the table is
     # that sparse (ring search is the win on dense tables)
-    world_cells = 32 ** level
-    rounds = max_rounds if (2 * rings0 + 1) ** 2 < world_cells // 4 else 0
+    rounds = max_rounds if (2 * rings0 + 1) ** 2 < n_cells_world // 4 else 0
 
     for _ in range(rounds):
         if not pending:
             break
-        if (2 * rings + 1) ** 2 >= world_cells // 4:
+        if (2 * rings + 1) ** 2 >= n_cells_world // 4:
             break  # doubled past the useful range: fall back
         rows = []
         for qid, (qlon, qlat) in pending.items():

@@ -59,6 +59,7 @@ def spatial_join_points_polygons(
     level: int | None = 4,
     geo: bool = True,
     keep_cell: bool = False,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Inner-join points to the polygons that cover them.
 
@@ -66,8 +67,11 @@ def spatial_join_points_polygons(
     layer of up to ~10^5 features; for larger layers, partition the layer
     and union the joins). ``level=None`` auto-plans the join level from
     the layer's cover sizes.
-    If ``points`` already carries a ``_cell`` column it is trusted as the
-    join key and MUST be the geohash at ``level`` (compute-at-ingest path).
+    ``cell_col``: name of a pre-assigned geohash column to use as the join
+    key (compute-at-ingest path) — must be encoded at ``level``; an
+    explicit opt-in, and the level contract is asserted against the
+    column values at runtime (mismatched levels would silently join
+    nothing otherwise).
     Returns the points' columns + ``poly_id`` (+ ``_cell`` if keep_cell).
     """
     spark = points.sparkSession
@@ -90,12 +94,21 @@ def spatial_join_points_polygons(
         "_bminx double, _bmaxx double, _bminy double, _bmaxy double",
     )
 
-    # reuse a pre-computed cell column when the source already assigned it
-    # (compute-at-ingest: e.g. images_df(cell_level=...) emits the cell in
-    # the same Python pass that generates/decodes the row — no second
-    # Arrow stage just to re-encode coordinates)
-    if "_cell" in points.columns:
-        pts = points
+    if cell_col is not None:
+        # explicit compute-at-ingest path (e.g. images_df(cell_level=...));
+        # enforce the level contract loudly — a wrong-level cell column
+        # would equi-join to zero rows silently
+        pts = points.withColumn(
+            "_cell",
+            F.when(F.length(F.col(cell_col)) == level, F.col(cell_col)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"cell_col {cell_col!r} is not a level-{level} geohash: "),
+                        F.col(cell_col),
+                    )
+                )
+            ),
+        )
     else:
         pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
 

@@ -766,13 +766,7 @@ def images_for_sf(
     """Deterministic image table sized to the sf tier (sf0.01 -> 20k rows)."""
     from spatial4n_spark.sources.images import images_df
 
-    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf = float(tail)
-    except ValueError:
-        sf = 0.01
-    n = max(int(sf * rows_per_sf), 1000)
-    parts = max(4, min(64, n // 8192))
+    n, parts = _images_scale(sf_dir, rows_per_sf)
     return images_df(spark, n, with_bytes=with_bytes, partitions=parts)
 
 
@@ -835,7 +829,7 @@ def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = images_df(spark, n, with_bytes=False, partitions=parts, cell_level=3).select(
         "image_id", "lon", "lat", "_cell"
     )
-    out = spatial_join_points_polygons(imgs, layer(), level=3)
+    out = spatial_join_points_polygons(imgs, layer(), level=3, cell_col="_cell")
     return out.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_images"))
 
 

@@ -168,3 +168,44 @@ def test_relate_circle_exact_flat():
     assert relate(bp, Circle(5.0, 5.0, 10.0, geo=False), True) == WITHIN
     # boundary-exact: center (14,5): d=4 = buf+r for r=2 -> not disjoint
     assert relate(bp, Circle(14.0, 5.0, 2.0, geo=False), True) == INTERSECTS
+
+
+def test_relate_rect_within_requires_buffer_containment():
+    """A rect containing only the CORE does not contain the buffer: the
+    relate must be INTERSECTS unless the rect covers the buffered bbox
+    (round-2 review finding)."""
+    from spatial4n_spark.relation import WITHIN
+
+    small_core = Polygon(
+        np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]])
+    )
+    bp = buffer_polygon(small_core, 10.0)
+    # rect [0,10]^2 contains the core but the buffer sticks out (e.g. (12,5))
+    assert bp.relate_rect(Rect(0.0, 10.0, 0.0, 10.0)) == INTERSECTS
+    # a rect covering the whole buffered bbox IS within-able
+    bb = bp.bbox()
+    big = Rect(bb.min_x - 1, bb.max_x + 1, max(bb.min_y - 1, -90.0), min(bb.max_y + 1, 90.0))
+    assert bp.relate_rect(big) == WITHIN
+
+
+def test_open_polar_cap_ring_stays_flat():
+    """An OPEN polar-cap ring (no explicit closing point) must not be
+    page-shifted into a degenerate shell (round-2 review finding)."""
+    open_cap = Polygon(
+        np.array([[-180.0, 86.0], [-60.0, 86.0], [60.0, 86.0],
+                  [180.0, 86.0], [180.0, 90.0], [-180.0, 90.0]])
+    )
+    assert bool(points_covered([0.0], [88.5], open_cap, True)[0])
+    assert not bool(points_covered([0.0], [80.0], open_cap, True)[0])
+
+
+def test_multipolygon_buffer_area_counts_components():
+    """pi*d^2 arc term once per disjoint component."""
+    from spatial4n_spark.kernels.polygon import MultiPolygon
+
+    sq = lambda x0: Polygon(np.array(
+        [[x0, 0.0], [x0 + 1, 0.0], [x0 + 1, 1.0], [x0, 1.0], [x0, 0.0]]))
+    mp = MultiPolygon((sq(0.0), sq(50.0)))
+    bp = buffer_polygon(mp, 2.0)
+    want = 2 * (1.0 + 4.0 * 2.0) + 2 * math.pi * 4.0
+    assert bp.area() == pytest.approx(want)
