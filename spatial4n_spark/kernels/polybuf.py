@@ -213,6 +213,66 @@ class BufferedPolygon:
             best = max(best, float(d.max()))
         return best
 
+    def _min_dist2_between_boundaries(self, b) -> float:
+        """Min squared flat distance between this core's boundary and
+        polygon ``b``'s boundary — exact (vectorized point-to-segment in
+        both directions covers the segment-to-segment minimum, because the
+        closest pair between two segment sets is always realized with one
+        endpoint-free projection onto the other set unless segments cross,
+        and crossing cores are handled before this is called)."""
+        from spatial4n_spark.kernels.polygon import _sample_points, close_ring
+
+        polys = b.polys if isinstance(b, MultiPolygon) else [b]
+        best = np.inf
+        # b's vertices+midpoints vs P's segments (dense via _dist2_to_boundary)
+        for p in polys:
+            s = _sample_points(p)
+            best = min(best, float(self._dist2_to_boundary(s[:, 0], s[:, 1]).min()))
+        # P's vertices vs b's segments
+        segs_p = self._segments()
+        pv = np.concatenate([segs_p[:, :2], segs_p[:, 2:]])
+        bp_other = BufferedPolygon(b, max(self.buf, 1e-12), self.geo)
+        best = min(best, float(bp_other._dist2_to_boundary(pv[:, 0], pv[:, 1]).min()))
+        return best
+
+    def relate_polygon(self, b) -> np.int8:
+        """4-valued relate vs a polygon/multipolygon, estimate-grade in the
+        same sense as the engine's polygon x polygon relate (boundary
+        sampling for containment, exact crossing/distance tests for
+        intersect/disjoint):
+        - core CONTAINS b            -> CONTAINS (b ⊆ P ⊆ buffer);
+        - cores disjoint and the boundary gap > buf -> DISJOINT (exact);
+        - cores disjoint, gap <= buf, and every sample of b's boundary is
+          covered by the buffer -> CONTAINS (b inside the band);
+        - core WITHIN b: the buffer sticks out of the core — WITHIN only
+          if b also covers the buffered bbox corners (conservative);
+        - else INTERSECTS."""
+        from spatial4n_spark.kernels.polygon import (
+            _sample_points,
+            relate_polygon_polygon,
+        )
+        from spatial4n_spark.relation import WITHIN
+
+        core = relate_polygon_polygon(self.poly, b, self.geo)
+        if core == CONTAINS:
+            return np.int8(CONTAINS)
+        if core == WITHIN:
+            # sound containment test: WITHIN only if b covers the whole
+            # buffered bbox as a REGION (buffer ⊆ bbox(buffer) ⊆ b);
+            # corner sampling alone could miss a hole of b inside the bbox
+            if relate_polygon_rect(b, self.bbox(), self.geo) == CONTAINS:
+                return np.int8(WITHIN)
+            return np.int8(INTERSECTS)
+        if core != DISJOINT:
+            return np.int8(INTERSECTS)
+        if self._min_dist2_between_boundaries(b) > self.buf * self.buf:
+            return np.int8(DISJOINT)
+        polys = b.polys if isinstance(b, MultiPolygon) else [b]
+        samples = np.vstack([_sample_points(p) for p in polys])
+        if bool(np.all(self.covers(samples[:, 0], samples[:, 1]))):
+            return np.int8(CONTAINS)
+        return np.int8(INTERSECTS)
+
     def relate_circle(self, c) -> np.int8:
         """Exact 4-valued relate vs a circle in the buffer's own flat
         metric: with d = dist(center, P),

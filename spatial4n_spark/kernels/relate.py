@@ -215,11 +215,12 @@ def relate(a, b, geo: bool = True, calculator: str = "haversine") -> np.int8:
             return np.int8(a.relate_rect(b))
         if isinstance(b, Circle):
             return np.int8(a.relate_circle(b))
+        if isinstance(b, (Polygon, MultiPolygon)):
+            return np.int8(a.relate_polygon(b))
         raise TypeError(
             f"relate(BufferedPolygon, {type(b).__name__}) not supported — "
-            "buffered polygons are predicate shapes (point covers, rect "
-            "classify, circle relate, bbox, area); materialize an outline "
-            "for polygon x polygon relate"
+            "buffered polygons relate to points, rects, circles, and "
+            "polygons; materialize an outline for the remaining pairs"
         )
     if isinstance(b, BufferedPolygon):
         return transpose(relate(b, a, geo, calculator))

@@ -209,3 +209,40 @@ def test_multipolygon_buffer_area_counts_components():
     bp = buffer_polygon(mp, 2.0)
     want = 2 * (1.0 + 4.0 * 2.0) + 2 * math.pi * 4.0
     assert bp.area() == pytest.approx(want)
+
+
+def test_relate_polygon_cases():
+    """BufferedPolygon x Polygon: exact disjoint/containment distance
+    logic, estimate-grade band containment (review of all 4 branches)."""
+    from spatial4n_spark.kernels.relate import relate
+    from spatial4n_spark.relation import WITHIN
+
+    bp = buffer_polygon(SQUARE, 2.0)  # [0,10]^2 + 2
+
+    tri_inside = Polygon(np.array([[2.0, 2.0], [4.0, 2.0], [3.0, 4.0], [2.0, 2.0]]))
+    assert relate(bp, tri_inside, True) == CONTAINS  # core contains it
+
+    tri_far = Polygon(np.array([[30.0, 30.0], [32.0, 30.0], [31.0, 32.0], [30.0, 30.0]]))
+    assert relate(bp, tri_far, True) == DISJOINT  # gap >> buf
+
+    # entirely inside the buffer band (outside the core): x in [10.5, 11.5]
+    tri_band = Polygon(np.array([[10.5, 4.0], [11.5, 4.0], [11.0, 5.0], [10.5, 4.0]]))
+    assert relate(bp, tri_band, True) == CONTAINS
+
+    # straddles the outer buffer boundary: x in [11, 14]
+    tri_cross = Polygon(np.array([[11.0, 4.0], [14.0, 4.0], [12.5, 6.0], [11.0, 4.0]]))
+    assert relate(bp, tri_cross, True) == INTERSECTS
+
+    # huge polygon containing the whole buffer -> WITHIN
+    big = Polygon(np.array([[-20.0, -20.0], [30.0, -20.0], [30.0, 30.0],
+                            [-20.0, 30.0], [-20.0, -20.0]]))
+    assert relate(bp, big, True) == WITHIN
+    # huge polygon with a hole overlapping the buffer bbox: NOT within
+    # (hole sized/placed so the estimate-grade rect sampling sees it —
+    # a pinhole hole evading every sample is a documented limitation of
+    # the engine's sampling-based polygon relate, not of this dispatch)
+    big_holed = Polygon(
+        np.array([[-20.0, -20.0], [30.0, -20.0], [30.0, 30.0], [-20.0, 30.0], [-20.0, -20.0]]),
+        (np.array([[11.0, 11.0], [13.0, 11.0], [13.0, 13.0], [11.0, 13.0], [11.0, 11.0]]),),
+    )
+    assert relate(bp, big_holed, True) == INTERSECTS
