@@ -213,49 +213,78 @@ class BufferedPolygon:
             best = max(best, float(d.max()))
         return best
 
-    def _min_dist2_between_boundaries(self, b) -> float:
-        """Min squared flat distance between this core's boundary and
-        polygon ``b``'s boundary — exact (vectorized point-to-segment in
-        both directions covers the segment-to-segment minimum, because the
-        closest pair between two segment sets is always realized with one
-        endpoint-free projection onto the other set unless segments cross,
-        and crossing cores are handled before this is called)."""
-        from spatial4n_spark.kernels.polygon import _sample_points, close_ring
-
+    def _unwrapped_components(self, b) -> list:
+        """b's component polygons with geo rings unwrapped — sampling a
+        dateline-hopping ring raw would produce garbage midpoints near
+        lon 0 (relate_polygon_polygon unwraps the same way)."""
         polys = b.polys if isinstance(b, MultiPolygon) else [b]
+        if not self.geo:
+            return list(polys)
+        return [
+            Polygon(unwrap_dateline(p.shell), tuple(unwrap_dateline(h) for h in p.holes))
+            for p in polys
+        ]
+
+    def _min_dist2_to_samples(self, samples: np.ndarray, b_components: list) -> float:
+        """Min squared flat distance between this core's boundary and
+        polygon ``b``'s boundary — exact for non-crossing sets (the
+        closest pair between two segment sets is realized by an endpoint
+        of one projected onto the other unless segments cross, and
+        crossing cores are handled before this is called).
+        ``samples``: b's boundary vertices+midpoints (unwrapped)."""
         best = np.inf
-        # b's vertices+midpoints vs P's segments (dense via _dist2_to_boundary)
-        for p in polys:
-            s = _sample_points(p)
-            best = min(best, float(self._dist2_to_boundary(s[:, 0], s[:, 1]).min()))
-        # P's vertices vs b's segments
+        if len(samples):
+            best = min(best, float(self._dist2_to_boundary(samples[:, 0], samples[:, 1]).min()))
         segs_p = self._segments()
-        pv = np.concatenate([segs_p[:, :2], segs_p[:, 2:]])
-        bp_other = BufferedPolygon(b, max(self.buf, 1e-12), self.geo)
-        best = min(best, float(bp_other._dist2_to_boundary(pv[:, 0], pv[:, 1]).min()))
+        if len(segs_p) and b_components:
+            pv = np.concatenate([segs_p[:, :2], segs_p[:, 2:]])
+            # buf is irrelevant here — _dist2_to_boundary only reads rings
+            helper = BufferedPolygon(
+                b_components[0] if len(b_components) == 1 else MultiPolygon(tuple(b_components)),
+                0.0,
+                self.geo,
+            )
+            best = min(best, float(helper._dist2_to_boundary(pv[:, 0], pv[:, 1]).min()))
         return best
 
     def relate_polygon(self, b) -> np.int8:
         """4-valued relate vs a polygon/multipolygon, estimate-grade in the
         same sense as the engine's polygon x polygon relate (boundary
-        sampling for containment, exact crossing/distance tests for
-        intersect/disjoint):
-        - core CONTAINS b            -> CONTAINS (b ⊆ P ⊆ buffer);
-        - cores disjoint and the boundary gap > buf -> DISJOINT (exact);
-        - cores disjoint, gap <= buf, and every sample of b's boundary is
-          covered by the buffer -> CONTAINS (b inside the band);
-        - core WITHIN b: the buffer sticks out of the core — WITHIN only
-          if b also covers the buffered bbox corners (conservative);
+        sampling for containment, exact distance test for disjoint):
+        - core CONTAINS b, or every boundary sample + interior probe of b
+          is covered by the buffer -> CONTAINS (checked for ANY core
+          relation — b may straddle the core yet sit inside the band);
+        - core WITHIN b and b covers the buffered bbox as a region -> WITHIN;
+        - cores disjoint and the exact boundary gap > buf -> DISJOINT;
         - else INTERSECTS."""
         from spatial4n_spark.kernels.polygon import (
+            _interior_point,
             _sample_points,
             relate_polygon_polygon,
         )
         from spatial4n_spark.relation import WITHIN
 
+        if self.is_empty:
+            return np.int8(DISJOINT)
+        comps = self._unwrapped_components(b)
+        comps = [p for p in comps if len(p.shell)]
+        if not comps:
+            return np.int8(DISJOINT)
+
         core = relate_polygon_polygon(self.poly, b, self.geo)
         if core == CONTAINS:
             return np.int8(CONTAINS)
+
+        # band containment, any core relation: boundary samples + one
+        # interior probe per component (the probe catches b-interior
+        # pockets inside shrunken-hole voids of the buffer)
+        samples = np.vstack([_sample_points(p) for p in comps])
+        probes = np.array([_interior_point(p) for p in comps])
+        if bool(np.all(self.covers(samples[:, 0], samples[:, 1]))) and bool(
+            np.all(self.covers(probes[:, 0], probes[:, 1]))
+        ):
+            return np.int8(CONTAINS)
+
         if core == WITHIN:
             # sound containment test: WITHIN only if b covers the whole
             # buffered bbox as a REGION (buffer ⊆ bbox(buffer) ⊆ b);
@@ -265,12 +294,8 @@ class BufferedPolygon:
             return np.int8(INTERSECTS)
         if core != DISJOINT:
             return np.int8(INTERSECTS)
-        if self._min_dist2_between_boundaries(b) > self.buf * self.buf:
+        if self._min_dist2_to_samples(samples, comps) > self.buf * self.buf:
             return np.int8(DISJOINT)
-        polys = b.polys if isinstance(b, MultiPolygon) else [b]
-        samples = np.vstack([_sample_points(p) for p in polys])
-        if bool(np.all(self.covers(samples[:, 0], samples[:, 1]))):
-            return np.int8(CONTAINS)
         return np.int8(INTERSECTS)
 
     def relate_circle(self, c) -> np.int8:

@@ -246,3 +246,26 @@ def test_relate_polygon_cases():
         (np.array([[11.0, 11.0], [13.0, 11.0], [13.0, 13.0], [11.0, 13.0], [11.0, 11.0]]),),
     )
     assert relate(bp, big_holed, True) == INTERSECTS
+
+
+def test_relate_polygon_review_regressions():
+    """Round-2 follow-up review: band CONTAINS for core-straddling b,
+    dateline-hopping b sampling, empty-core grace."""
+    from spatial4n_spark.kernels.relate import relate
+
+    bp = buffer_polygon(SQUARE, 2.0)
+    # b straddles the core edge but sits entirely inside the buffer
+    straddle = Polygon(np.array([[9.0, 4.0], [11.0, 4.0], [10.0, 5.5], [9.0, 4.0]]))
+    assert relate(bp, straddle, True) == CONTAINS
+    # b contains the core and is contained by the buffer
+    between = Polygon(np.array([[-1.0, -1.0], [11.0, -1.0], [11.0, 11.0],
+                                [-1.0, 11.0], [-1.0, -1.0]]))
+    assert relate(bp, between, True) == CONTAINS
+    # dateline-hopping b far from P: raw-midpoint sampling would put a
+    # bogus sample at lon 0 touching P — must be DISJOINT
+    dl = Polygon(np.array([[179.0, 0.0], [-179.0, 0.0], [-179.0, 2.0],
+                           [179.0, 2.0], [179.0, 0.0]]))
+    assert relate(bp, dl, True) == DISJOINT
+    # empty core: graceful DISJOINT, no crash
+    empty_bp = BufferedPolygon(Polygon(np.empty((0, 2))), 1.0)
+    assert empty_bp.relate_polygon(straddle) == DISJOINT
