@@ -37,7 +37,7 @@ spark = (SparkSession.builder.master(f"local[{cpus}]")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from spatial4n_spark.sources.images import images_df
-from spatial4n_spark.operators.raster import generate_raster_pipeline
+from spatial4n_spark.operators.raster import generate_raster_pipeline, raster_pipeline
 from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
 from spatial4n_spark.suite import layer
 
@@ -45,6 +45,10 @@ def run_job(n):
     if job == "raster":
         # fused generate->decode->gate->chip->agg (bytes never cross Arrow)
         return generate_raster_pipeline(spark, n, level=4, chip_px=8, partitions=parts).count()
+    if job == "raster_scan":
+        # source-table form: image rows cross the Arrow boundary into the
+        # decode stage, as a parquet/Iceberg scan feeding decode would
+        return raster_pipeline(images_df(spark, n, partitions=parts), level=4, chip_px=8).count()
     if job == "pip":
         pts = images_df(spark, n, with_bytes=False, partitions=parts).select("image_id", "lon", "lat")
         return spatial_join_points_polygons(pts, layer(), level=3).count()
@@ -81,7 +85,7 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=400_000)
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--levels", type=str, default="8,32")
-    ap.add_argument("--job", type=str, default="raster", choices=["raster", "pip"])
+    ap.add_argument("--job", type=str, default="raster", choices=["raster", "raster_scan", "pip"])
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--write", action="store_true", help="append results to BENCH.md")
     args = ap.parse_args()
@@ -91,7 +95,11 @@ def main() -> int:
     lo, hi = results[0], results[-1]
     eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / (hi["cpus"] / lo["cpus"])
     summary = {
-        "job": args.job + (" (decode+gate+chip+cell-agg)" if args.job == "raster" else " (cell-cover broadcast join + exact PIP)"),
+        "job": args.job + {
+            "raster": " (fused decode+gate+chip+cell-agg)",
+            "raster_scan": " (scan->decode+gate+chip+cell-agg)",
+            "pip": " (cell-cover broadcast join + exact PIP)",
+        }[args.job],
         "rows": args.rows,
         "partitions": args.partitions,
         "levels": results,
