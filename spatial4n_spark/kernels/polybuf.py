@@ -151,11 +151,34 @@ class BufferedPolygon:
         (necessary: |p-q|<=buf implies q within the per-axis expansion),
         INTERSECTS otherwise — boundary cells are refined per point."""
         from spatial4n_spark.kernels.bbox import rect_relate_rect
+        from spatial4n_spark.kernels.polygon import _sample_points
         from spatial4n_spark.relation import WITHIN
 
         core_rel = relate_polygon_rect(self.poly, r, self.geo)
         if core_rel == CONTAINS:
             return np.int8(CONTAINS)
+        # band containment for ANY core relation (mirrors relate_polygon):
+        # the rect may contain or straddle the core yet lie wholly inside
+        # the band — boundary samples (vertices + edge midpoints) plus a
+        # center probe all covered -> CONTAINS (round-3 ADVICE fix)
+        if self.buf > 0.0 and not self.is_empty:
+            mxx = r.max_x + 360.0 if (self.geo and r.min_x > r.max_x) else r.max_x
+            rect_poly = Polygon(
+                np.array(
+                    [
+                        [r.min_x, r.min_y],
+                        [mxx, r.min_y],
+                        [mxx, r.max_y],
+                        [r.min_x, r.max_y],
+                        [r.min_x, r.min_y],
+                    ]
+                )
+            )
+            s = _sample_points(rect_poly)
+            px = np.concatenate([s[:, 0], [(r.min_x + mxx) * 0.5]])
+            py = np.concatenate([s[:, 1], [(r.min_y + r.max_y) * 0.5]])
+            if bool(np.all(self.covers(px, py))):
+                return np.int8(CONTAINS)
         if core_rel == WITHIN:
             # the rect containing the CORE does not imply it contains the
             # buffer band; it does when it contains the buffered bbox

@@ -60,20 +60,40 @@ def streaming_image_chips(
     """
     from spatial4n_spark.operators.raster import _tile_chunk
 
+    from collections import Counter, defaultdict, deque
+
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
                 chunk = batch.slice(s, chunk_rows)
                 chips = _tile_chunk(chunk, level, chip_px, False, min_psnr_db)
-                # re-attach ts: chips are emitted grouped per image in
-                # input order, one image's chips contiguous
-                ts = chunk.column("ts")
+                # re-attach ts positionally: a replayed/duplicate stream
+                # record shares its image_id, so a dict lookup would give
+                # every copy the LAST row's ts (round-3 ADVICE fix).
+                # Chips come out contiguous per input occurrence (size
+                # groups preserve ascending input order within a group),
+                # and duplicates of one id emit identical chip counts, so
+                # each maximal run of an id covers run_len / chips-per-
+                # occurrence occurrences, consumed from a per-id FIFO of
+                # input-order timestamps.
                 ids = chunk.column("image_id").to_pylist()
-                ts_by_id = {i: t for i, t in zip(ids, ts.to_pylist())}
-                out_ts = pa.array(
-                    [ts_by_id[i] for i in chips.column("image_id").to_pylist()],
-                    pa.timestamp("us"),
-                )
+                out_ids = chips.column("image_id").to_pylist()
+                queues = defaultdict(deque)
+                for i, t in zip(ids, chunk.column("ts").to_pylist()):
+                    queues[i].append(t)
+                n_in, n_out = Counter(ids), Counter(out_ids)
+                out_ts_vals = []
+                j, n = 0, len(out_ids)
+                while j < n:
+                    iid = out_ids[j]
+                    k = j
+                    while k < n and out_ids[k] == iid:
+                        k += 1
+                    cpo = n_out[iid] // n_in[iid]  # chips per occurrence
+                    for _ in range((k - j) // cpo):
+                        out_ts_vals.extend([queues[iid].popleft()] * cpo)
+                    j = k
+                out_ts = pa.array(out_ts_vals, pa.timestamp("us"))
                 cols = [chips.column(n) for n in chips.schema.names if n != "chip"]
                 names = [n for n in chips.schema.names if n != "chip"]
                 yield pa.RecordBatch.from_arrays(cols + [out_ts], names=names + ["ts"])

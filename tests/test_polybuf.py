@@ -135,8 +135,10 @@ def test_relate_dispatch_point():
     bp = buffer_polygon(SQUARE, 2.0)
     from spatial4n_spark.kernels.polygon import Point
 
+    from spatial4n_spark.relation import WITHIN
+
     assert relate(bp, Point(-1.0, 5.0), True) == CONTAINS
-    assert relate(Point(-1.0, 5.0), bp, True) == -CONTAINS or True  # transpose path runs
+    assert relate(Point(-1.0, 5.0), bp, True) == WITHIN  # transpose path
     assert relate(bp, Point(-5.0, 5.0), True) == DISJOINT
 
 
@@ -172,20 +174,27 @@ def test_relate_circle_exact_flat():
 
 def test_relate_rect_within_requires_buffer_containment():
     """A rect containing only the CORE does not contain the buffer: the
-    relate must be INTERSECTS unless the rect covers the buffered bbox
-    (round-2 review finding)."""
+    relate must not be WITHIN unless the rect covers the buffered bbox;
+    and a rect lying wholly inside the band is CONTAINS even when it
+    also contains the core (round-2 review finding + round-3 ADVICE)."""
     from spatial4n_spark.relation import WITHIN
 
     small_core = Polygon(
         np.array([[4.0, 4.0], [6.0, 4.0], [6.0, 6.0], [4.0, 6.0], [4.0, 4.0]])
     )
     bp = buffer_polygon(small_core, 10.0)
-    # rect [0,10]^2 contains the core but the buffer sticks out (e.g. (12,5))
-    assert bp.relate_rect(Rect(0.0, 10.0, 0.0, 10.0)) == INTERSECTS
+    # rect [0,10]^2 contains the core AND sits wholly inside the band
+    # (farthest corner (0,0) is sqrt(32)~5.66 <= 10 from the core), so
+    # the buffer CONTAINS the rect
+    assert bp.relate_rect(Rect(0.0, 10.0, 0.0, 10.0)) == CONTAINS
     # a rect covering the whole buffered bbox IS within-able
     bb = bp.bbox()
     big = Rect(bb.min_x - 1, bb.max_x + 1, max(bb.min_y - 1, -90.0), min(bb.max_y + 1, 90.0))
     assert bp.relate_rect(big) == WITHIN
+    # rect contains the core, the band sticks out past the rect in y,
+    # and the rect's far corners stick out past the band in x -> INTERSECTS
+    bp2 = buffer_polygon(small_core, 5.0)
+    assert bp2.relate_rect(Rect(0.0, 20.0, 3.0, 7.0)) == INTERSECTS
 
 
 def test_open_polar_cap_ring_stays_flat():

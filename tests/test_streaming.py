@@ -213,6 +213,36 @@ def images_dir(tmp_path_factory, spark):
     return str(flat)
 
 
+def test_streaming_chips_duplicate_ids_keep_own_ts(spark):
+    """A replayed stream record (same image_id, different ts) must keep its
+    OWN event time on its chips — the round-2 dict lookup gave every copy
+    the last row's ts (round-3 ADVICE fix)."""
+    import datetime
+
+    import pandas as pd
+
+    from spatial4n_spark.sources.images import images_df
+    from spatial4n_spark.streaming.image_stream import (
+        IMAGES_TS_SCHEMA,
+        streaming_image_chips,
+    )
+
+    base = images_df(spark, 3, with_bytes=True, partitions=1).collect()
+    t1 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    t2 = datetime.datetime(2026, 1, 1, 5, 0, 0)
+    data = [tuple(r) + (t1,) for r in base]
+    # replay base[1] with a different event time, adjacent to the original
+    data.insert(2, tuple(base[1]) + (t2,))
+    df = spark.createDataFrame(data, IMAGES_TS_SCHEMA).coalesce(1)
+    chips = streaming_image_chips(df, level=4).toPandas()
+    dup_id = base[1]["image_id"]
+    one = chips[chips.image_id == dup_id]
+    per_ts = one.groupby("ts").size()
+    assert set(per_ts.index) == {pd.Timestamp(t1), pd.Timestamp(t2)}
+    assert per_ts.nunique() == 1  # equal chip count per occurrence
+    assert (chips[chips.image_id != dup_id].ts == pd.Timestamp(t1)).all()
+
+
 def test_streaming_image_mosaics_equals_batch(spark, images_dir, tmp_path):
     """Streamed decode->gate->chip->windowed mosaic == batch over the same
     frames (exact integer sums; bit-equality by construction)."""

@@ -45,8 +45,11 @@ def _work_chunk(args: tuple[int, int]) -> int:
 
 
 def run_level(workers: int, rows: int, chunk: int = 4000, reps: int = 3) -> dict:
+    if reps < 1:
+        raise ValueError("reps must be >= 1")
     chunks = [(s, min(chunk, rows - s)) for s in range(0, rows, chunk)]
     best = None
+    total = 0
     with mp.Pool(workers) as pool:
         pool.map(_work_chunk, chunks[:2])  # warm the pool
         for _ in range(reps):
