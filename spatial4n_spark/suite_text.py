@@ -500,6 +500,77 @@ SELECT vec_id, rank, round(cos, 4) AS cos FROM r WHERE rank <= 10"""
 
 
 # ---------------------------------------------------------------------------
+# materialized-index probes (build once per sf tier, probe many)
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _emb_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the materialized ANN index for this sf tier
+    (io.ann_index) — the storage artifact both indexed gate queries probe.
+    Keyed by (dir, source mtime) so a regenerated testdata tier rebuilds."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    key = f"{src}:{os.path.getmtime(src)}:{ANN_PLANES}:{ANN_TABLES}"
+    if key not in _INDEX_CACHE:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spatial4n_emb_index",
+            hashlib.md5(key.encode()).hexdigest()[:16],
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            from spatial4n_spark.io.ann_index import write_emb_index
+
+            write_emb_index(
+                _emb(spark, sf_dir),
+                path,
+                centroids=IVF_CENTROIDS,
+                dim=DIM,
+                n_planes=ANN_PLANES,
+                n_tables=ANN_TABLES,
+            )
+        _INDEX_CACHE[key] = path
+    return _INDEX_CACHE[key]
+
+
+def q_emb_ann_indexed(spark, sf_dir):
+    """Multi-table LSH top-k probed against STORED bucket columns of the
+    materialized index — the 100-TB ANN path (pushed integer filters, no
+    per-row hyperplane recompute). Same result as q_emb_ann by
+    construction; oracle = the same SQL twin."""
+    from spatial4n_spark.io.ann_index import ann_topk_indexed
+
+    return ann_topk_indexed(
+        spark,
+        _emb_index_path(spark, sf_dir),
+        QVEC,
+        k=10,
+        n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES,
+    )
+
+
+def q_emb_ivf_topk_indexed(spark, sf_dir):
+    """IVF probe via partition pruning on the materialized index
+    (centroid_id directories are listed, not scanned) — the 100-TB IVF
+    path. Same result as q_emb_ivf_topk; oracle = the same SQL twin."""
+    from spatial4n_spark.io.ann_index import ivf_topk_indexed
+
+    return ivf_topk_indexed(
+        spark,
+        _emb_index_path(spark, sf_dir),
+        QVEC,
+        k=10,
+        centroids=IVF_CENTROIDS,
+        nprobe=IVF_NPROBE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -521,6 +592,8 @@ TEXT_QUERIES = {
     "emb_ivf_buckets": q_emb_ivf_buckets,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_ann": q_emb_ann,
+    "emb_ann_indexed": q_emb_ann_indexed,
+    "emb_ivf_topk_indexed": q_emb_ivf_topk_indexed,
 }
 
 
@@ -543,4 +616,8 @@ def text_oracles() -> dict[str, str]:
         "emb_ivf_buckets": _sql_emb_ivf_buckets(),
         "emb_ivf_topk": _sql_emb_ivf_topk(),
         "emb_ann": _sql_emb_ann(),
+        # the indexed probes return the SAME rows as the scan-recompute
+        # queries (pytest equivalence) — their oracle is the same SQL twin
+        "emb_ann_indexed": _sql_emb_ann(),
+        "emb_ivf_topk_indexed": _sql_emb_ivf_topk(),
     }
