@@ -28,6 +28,7 @@ from spatial4n_spark.kernels.polygon import (
     Circle,
     GeometryCollection,
     LineString,
+    MultiPoint,
     MultiPolygon,
     Point,
     Polygon,
@@ -175,6 +176,18 @@ def _write_shape(w: _Writer, shape, geo: bool):
         w.i32(len(shape.shapes))
         for s in shape.shapes:
             _write_shape(w, s, geo)
+    elif isinstance(shape, MultiPoint):
+        # the reference parses MULTIPOINT into a ShapeCollection of points
+        # (WktShapeParser.ParseMulti), which BinaryCodec writes as a
+        # Collection — mirror that byte layout; reads return the
+        # equivalent GeometryCollection of points
+        w.byte(TYPE_COLLECTION)
+        w.byte(0)
+        w.i32(len(shape.coords))
+        for x, y in np.asarray(shape.coords, dtype=np.float64):
+            w.byte(TYPE_POINT)
+            w.dim(x)
+            w.dim(y)
     else:
         w.byte(TYPE_GEOMETRY)
         _write_wkb(w, shape)

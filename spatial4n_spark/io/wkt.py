@@ -337,8 +337,12 @@ def to_wkt(shape) -> str:
     if isinstance(shape, Circle):
         return f"BUFFER(POINT({_fmt(shape.x)} {_fmt(shape.y)}), {_fmt(shape.radius)})"
     if isinstance(shape, MultiPoint):
+        if len(shape.coords) == 0:
+            return "MULTIPOINT EMPTY"
         return "MULTIPOINT " + _ring_wkt(shape.coords)
     if isinstance(shape, LineString):
+        if len(shape.coords) == 0:
+            return "LINESTRING EMPTY"
         base = "LINESTRING " + _ring_wkt(shape.coords)
         return f"BUFFER({base}, {_fmt(shape.buffer)})" if shape.buffer else base
     if isinstance(shape, Polygon):
@@ -348,5 +352,7 @@ def to_wkt(shape) -> str:
         bodies = ", ".join("(" + ", ".join(_ring_wkt(r) for r in p.rings()) + ")" for p in shape.polys)
         return f"MULTIPOLYGON ({bodies})"
     if isinstance(shape, GeometryCollection):
+        if not shape.shapes:
+            return "GEOMETRYCOLLECTION EMPTY"
         return "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(s) for s in shape.shapes) + ")"
     raise TypeError(type(shape))

@@ -153,6 +153,9 @@ def ring_bbox(coords: np.ndarray, geo: bool = True) -> Rect:
     narrow dateline-crossing bbox, not a world-wide one.
     """
     u = unwrap_dateline(coords) if geo else np.asarray(coords, dtype=np.float64)
+    if len(u) == 0:
+        # empty shape: NaN bbox, the same convention merge_bboxes([]) uses
+        return Rect(np.nan, np.nan, np.nan, np.nan)
     min_x, max_x = float(np.min(u[:, 0])), float(np.max(u[:, 0]))
     min_y, max_y = float(np.min(u[:, 1])), float(np.max(u[:, 1]))
     if geo and (min_x < -180.0 or max_x > 180.0):
@@ -179,7 +182,19 @@ def shape_bbox(shape, geo: bool = True) -> Rect:
             return Rect(mnx, mxx, mny, mxy)
         return Rect(shape.x - shape.radius, shape.x + shape.radius, shape.y - shape.radius, shape.y + shape.radius)
     if isinstance(shape, (LineString, MultiPoint)):
-        return ring_bbox(shape.coords, geo)
+        bb = ring_bbox(shape.coords, geo)
+        buf = getattr(shape, "buffer", 0.0)
+        if buf and not np.isnan(bb.min_x):
+            # buffered linestring: the bbox includes the buffer band
+            # (BufferedLineString bbox = union of expanded segment boxes);
+            # expand with the engine's rect_buffer (geo pole/lon handling)
+            from spatial4n_spark.kernels.area import rect_buffer
+
+            mnx, mxx, mny, mxy = rect_buffer(
+                bb.min_x, bb.max_x, bb.min_y, bb.max_y, buf, geo
+            )
+            return Rect(float(mnx), float(mxx), float(mny), float(mxy))
+        return bb
     if isinstance(shape, Polygon):
         return ring_bbox(shape.shell, geo)
     if isinstance(shape, MultiPolygon):

@@ -131,3 +131,113 @@ def spatial_join_points_polygons(
 
     drop = ["_full", "_bminx", "_bmaxx", "_bminy", "_bmaxy"] + ([] if keep_cell else ["_cell"])
     return out.drop(*drop)
+
+
+def spatial_join_points_polygons_df(
+    points: DataFrame,
+    layer: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    level: int = 4,
+    geo: bool = True,
+    poly_id: str = "poly_id",
+    wkt_col: str = "wkt",
+    refine_cache_max: int = 4096,
+) -> DataFrame:
+    """PIP join against a LARGE polygon layer held as a DataFrame of
+    (poly_id, wkt) — the beyond-broadcast path (reference motivation:
+    ShapeCollection.cs:42-44 flags the missing R-tree for big layers).
+
+    Nothing about the layer ever crosses the driver:
+
+    1. the cell cover is computed DISTRIBUTED — a ``mapInPandas`` stage
+       over the layer runs the same quadtree planner (plans.cover) per
+       polygon and emits (cell, poly_id, full?, bbox, wkt-for-boundary)
+       rows; a 10^6-feature layer plans across the cluster;
+    2. points equi-join the cover table on the cell key — both sides
+       shuffle on ``_cell`` (the standard big-big spatial-join plan; AQE
+       handles hot-cell skew). The bbox prefilter rides in the join
+       condition exactly as in the broadcast path;
+    3. exact refinement runs per task with state built from the MATCHED
+       shapes only: boundary candidates carry their polygon's WKT, and a
+       per-task LRU parses each distinct polygon once, then evaluates the
+       vectorized covers kernel per (batch, polygon) group. Full-cell
+       candidates skip refinement entirely.
+
+    Returns the points' columns + ``poly_id``. Results are identical to
+    ``spatial_join_points_polygons`` on the same layer (pytest-asserted).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from spatial4n_spark.io.wkt import parse_wkt
+    from spatial4n_spark.kernels.polygon import points_covered
+
+    cover_schema = (
+        f"_cell string, {poly_id} string, _full boolean, _bminx double, "
+        "_bmaxx double, _bminy double, _bmaxy double, _wkt string"
+    )
+
+    def cover_gen(it):
+        for pdf in it:
+            rows = []
+            for pid, w in zip(pdf[poly_id], pdf[wkt_col]):
+                shape = parse_wkt(w, geo)
+                fulls, bounds = cover_cells(shape, level, geo)
+                bb = shape_bbox(shape, geo)
+                for c in fulls:
+                    rows.append(
+                        (c, pid, True, bb.min_x, bb.max_x, bb.min_y, bb.max_y, None)
+                    )
+                for c in bounds:
+                    rows.append(
+                        (c, pid, False, bb.min_x, bb.max_x, bb.min_y, bb.max_y, w)
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "_cell", poly_id, "_full",
+                        "_bminx", "_bmaxx", "_bminy", "_bmaxy", "_wkt",
+                    ],
+                )
+
+    cover_df = layer.mapInPandas(cover_gen, cover_schema)
+    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+
+    bbox_ok = rect_contains_point(
+        cover_df["_bminx"], cover_df["_bmaxx"], cover_df["_bminy"], cover_df["_bmaxy"],
+        pts[lon], pts[lat],
+    )
+    cond = (pts["_cell"] == cover_df["_cell"]) & (cover_df["_full"] | bbox_ok)
+    cand = pts.join(cover_df, cond).drop(cover_df["_cell"])
+
+    out_cols = [c for c in points.columns if c != "_cell"] + [poly_id]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.schema.fields
+        if f.name != "_cell"
+    ) + f", {poly_id} string"
+
+    def refine(it):
+        cache: dict = {}  # per-task parse cache: only shapes this task saw
+        for pdf in it:
+            keep = pdf["_full"].to_numpy().copy()
+            todo = np.nonzero(~keep)[0]
+            if len(todo):
+                sub = pdf.iloc[todo]
+                x = sub[lon].to_numpy(np.float64)
+                y = sub[lat].to_numpy(np.float64)
+                pids = sub[poly_id].to_numpy()
+                wkts = sub["_wkt"].to_numpy()
+                for p in pd.unique(pids):
+                    mask = pids == p
+                    shape = cache.get(p)
+                    if shape is None:
+                        if len(cache) >= refine_cache_max:
+                            cache.pop(next(iter(cache)))
+                        cache[p] = shape = parse_wkt(wkts[mask][0], geo)
+                    keep[todo[mask]] = points_covered(x[mask], y[mask], shape, geo)
+            yield pdf.loc[keep, out_cols]
+
+    return cand.mapInPandas(refine, out_schema)

@@ -517,6 +517,88 @@ def sql_poly_buffer_join() -> str:
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
+def q_circle_rect_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest relate — geo circle x rect (inverse circles
+    r>90, pole wrap, dateline backwrap; kernels/circle.py:geo_circle_
+    relate_rect) — over the named TestShapesGeo regression vectors
+    (TestShapesGeo.cs:163-207), expressed as WKT pairs (BUFFER(POINT)=
+    circle, ENVELOPE=rect) through the engine's relate UDF."""
+    from spatial4n_spark.functions.udfs import relate_wkt_udf
+    from spatial4n_spark.sources.circle_rect_expected import GEO_CIRCLE_RECT_VECTORS
+
+    rows = [
+        (
+            name,
+            f"BUFFER(POINT({cx!r} {cy!r}), {float(r)!r})",
+            f"ENVELOPE({mnx!r}, {mxx!r}, {mxy!r}, {mny!r})",
+        )
+        for name, (cx, cy, r), (mnx, mxx, mny, mxy), _ in GEO_CIRCLE_RECT_VECTORS
+    ]
+    df = spark.createDataFrame(rows, "name string, wkt_a string, wkt_b string")
+    rel = relate_wkt_udf(geo=True)
+    return df.withColumn("rel", rel(F.col("wkt_a"), F.col("wkt_b"))).select("name", "rel")
+
+
+def sql_circle_rect_relate() -> str:
+    """Literal VALUES oracle: the pinned TestShapesGeo expectations."""
+    from spatial4n_spark.sources.circle_rect_expected import GEO_CIRCLE_RECT_VECTORS
+
+    vals = ",\n".join(f"('{n}', '{e}')" for n, _, _, e in GEO_CIRCLE_RECT_VECTORS)
+    return f"SELECT * FROM (VALUES\n{vals}\n) AS t(name, rel)"
+
+
+def q_wkt_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-IO gate: parse the reference's WKT corpus
+    (WktShapeParserTest.cs:59-181), re-write canonical WKT, compute the
+    bbox, and measure the binary-codec byte length (BinaryCodec.cs tag
+    layout). Oracle = pinned literal VALUES; empty shapes report
+    has_bbox=FALSE with zeroed coords so no NULL doubles reach the
+    hash compare."""
+    from spatial4n_spark.sources.wkt_corpus import WKT_CORPUS
+
+    df = spark.createDataFrame(WKT_CORPUS, "wkt_id string, wkt string")
+    schema = (
+        "wkt_id string, norm_wkt string, has_bbox boolean, "
+        "min_x double, max_x double, min_y double, max_y double, bin_len int"
+    )
+
+    def run(it):
+        import pandas as pd
+
+        from spatial4n_spark.sources.wkt_corpus import codec_row
+
+        for pdf in it:
+            rows = [
+                (wid,) + codec_row(w) for wid, w in zip(pdf["wkt_id"], pdf["wkt"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "wkt_id", "norm_wkt", "has_bbox",
+                    "min_x", "max_x", "min_y", "max_y", "bin_len",
+                ],
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def sql_wkt_codec() -> str:
+    """Literal VALUES oracle: the pinned corpus expectations
+    (sources/wkt_corpus.py, validated live by tests/test_wkt_codec_gate.py)."""
+    from spatial4n_spark.sources.wkt_corpus import WKT_CODEC_EXPECTED
+
+    vals = ",\n".join(
+        f"('{wid}', '{nw}', {str(hb).upper()}, {O.dlit(a)}, {O.dlit(b)}, "
+        f"{O.dlit(c)}, {O.dlit(d)}, {bl})"
+        for wid, nw, hb, a, b, c, d, bl in WKT_CODEC_EXPECTED
+    )
+    return (
+        "SELECT wkt_id, norm_wkt, has_bbox, min_x, max_x, min_y, max_y, "
+        "CAST(bin_len AS INTEGER) AS bin_len FROM (VALUES\n"
+        f"{vals}\n) AS t(wkt_id, norm_wkt, has_bbox, min_x, max_x, min_y, max_y, bin_len)"
+    )
+
+
 def sql_layer_relate_matrix() -> str:
     """Literal VALUES oracle: the pinned expected matrix (see
     sources/relate_expected.py for provenance). The gate fails if any
@@ -853,6 +935,8 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "point_on_bearing": q_point_on_bearing,
     "event_tiles": q_event_tiles,
     "layer_relate_matrix": q_layer_relate_matrix,
+    "circle_rect_relate": q_circle_rect_relate,
+    "wkt_codec": q_wkt_codec,
     "group_bbox": q_group_bbox,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
@@ -884,6 +968,8 @@ def spatial_oracles() -> dict[str, str]:
                 "event_tiles": sql_event_tiles(),
                 "group_bbox": sql_group_bbox(),
                 "layer_relate_matrix": sql_layer_relate_matrix(),
+                "circle_rect_relate": sql_circle_rect_relate(),
+                "wkt_codec": sql_wkt_codec(),
                 "poly_buffer_join": sql_poly_buffer_join(),
             }
         )

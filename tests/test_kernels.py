@@ -189,28 +189,9 @@ def test_circle_bbox_basic():
 
 
 # --- the ~18 named geo circle x rect regression vectors --------------------
-# (TestShapesGeo.cs:163-207; circle = (x y radius_deg), rect = (minX maxX minY maxY))
-KM2DEG = lambda km: float(km_to_deg(km))
-
-GEO_CIRCLE_RECT_VECTORS = [
-    ("bad proportion logic", (64, -70, 18), (46, 116, -86, -62), "INTERSECTS"),
-    ("both touch pole", (-90, 30, 60), (-24, -16, 14, 90), "INTERSECTS"),
-    ("spherical cap contains band", (0, -90, 30), (-180, 180, -90, -80), "CONTAINS"),
-    ("touches pole", (0, -88, 2), (40, 60, -90, -86), "INTERSECTS"),
-    ("wrong farthest opp corner", (92, 36, 46), (134, 136, 32, 80), "INTERSECTS"),
-    ("edge rounding issue 2", (84, -40, 136), (-150, -80, 34, 84), "INTERSECTS"),
-    ("nudge back circle", (-150, -90, 122), (0, -132, 32, 32), "CONTAINS"),
-    ("wrong estimate", (-166, 59, KM2DEG(5226.2)), (36, 66, 23, 23), "DISJOINT"),
-    ("bad CONTAINS dateline", (56, -50, KM2DEG(12231.5)), (108, 26, 39, 48), "INTERSECTS"),
-    ("bad CONTAINS backwrap2", (112, -3, 91), (-163, 29, -38, 10), "INTERSECTS"),
-    ("bad CONTAINS r x-wrap", (-139, 47, 80), (-180, 180, -3, 12), "INTERSECTS"),
-    ("bad CONTAINS pwrap", (-139, 47, 80), (-180, 179, -3, 12), "INTERSECTS"),
-    ("no-dist 1", (135, 21, 0), (-103, -154, -47, 52), "WITHIN"),
-    ("bbox <= >= -90 bug", (-64, -84, 124), (-96, 96, -10, -10), "CONTAINS"),
-    ("horiz axis not through ctr", (71, -44, 40), (15, 27, -62, -34), "INTERSECTS"),
-    ("pole boundary", (-100, -12, 102), (143, 175, 4, 32), "INTERSECTS"),
-    ("full circle assert", (-64, 32, 180), (47, 47, -14, 90), "CONTAINS"),
-]
+# (TestShapesGeo.cs:163-207; single source of truth shared with the
+# circle_rect_relate gate entry)
+from spatial4n_spark.sources.circle_rect_expected import GEO_CIRCLE_RECT_VECTORS
 
 
 @pytest.mark.parametrize("name,circle,rect,expected", GEO_CIRCLE_RECT_VECTORS,

@@ -122,6 +122,115 @@ def test_knn_matches_bruteforce(spark, points, coords):
         )
 
 
+def test_spatial_join_df_layer_equals_broadcast_path(spark, points):
+    """The partitioned-cover join (layer as a DataFrame, distributed cover
+    + per-task parse-cache refinement) returns exactly the broadcast
+    path's rows on the oracle-verified 11-shape layer."""
+    from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons_df
+    from spatial4n_spark.sources.polygons import POLYGON_LAYER
+    from spatial4n_spark.suite import layer
+
+    want = {
+        (r["image_id"], r["poly_id"])
+        for r in spatial_join_points_polygons(points, layer(), level=3)
+        .select("image_id", "poly_id")
+        .collect()
+    }
+    layer_df = spark.createDataFrame(
+        [(pid, wkt) for pid, wkt, *_ in POLYGON_LAYER], "poly_id string, wkt string"
+    )
+    got_df = spatial_join_points_polygons_df(points, layer_df, level=3)
+    got = {
+        (r["image_id"], r["poly_id"])
+        for r in got_df.select("image_id", "poly_id").collect()
+    }
+    assert got == want
+
+
+def test_spatial_join_df_layer_10k_features(spark, points, coords):
+    """A 10^4-feature synthetic layer through the partitioned-cover path:
+    results match an independent numpy evaluation, and the plan builds the
+    cover with a distributed MapInPandas stage (the layer never crosses
+    the driver as a collected shape dict)."""
+    import numpy as np
+
+    from spatial4n_spark.kernels.polygon import Polygon
+    from spatial4n_spark.kernels.polygon import points_covered as pc
+    from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons_df
+
+    ids, lon, lat = coords
+    rng = np.random.default_rng(42)
+    feats = []
+    # 9000 boxes (rect-collapse path) + 1500 triangles (polygon refine
+    # path); every coordinate is pre-rounded and rendered via repr so the
+    # WKT parse and the numpy check see bit-identical doubles
+    bx = np.round(rng.uniform(-179, 178, 9000), 4)
+    by = np.round(rng.uniform(-84, 83, 9000), 4)
+    bx2, by2 = np.round(bx + 0.8, 4), np.round(by + 0.6, 4)
+    for i in range(9000):
+        x0, y0, x1, y1 = (float(v) for v in (bx[i], by[i], bx2[i], by2[i]))
+        feats.append(
+            (f"box{i:05d}",
+             f"POLYGON (({x0!r} {y0!r}, {x1!r} {y0!r}, "
+             f"{x1!r} {y1!r}, {x0!r} {y1!r}, {x0!r} {y0!r}))")
+        )
+    tx = np.round(rng.uniform(-179, 177, 1500), 4)
+    ty = np.round(rng.uniform(-84, 82, 1500), 4)
+    tx2, ty2 = np.round(tx + 1.2, 4), np.round(ty + 0.2, 4)
+    tx3, ty3 = np.round(tx + 0.4, 4), np.round(ty + 1.1, 4)
+    for i in range(1500):
+        x0, y0 = float(tx[i]), float(ty[i])
+        feats.append(
+            (f"tri{i:05d}",
+             f"POLYGON (({x0!r} {y0!r}, {float(tx2[i])!r} {float(ty2[i])!r}, "
+             f"{float(tx3[i])!r} {float(ty3[i])!r}, {x0!r} {y0!r}))")
+        )
+    layer_df = spark.createDataFrame(feats, "poly_id string, wkt string").repartition(8)
+
+    out = spatial_join_points_polygons_df(points, layer_df, level=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") >= 2  # distributed cover + refinement
+
+    got = {(r["image_id"], r["poly_id"]) for r in out.select("image_id", "poly_id").collect()}
+
+    want = set()
+    inb = (lon[:, None] >= bx) & (lon[:, None] <= bx2) \
+        & (lat[:, None] >= by) & (lat[:, None] <= by2)
+    for pi, pj in zip(*np.nonzero(inb)):
+        want.add((f"img{int(ids[pi]):09d}", f"box{pj:05d}"))
+    for j in range(1500):
+        tri = Polygon(np.array([
+            [tx[j], ty[j]], [tx2[j], ty2[j]], [tx3[j], ty3[j]], [tx[j], ty[j]]]))
+        cov = pc(lon, lat, tri, True)
+        for pi in np.nonzero(cov)[0]:
+            want.add((f"img{int(ids[pi]):09d}", f"tri{j:05d}"))
+    assert got == want
+
+
+def test_knn_join_df_equals_list_path(spark, points):
+    """The DataFrame-native kNN (queries as a DataFrame, mapInPandas ring
+    cells, acceptance via joins) returns exactly the driver-list path's
+    rows — including a forced shuffle-join round (broadcast_cells=0) so
+    the at-scale plan is the one verified."""
+    from spatial4n_spark.operators import knn_join_df
+
+    queries = [("q_paris", 2.35, 48.85), ("q_dl", 179.9, -5.0), ("q_sparse", -120.0, -55.0)]
+    k = 7
+    want = {
+        (r["query_id"], r["image_id"], r["rank"])
+        for r in knn_join(points, queries, k=k, level=3).collect()
+    }
+    q_df = spark.createDataFrame(queries, "query_id string, qlon double, qlat double")
+    for bcast in (200_000, 0):
+        got = {
+            (r["query_id"], r["image_id"], r["rank"])
+            for r in knn_join_df(
+                points, q_df, k=k, level=3, broadcast_cells=bcast
+            ).collect()
+        }
+        assert got == want, f"broadcast_cells={bcast}"
+
+
 def test_tile_stats_salted_equals_plain(spark, points):
     plain = {r["cell"]: (r["n"], r["avg_lon"], r["avg_lat"]) for r in tile_stats(points, level=3).collect()}
     salted = {r["cell"]: (r["n"], r["avg_lon"], r["avg_lat"]) for r in tile_stats(points, level=3, salt_buckets=8).collect()}
