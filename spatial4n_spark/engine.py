@@ -118,6 +118,17 @@ class SpatialEngine:
         return tile_stats(points, level or self.ctx.cell_level, **kw)
 
     def spatial_join(self, points: DataFrame, polygons, level: int = 3, **kw) -> DataFrame:
+        """PIP join. A list layer takes the broadcast-cover path; a
+        DataFrame layer (poly_id, wkt) takes the partitioned-cover path
+        for beyond-broadcast layer sizes."""
+        if isinstance(polygons, DataFrame):
+            from spatial4n_spark.operators.spatial_join import (
+                spatial_join_points_polygons_df,
+            )
+
+            return spatial_join_points_polygons_df(
+                points, polygons, level=level, geo=self.ctx.geo, **kw
+            )
         from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
 
         return spatial_join_points_polygons(points, polygons, level=level, geo=self.ctx.geo, **kw)
@@ -128,6 +139,12 @@ class SpatialEngine:
         return radius_join(points, queries, **kw)
 
     def knn(self, points: DataFrame, queries, k: int, **kw) -> DataFrame:
+        """kNN join. A driver-side query list takes the fast list path;
+        a query DataFrame takes the density-adaptive distributed path."""
+        if isinstance(queries, DataFrame):
+            from spatial4n_spark.operators.knn import knn_join_df
+
+            return knn_join_df(points, queries, k, **kw)
         from spatial4n_spark.operators.knn import knn_join
 
         return knn_join(points, queries, k, **kw)

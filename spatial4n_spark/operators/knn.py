@@ -39,11 +39,26 @@ from spatial4n_spark.kernels.geohash import (
 )
 
 
+def _rx_rings(qlat, level: int, rings: int):
+    """Per-query LONGITUDE ring count: lon cells shrink by cos(lat), so a
+    block that guarantees an isotropic covered radius needs rings/cos
+    columns (capped at a full 360-degree wrap, which the enumeration's
+    wrap+dedup turns into complete lat-band rows). The cos is taken at
+    the block's far lat edge — conservative."""
+    lat_h, lon_w = geohash_cell_sizes(level)
+    rx_cap = int(math.ceil(180.0 / lon_w))
+    edge = np.minimum(np.abs(np.asarray(qlat, dtype=np.float64)) + (rings + 1) * lat_h, 90.0)
+    cosv = np.maximum(np.cos(np.radians(edge)), 1e-9)
+    return np.minimum(np.ceil(rings / cosv), rx_cap).astype(np.int64)
+
+
 def _ring_cells_frame(qid, qlon, qlat, level: int, rings: int):
     """Vectorized ring-block enumeration for a batch of queries:
-    decode each center cell, offset the (2r+1)^2 block by integer cell
-    sizes, wrap lon / drop beyond-pole rows, re-encode, dedup per query.
-    Returns a pandas frame (query_id, _qlon, _qlat, _cell)."""
+    decode each center cell, offset an ANISOTROPIC (2*rx+1) x (2r+1)
+    block (rx = lon rings per ``_rx_rings``: pole-adjacent queries wrap
+    the whole lon circle instead of starving behind cos -> 0) by integer
+    cell sizes, wrap lon / drop beyond-pole rows, re-encode, dedup per
+    query. Returns a pandas frame (query_id, _qlon, _qlat, _cell)."""
     import pandas as pd
 
     from spatial4n_spark.kernels.geohash import geohash_decode_bbox
@@ -60,14 +75,22 @@ def _ring_cells_frame(qid, qlon, qlat, level: int, rings: int):
     mnx, mxx, mny, mxy = geohash_decode_bbox(centers)
     cx = (np.asarray(mnx) + np.asarray(mxx)) * 0.5
     cy = (np.asarray(mny) + np.asarray(mxy)) * 0.5
-    off = np.arange(-rings, rings + 1, dtype=np.float64)
-    ox, oy = np.meshgrid(off * lon_w, off * lat_h)
-    ox, oy = ox.ravel(), oy.ravel()
-    gx = ((cx[:, None] + ox[None, :] + 180.0) % 360.0) - 180.0
-    gy = cy[:, None] + oy[None, :]
-    ri, ci = np.nonzero((gy > -90.0) & (gy < 90.0))
-    cells = geohash_encode_str(gy[ri, ci], gx[ri, ci], level)
-    out = pd.DataFrame({"_row": ri, "_cell": cells}).drop_duplicates()
+    rx = _rx_rings(qlat, level, rings)
+
+    frames = []
+    offy = np.arange(-rings, rings + 1, dtype=np.float64) * lat_h
+    for r in np.unique(rx):
+        m = np.nonzero(rx == r)[0]
+        offx = np.arange(-r, r + 1, dtype=np.float64) * lon_w
+        ox, oy = np.meshgrid(offx, offy)
+        ox, oy = ox.ravel(), oy.ravel()
+        gx = ((cx[m][:, None] + ox[None, :] + 180.0) % 360.0) - 180.0
+        gy = cy[m][:, None] + oy[None, :]
+        ri, ci = np.nonzero((gy > -90.0) & (gy < 90.0))
+        cells = geohash_encode_str(gy[ri, ci], gx[ri, ci], level)
+        f = pd.DataFrame({"_row": m[ri], "_cell": cells}).drop_duplicates()
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     rows = out["_row"].to_numpy()
     out["query_id"] = qid[rows]
     out["_qlon"] = qlon[rows]
@@ -83,26 +106,58 @@ def _ring_cells(qlon: float, qlat: float, level: int, rings: int) -> set[str]:
 
 
 def _covered_radius_km(qlat: float, level: int, rings: int) -> float:
-    """Conservative radius fully covered by `rings` rings around the query cell."""
+    """Conservative radius fully covered by the anisotropic ring block:
+    at least ``rings`` cells of latitude; in longitude ``rx`` cells whose
+    km width carries the cos(lat) shrink — when the block wraps the full
+    circle the rows are complete lat bands and only the lat term binds
+    (this is what lets pole-adjacent queries accept instead of falling
+    through to brute force)."""
     lat_h, lon_w = geohash_cell_sizes(level)
-    # smallest distance from the query point to outside the ring block:
-    # at least `rings` cells in latitude; longitude shrinks by cos(lat)
+    rx = int(_rx_rings([qlat], level, rings)[0])
     lat_km = float(deg_to_km(rings * lat_h))
-    lon_km = float(deg_to_km(rings * lon_w)) * max(
+    if (2 * rx + 1) * lon_w >= 360.0:
+        return max(lat_km, 0.0)
+    lon_km = float(deg_to_km(rx * lon_w)) * max(
         math.cos(math.radians(abs(qlat) + rings * lat_h)), 0.0
     )
     return max(min(lat_km, lon_km), 0.0)
 
 
-def _covered_radius_col(qlat_col, level: int, rings: int):
-    """Column twin of ``_covered_radius_km`` (same formula, JVM-side)."""
+def _covered_radius_expr(qlat_col, rings_col, level: int):
+    """Per-row column twin of ``_covered_radius_km`` with a rings COLUMN.
+    Uses rx-1 in the lon term: the enumeration computes rx in numpy, this
+    expression in the JVM — the one-cell slack absorbs any ulp-level
+    ceil() disagreement so acceptance can never assume a column the
+    block did not enumerate."""
     lat_h, lon_w = geohash_cell_sizes(level)
-    lat_km = float(deg_to_km(rings * lat_h))
-    lon_flat = float(deg_to_km(rings * lon_w))
-    cosf = F.greatest(
-        F.cos(F.radians(F.abs(qlat_col) + F.lit(float(rings * lat_h)))), F.lit(0.0)
+    rx_cap = int(math.ceil(180.0 / lon_w))
+    edge = F.least(
+        F.abs(qlat_col) + (rings_col + 1) * F.lit(float(lat_h)), F.lit(90.0)
     )
-    return F.greatest(F.least(F.lit(lat_km), F.lit(lon_flat) * cosf), F.lit(0.0))
+    cosv = F.greatest(F.cos(F.radians(edge)), F.lit(1e-9))
+    rx = F.least(F.ceil(rings_col / cosv), F.lit(rx_cap)).cast("double")
+    rx_c = F.greatest(rx - 1, F.lit(0.0))
+    lat_km = rings_col * F.lit(float(deg_to_km(lat_h)))
+    # full wrap: claimed either when even the slack-reduced rx spans the
+    # circle, or when rx sits AT the cap — the cap is the same exact
+    # integer in numpy and the JVM, and a capped block always wraps
+    # ((2*cap+1)*lon_w >= 360 by construction), so no ulp hazard there.
+    # Without the cap clause a pole query's 2*(cap-1)+1 columns can land
+    # just under 360 and strand the query at radius 0 forever.
+    full_wrap = ((2 * rx_c + 1) * F.lit(float(lon_w)) >= F.lit(360.0)) | (
+        rx >= F.lit(float(rx_cap))
+    )
+    lon_km = (
+        rx_c
+        * F.lit(float(deg_to_km(lon_w)))
+        * F.greatest(
+            F.cos(F.radians(F.abs(qlat_col) + rings_col * F.lit(float(lat_h)))),
+            F.lit(0.0),
+        )
+    )
+    return F.when(full_wrap, F.greatest(lat_km, F.lit(0.0))).otherwise(
+        F.greatest(F.least(lat_km, lon_km), F.lit(0.0))
+    )
 
 
 def knn_join_df(
@@ -115,105 +170,220 @@ def knn_join_df(
     query_id: str = "query_id",
     qlon: str = "qlon",
     qlat: str = "qlat",
-    level: int = 3,
+    level: int | None = None,
+    max_level: int = 6,
     max_rounds: int = 4,
     estimated_total: int | None = None,
     broadcast_cells: int = 200_000,
+    cell_cap: int | None = None,
+    max_rings0: int = 16,
+    debug: bool = False,
 ) -> DataFrame:
     """Exact kNN join, queries as a DataFrame. Returns
     (query_id, <id_col>, dist_km, rank); ties break on <id_col>.
 
-    Per round: a ``mapInPandas`` stage expands every pending query into
-    its ring-block cells; the cell equi-join against the encoded points
-    yields candidates (broadcast when the cell table is provably small,
-    else a shuffle join on the cell key — the 10^6-query plan); a
-    query-partitioned window takes top-k; a per-query aggregate accepts
-    queries whose k-th distance is inside the covered radius, and an
-    anti-join carries the rest into the next round with doubled rings.
-    The one heavy job per round is the materialized top-k
-    (localCheckpoint, <= |pending| * k rows).
+    Density-adaptive against the clustered-data trap: with one global
+    grid level, hot-cluster queries x hot cells multiply into
+    |Q_hot| x |N_hot| candidate rows (a Paris-cell query set re-scans
+    the whole Paris cell per query), while the same level starves
+    ocean queries into round after round of ring doubling. No single
+    level serves both, so each query gets its OWN level:
+
+    - points are encoded ONCE at ``max_level``; a per-cell count
+      aggregate plus its prefix roll-ups form a counts pyramid (coarser
+      geohash cells are string prefixes — no re-encode);
+    - each query picks the FINEST level at which its own cell already
+      holds ~4k points (its candidate budget), falling back to the
+      coarsest level with a density-presized ring count — dense-cluster
+      queries search tiny cells, sparse queries search big ones, and
+      both start with candidates O(k);
+    - ``level=<int>`` pins a single level for every query (the fixed
+      grid mode the list path uses).
+
+    Per round: a ``mapInPandas`` stage expands pending queries into ring
+    cells; candidates come from one prefix-keyed equi-join per ACTIVE
+    level (<= 5, against the same cached encode — broadcast under a size
+    bound, else shuffle-by-cell with AQE skew handling); a
+    query-partitioned window takes top-k; acceptance (k-th distance
+    within the covered radius of the query's level+rings) is an
+    aggregate + join; survivors double their rings. Nothing per-query
+    touches the driver.
     """
     spark = points.sparkSession
     qid_type = queries.schema[query_id].dataType.simpleString()
     id_type = points.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {qid_type}, {id_col} {id_type}, dist_km double, rank int"
-    cells_schema = f"query_id {qid_type}, _qlon double, _qlat double, _cell string"
+    cells_schema = (
+        f"query_id {qid_type}, _qlon double, _qlat double, "
+        "_level int, _rings int, _cell string"
+    )
 
-    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
-    pts = pts.select(id_col, lon, lat, "_cell").persist()
+    lmin = 2
+    enc_level = max(max_level, level or 0)
+    levels = [level] if level is not None else list(range(lmin, max_level + 1))
+    # two thresholds: a query picks the finest level whose own cell holds
+    # ~2k points (enough that one ring usually suffices — a bigger bar
+    # here pushes queries a whole level coarser, 10-30x more candidates);
+    # rings are then presized to a ~4k-candidate budget at that level
+    thr_sel = max(4, 2 * k) if cell_cap is None else cell_cap
+    thr = max(32, 4 * k) if cell_cap is None else cell_cap
 
-    pending = queries.select(
+    ptsF = points.withColumn("_cellF", geohash_udf(enc_level)(F.col(lat), F.col(lon)))
+    ptsF = ptsF.select(id_col, lon, lat, "_cellF").persist()
+
+    # one count pass at the finest level; the pyramid levels aggregate
+    # the (small) counts table, never the points
+    cnt = ptsF.groupBy("_cellF").agg(F.count(F.lit(1)).alias("_n")).persist()
+    n_total = estimated_total if estimated_total is not None else int(
+        cnt.agg(F.sum("_n")).first()[0] or 0
+    )
+
+    # queries encoded once at enc_level; per-level cells are prefixes
+    q0 = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(qlon).cast("double").alias("_qlon"),
         F.col(qlat).cast("double").alias("_qlat"),
-    ).localCheckpoint(eager=True)
-    n_pending = pending.count()
+    )
+    q0 = q0.withColumn("_qcellF", geohash_udf(enc_level)(F.col("_qlat"), F.col("_qlon")))
+    for lv in levels:
+        counts_lv = cnt.groupBy(F.substring("_cellF", 1, lv).alias(f"_c{lv}")).agg(
+            F.sum("_n").alias(f"_n{lv}")
+        )
+        q0 = q0.withColumn(f"_c{lv}", F.substring("_qcellF", 1, lv)).join(
+            counts_lv, f"_c{lv}", "left"
+        ).drop(f"_c{lv}")
 
-    n_total = estimated_total if estimated_total is not None else pts.count()
-    n_cells_world = 32**level
-    density = max(n_total / n_cells_world, 1e-9)  # rows per cell (uniform est.)
-    # cells needed for ~4x k candidates; ring r covers (2r+1)^2 cells
-    cells_needed = 4.0 * k / density
-    rings0 = max(1, math.ceil((math.sqrt(cells_needed) - 1) / 2))
+    # finest level whose own cell already holds ~thr candidates; else the
+    # coarsest level (density-presized rings below)
+    lvl_expr = F.lit(levels[0])
+    for lv in levels[1:]:
+        lvl_expr = F.when(
+            F.coalesce(F.col(f"_n{lv}"), F.lit(0)) >= thr_sel, F.lit(lv)
+        ).otherwise(lvl_expr)
+    q0 = q0.withColumn("_level", lvl_expr)
+    nlevel = F.lit(None).cast("long")
+    for lv in levels:
+        nlevel = F.when(F.col("_level") == lv, F.col(f"_n{lv}")).otherwise(nlevel)
+    # rings for ~thr candidates at the chosen level's local density
+    local_rings = F.ceil(
+        (
+            F.sqrt(
+                F.lit(float(thr)) / F.greatest(F.coalesce(nlevel, F.lit(1)), F.lit(1)).cast("double")
+            )
+            - 1
+        )
+        / 2
+    ).cast("int")
+    pending = (
+        q0.withColumn(
+            "_rings",
+            F.greatest(F.lit(1), F.least(F.lit(int(max_rings0)), local_rings)),
+        )
+        .select("query_id", "_qlon", "_qlat", "_level", "_rings")
+        .localCheckpoint(eager=True)
+    )
 
-    rings = rings0
+    def _pending_stats(pdf: DataFrame):
+        rows = pdf.groupBy("_level").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pow(2 * F.col("_rings") + 1, 2)).alias("cells"),
+        ).collect()
+        n = sum(int(r["n"]) for r in rows)
+        cells = sum(int(r["cells"] or 0) for r in rows)
+        act = sorted(int(r["_level"]) for r in rows)
+        return n, cells, act
+
+    import sys
+    import time as _time
+
+    def _dbg(msg: str, t0: float | None = None):
+        if debug:
+            dt = f" [{_time.time() - t0:.1f}s]" if t0 is not None else ""
+            print(f"knn_join_df: {msg}{dt}", file=sys.stderr)
+
+    _t = _time.time()
+    n_pending, est_cells, active_levels = _pending_stats(pending)
+    _dbg(f"setup done: pending={n_pending} est_cells={est_cells} levels={active_levels}", _t)
+
     accepted: list[DataFrame] = []
     w = Window.partitionBy("query_id").orderBy(
         F.col("dist_km").asc(), F.col(id_col).asc()
     )
 
-    # if the density-sized block already covers a big fraction of the
-    # world's cells, ring pruning cannot help — go straight to the exact
-    # brute-force fallback, which is cheap precisely when the table is
-    # that sparse (ring search is the win on dense tables)
-    rounds = max_rounds if (2 * rings0 + 1) ** 2 < n_cells_world // 4 else 0
-
-    def cells_gen(r: int):
-        # closure factory: bind the ring count by value per round
+    def cells_gen():
         def gen(it):
+            import pandas as pd
+
             for pdf in it:
-                if len(pdf):
-                    yield _ring_cells_frame(
-                        pdf["query_id"], pdf["_qlon"], pdf["_qlat"], level, r
-                    )
+                if not len(pdf):
+                    continue
+                frames = []
+                lv_arr = pdf["_level"].to_numpy()
+                rings_arr = pdf["_rings"].to_numpy()
+                for lv in np.unique(lv_arr):
+                    for r in np.unique(rings_arr[lv_arr == lv]):
+                        m = (lv_arr == lv) & (rings_arr == r)
+                        f = _ring_cells_frame(
+                            pdf["query_id"].to_numpy()[m],
+                            pdf["_qlon"].to_numpy()[m],
+                            pdf["_qlat"].to_numpy()[m],
+                            int(lv),
+                            int(r),
+                        )
+                        f["_level"] = int(lv)
+                        f["_rings"] = int(r)
+                        frames.append(f)
+                out = pd.concat(frames, ignore_index=True)
+                yield out[["query_id", "_qlon", "_qlat", "_level", "_rings", "_cell"]]
 
         return gen
 
-    for _ in range(rounds):
+    def radius_expr():
+        e = F.lit(0.0)
+        for lv in levels:
+            e = F.when(
+                F.col("_level") == lv,
+                _covered_radius_expr(F.col("_qlat"), F.col("_rings"), lv),
+            ).otherwise(e)
+        return e
+
+    for _ in range(max_rounds):
         if n_pending == 0:
             break
-        if (2 * rings + 1) ** 2 >= n_cells_world // 4:
-            break  # doubled past the useful range: fall back
-        cells = pending.mapInPandas(cells_gen(rings), cells_schema)
-        if n_pending * (2 * rings + 1) ** 2 <= broadcast_cells:
-            cand = pts.join(F.broadcast(cells), "_cell")
-        else:
-            # the at-scale plan: both sides shuffle on the cell key (AQE
-            # handles hot-cell skew); the points side never broadcasts
-            cand = pts.join(cells, "_cell")
+        cells = pending.mapInPandas(cells_gen(), cells_schema)
+        # one prefix-keyed join per ACTIVE level against the same cached
+        # encode; at scale each is the standard shuffle-by-cell plan (AQE
+        # skew-joins the residual hot cells), and the points side never
+        # broadcasts
+        cand = None
+        for lv in active_levels:
+            rhs = cells.where(F.col("_level") == lv)
+            if est_cells <= broadcast_cells:
+                rhs = F.broadcast(rhs)
+            c = ptsF.withColumn("_cell", F.substring("_cellF", 1, lv)).join(rhs, "_cell")
+            cand = c if cand is None else cand.unionAll(c)
         ranked = (
             cand.withColumn(
                 "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", id_col, "dist_km", "rank", "_qlat")
+            .select("query_id", id_col, "dist_km", "rank")
         )
         # ONE heavy Spark job per round: materialize the bounded top-k
         # (<= |pending| * k rows) and truncate lineage; acceptance and
         # the next round's anti-join read the materialized result
+        _t = _time.time()
         ranked = ranked.localCheckpoint(eager=True)
+        _dbg(f"round ranked job: pending={n_pending} est_cells={est_cells}", _t)
+        summ = ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_km").alias("_dmax")
+        )
         accepted_ids = (
-            ranked.groupBy("query_id")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.max("dist_km").alias("_dmax"),
-                F.first("_qlat").alias("_qlat"),
+            summ.join(
+                pending.select("query_id", "_qlat", "_level", "_rings"), "query_id"
             )
-            .where(
-                (F.col("_n") >= k)
-                & (F.col("_dmax") <= _covered_radius_col(F.col("_qlat"), level, rings))
-            )
+            .where((F.col("_n") >= k) & (F.col("_dmax") <= radius_expr()))
             .select("query_id")
         )
         accepted.append(
@@ -221,11 +391,16 @@ def knn_join_df(
                 "query_id", id_col, "dist_km", "rank"
             )
         )
-        pending = pending.join(
-            F.broadcast(accepted_ids), "query_id", "left_anti"
-        ).localCheckpoint(eager=True)
-        n_pending = pending.count()
-        rings *= 2
+        _t = _time.time()
+        pending = (
+            pending.join(F.broadcast(accepted_ids), "query_id", "left_anti")
+            .withColumn(
+                "_rings", F.least(F.col("_rings") * 2, F.lit(int(max_rings0 * 16)))
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_pending, est_cells, active_levels = _pending_stats(pending)
+        _dbg(f"round accept+stats: next pending={n_pending}", _t)
 
     if n_pending:
         # final fallback: exact brute force for the stragglers (pole/sparse
@@ -246,9 +421,12 @@ def knn_join_df(
             .where(F.col("rank") <= k)
             .select("query_id", id_col, "dist_km", "rank")
         )
+        _t = _time.time()
         accepted.append(fb.localCheckpoint(eager=True))
+        _dbg(f"fallback brute force: stragglers={n_pending}", _t)
 
-    pts.unpersist()
+    ptsF.unpersist()
+    cnt.unpersist()
     if not accepted:
         return spark.createDataFrame([], out_schema)
     out = accepted[0]

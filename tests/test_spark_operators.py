@@ -229,6 +229,12 @@ def test_knn_join_df_equals_list_path(spark, points):
             ).collect()
         }
         assert got == want, f"broadcast_cells={bcast}"
+    # adaptive mode: per-query levels from the counts pyramid, same rows
+    got = {
+        (r["query_id"], r["image_id"], r["rank"])
+        for r in knn_join_df(points, q_df, k=k, level=None).collect()
+    }
+    assert got == want, "adaptive levels"
 
 
 def test_tile_stats_salted_equals_plain(spark, points):

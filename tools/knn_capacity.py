@@ -80,9 +80,9 @@ def main() -> int:
             points,
             q,
             k=args.k,
-            level=3,
             estimated_total=args.points,
             broadcast_cells=0,  # force the at-scale shuffle-join plan
+            debug=bool(int(__import__("os").environ.get("KNN_DEBUG", "0"))),
         )
         n_out = out.count()
         dt = time.time() - t0
