@@ -207,7 +207,11 @@ def point_on_bearing_udf():
     Vectorized DistanceUtils.PointOnBearingRAD (DistanceUtils.cs:224-288):
     spherical direct problem + lon/lat normalization.
     """
-    from spatial4n_spark.kernels.distance import DEG_TO_RAD, RAD_TO_DEG, point_on_bearing_rad
+    from spatial4n_spark.kernels.distance import (
+        DEG_TO_RAD,
+        RAD_TO_DEG,
+        point_on_bearing_rad_portable,
+    )
 
     schema = StructType([StructField("lon2", DoubleType()), StructField("lat2", DoubleType())])
 
@@ -215,7 +219,9 @@ def point_on_bearing_udf():
     def _dest(
         lon: pd.Series, lat: pd.Series, dist: pd.Series, bearing: pd.Series
     ) -> pd.DataFrame:
-        lat2, lon2 = point_on_bearing_rad(
+        # portable-trig chain: bit-identical to the DuckDB oracle's
+        # mirrored SQL, so the gate emits full unrounded doubles
+        lat2, lon2 = point_on_bearing_rad_portable(
             lat.to_numpy(np.float64) * DEG_TO_RAD,
             lon.to_numpy(np.float64) * DEG_TO_RAD,
             dist.to_numpy(np.float64) * DEG_TO_RAD,

@@ -139,3 +139,29 @@ def point_on_bearing_rad(lat, lon, dist_rad, bearing_rad):
     lon2 = norm_lon_deg(lon2 * RAD_TO_DEG) * DEG_TO_RAD
     lat2 = norm_lat_deg(lat2 * RAD_TO_DEG) * DEG_TO_RAD
     return lat2, lon2
+
+
+def point_on_bearing_rad_portable(lat, lon, dist_rad, bearing_rad):
+    """``point_on_bearing_rad`` computed with engine-portable trig
+    (kernels.ptrig): the same formula chain, but every trig value is the
+    SAME double the DuckDB oracle's mirrored SQL produces — so the gate
+    output needs no defensive rounding (which the sf1 sweep showed flips
+    a 1e-4 quantum on ~1-in-400k rows under libm-vs-libm drift). Values
+    agree with the libm version to ~4e-15."""
+    from spatial4n_spark.kernels.ptrig import pasin, patan2, pcos, psin
+
+    lat, lon, dist_rad, bearing_rad = (
+        np.asarray(a, dtype=np.float64) for a in (lat, lon, dist_rad, bearing_rad)
+    )
+    sin_lat = psin(lat)
+    cos_lat = pcos(lat)
+    sin_d = psin(dist_rad)
+    cos_d = pcos(dist_rad)
+    sin_b = psin(bearing_rad)
+    cos_b = pcos(bearing_rad)
+    sin_lat2 = sin_lat * cos_d + cos_lat * sin_d * cos_b
+    lat2 = pasin(np.clip(sin_lat2, -1.0, 1.0))
+    lon2 = lon + patan2(sin_b * sin_d * cos_lat, cos_d - sin_lat * sin_lat2)
+    lon2 = norm_lon_deg(lon2 * RAD_TO_DEG) * DEG_TO_RAD
+    lat2 = norm_lat_deg(lat2 * RAD_TO_DEG) * DEG_TO_RAD
+    return lat2, lon2

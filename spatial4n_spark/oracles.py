@@ -311,30 +311,88 @@ def norm_lat_sql(v: str) -> str:
     return f"(CASE WHEN {v} >= -90e0 AND {v} <= 90e0 THEN {v} ELSE {folded} END)"
 
 
-def point_on_bearing_select_sql(cte: str, id_col: str, ndigits: int = 4) -> str:
-    """SELECT mirroring the point_on_bearing_udf chain over
-    ``{cte}(id_col, lon, lat, d, b)`` (degrees in, rounded degrees out)."""
-    la = f"(lat * {dlit(DEG_TO_RAD)})"
-    lo = f"(lon * {dlit(DEG_TO_RAD)})"
-    dr = f"(d * {dlit(DEG_TO_RAD)})"
-    br = f"(b * {dlit(DEG_TO_RAD)})"
-    sin_lat2 = f"(sin({la}) * cos({dr}) + cos({la}) * sin({dr}) * cos({br}))"
-    clip = (
-        f"(CASE WHEN {sin_lat2} < -1e0 THEN -1e0 "
-        f"WHEN {sin_lat2} > 1e0 THEN 1e0 ELSE {sin_lat2} END)"
+def point_on_bearing_select_sql(cte: str, id_col: str) -> str:
+    """SELECT mirroring point_on_bearing_rad_portable over
+    ``{cte}(id_col, lon, lat, d, b)`` — degrees in, UNROUNDED degrees
+    out.
+
+    The trig is the engine-portable chain (kernels.ptrig): every stage
+    below is the same +,-,*,/,sqrt,floor,CASE sequence the numpy kernel
+    executes, staged through MATERIALIZED CTE columns (one column per
+    numpy local) so nothing re-expands. Both engines therefore produce
+    bit-identical doubles, and the defensive round() — whose 1e-4 tie
+    boundaries the sf1 sweep showed flipping under libm drift — is gone.
+    """
+    from spatial4n_spark.kernels.ptrig import (
+        PI_2,
+        atan_fold_arg_sql,
+        atan_poly_sql,
+        atan_unfold_sql,
+        atan_z1_sql,
+        patan2_case_sql,
+        psin_poly_sql,
+        psin_reduce_sql,
     )
-    lat2_rad = f"asin({clip})"
-    lon2_rad = (
-        f"({lo} + atan2(sin({br}) * sin({dr}) * cos({la}), "
-        f"cos({dr}) - sin({la}) * {sin_lat2}))"
-    )
+
+    half = dlit(PI_2)
+    stages = f"""
+p0 AS MATERIALIZED (
+  SELECT {id_col}, lat * {dlit(DEG_TO_RAD)} AS la, lon * {dlit(DEG_TO_RAD)} AS lo,
+         d * {dlit(DEG_TO_RAD)} AS dr, b * {dlit(DEG_TO_RAD)} AS br FROM {cte}),
+p1 AS MATERIALIZED (
+  SELECT *, {psin_reduce_sql('la')} AS w_sla, {psin_reduce_sql(f'(la + {half})')} AS w_cla,
+         {psin_reduce_sql('dr')} AS w_sdr, {psin_reduce_sql(f'(dr + {half})')} AS w_cdr,
+         {psin_reduce_sql('br')} AS w_sbr, {psin_reduce_sql(f'(br + {half})')} AS w_cbr
+  FROM p0),
+p2 AS MATERIALIZED (
+  SELECT *, {psin_poly_sql('w_sla')} AS sin_la, {psin_poly_sql('w_cla')} AS cos_la,
+         {psin_poly_sql('w_sdr')} AS sin_dr, {psin_poly_sql('w_cdr')} AS cos_dr,
+         {psin_poly_sql('w_sbr')} AS sin_br, {psin_poly_sql('w_cbr')} AS cos_br
+  FROM p1),
+p3 AS MATERIALIZED (
+  SELECT *, (sin_la * cos_dr + cos_la * sin_dr * cos_br) AS sl2 FROM p2),
+p4 AS MATERIALIZED (
+  SELECT *,
+    (CASE WHEN sl2 < -1e0 THEN -1e0 WHEN sl2 > 1e0 THEN 1e0 ELSE sl2 END) AS sl2c,
+    (sin_br * sin_dr * cos_la) AS ly,
+    (cos_dr - sin_la * sl2) AS lx
+  FROM p3),
+p5 AS MATERIALIZED (
+  SELECT *, sqrt(1e0 - sl2c * sl2c) AS ax,
+    sl2c / (CASE WHEN sqrt(1e0 - sl2c * sl2c) = 0e0 THEN 1e0
+            ELSE sqrt(1e0 - sl2c * sl2c) END) AS qa,
+    ly / (CASE WHEN lx = 0e0 THEN 1e0 ELSE lx END) AS qb
+  FROM p4),
+p5b AS MATERIALIZED (
+  SELECT *, {atan_fold_arg_sql('qa')} AS qqa, {atan_fold_arg_sql('qb')} AS qqb FROM p5),
+p6 AS MATERIALIZED (
+  SELECT *, {atan_z1_sql('qqa')} AS qa1, {atan_z1_sql('qqb')} AS qb1 FROM p5b),
+p7 AS MATERIALIZED (
+  SELECT *, {atan_z1_sql('qa1')} AS qa2, {atan_z1_sql('qb1')} AS qb2 FROM p6),
+p7b AS MATERIALIZED (
+  SELECT *, {atan_z1_sql('qa2')} AS qa3, {atan_z1_sql('qb2')} AS qb3 FROM p7),
+p8 AS MATERIALIZED (
+  SELECT *, {atan_poly_sql('qa3')} AS aa0, {atan_poly_sql('qb3')} AS ab0 FROM p7b),
+p8b AS MATERIALIZED (
+  SELECT *, {atan_unfold_sql('aa0', 'qa')} AS aa, {atan_unfold_sql('ab0', 'qb')} AS ab
+  FROM p8),
+p9 AS MATERIALIZED (
+  SELECT *, {patan2_case_sql('aa', 'sl2c', 'ax')} AS lat2_rad,
+         (lo + {patan2_case_sql('ab', 'ly', 'lx')}) AS lon2_rad
+  FROM p8b)"""
     # kernel normalizes in degrees then returns radians; the UDF multiplies
     # back — mirror the whole chain
-    lon2 = f"(({norm_lon_sql(f'({lon2_rad} * {dlit(RAD_TO_DEG)})')} * {dlit(DEG_TO_RAD)}) * {dlit(RAD_TO_DEG)})"
-    lat2 = f"(({norm_lat_sql(f'({lat2_rad} * {dlit(RAD_TO_DEG)})')} * {dlit(DEG_TO_RAD)}) * {dlit(RAD_TO_DEG)})"
+    lon2 = (
+        f"(({norm_lon_sql(f'(lon2_rad * {dlit(RAD_TO_DEG)})')}"
+        f" * {dlit(DEG_TO_RAD)}) * {dlit(RAD_TO_DEG)})"
+    )
+    lat2 = (
+        f"(({norm_lat_sql(f'(lat2_rad * {dlit(RAD_TO_DEG)})')}"
+        f" * {dlit(DEG_TO_RAD)}) * {dlit(RAD_TO_DEG)})"
+    )
     return (
-        f"SELECT {id_col}, round({lon2}, {ndigits}) AS lon2, "
-        f"round({lat2}, {ndigits}) AS lat2 FROM {cte}"
+        f", {stages}\n"
+        f"SELECT {id_col}, {lon2} AS lon2, {lat2} AS lat2 FROM p9"
     )
 
 

@@ -680,10 +680,14 @@ def q_point_on_bearing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (F.col("c_custkey") * F.lit(17)) % F.lit(720) * F.lit(45.0) / F.lit(128.0)
     b = (F.col("c_custkey") * F.lit(23)) % F.lit(1440) * F.lit(45.0) / F.lit(180.0)
     dest = point_on_bearing_udf()(lon, lat, d, b)
+    # full unrounded doubles: the UDF's portable-trig chain is
+    # bit-identical to the oracle's mirrored SQL (kernels.ptrig), so no
+    # defensive rounding — whose tie boundaries the sf1 sweep caught
+    # flipping — is needed
     return c.select(
         "c_custkey",
-        F.round(dest["lon2"], 4).alias("lon2"),
-        F.round(dest["lat2"], 4).alias("lat2"),
+        dest["lon2"].alias("lon2"),
+        dest["lat2"].alias("lat2"),
     )
 
 
@@ -694,7 +698,7 @@ def sql_point_on_bearing() -> str:
         "((c_custkey * 17) % 720) * 45e0 / 128e0 AS d, "
         "((c_custkey * 23) % 1440) * 45e0 / 180e0 AS b FROM customer)"
     )
-    return f"WITH {cte}\n" + O.point_on_bearing_select_sql("c", "c_custkey", 4)
+    return f"WITH {cte}\n" + O.point_on_bearing_select_sql("c", "c_custkey")
 
 
 def _derived_rects(spark: SparkSession, sf_dir: str):
