@@ -27,8 +27,11 @@ from spatial4n_spark import oracles as O
 from spatial4n_spark.functions.native import haversine_km, rect_contains_point
 from spatial4n_spark.functions.udfs import circle_bbox_udf, dist_km_udf, relate_bbox_udf
 from spatial4n_spark.operators.distance_join import radius_join
-from spatial4n_spark.operators.knn import knn_join
-from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+from spatial4n_spark.operators.knn import knn_join, knn_join_df
+from spatial4n_spark.operators.spatial_join import (
+    spatial_join_points_polygons,
+    spatial_join_points_polygons_df,
+)
 from spatial4n_spark.operators.tiles import tile_assign, tile_stats
 from spatial4n_spark.sources.polygons import polygon_layer
 
@@ -160,6 +163,26 @@ def sql_pip_join() -> str:
     return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
 
 
+def q_pip_join_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PIP join through the beyond-broadcast partitioned-cover path:
+    the layer enters as a (poly_id, wkt) DataFrame, the quadtree cover is
+    planned DISTRIBUTED (mapInPandas over the layer), candidates come from
+    a shuffle-by-cell equi-join, and exact refinement parses each matched
+    polygon once per task. Gate-verifying this path means the plan a
+    10^6-feature layer would use is the audited one — the broadcast
+    `pip_join` row covers only layers that fit on the driver
+    (reference motivation: ShapeCollection.cs:42-44)."""
+    from spatial4n_spark.sources.polygons import POLYGON_LAYER
+
+    layer_df = spark.createDataFrame(
+        [(pid, wkt) for pid, wkt, _ in POLYGON_LAYER], "poly_id string, wkt string"
+    )
+    out = spatial_join_points_polygons_df(
+        pts_orders(spark, sf_dir), layer_df, level=3
+    )
+    return out.select("o_orderkey", "poly_id")
+
+
 def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase per-cell aggregation (geohash level 3)."""
     return tile_stats(
@@ -265,6 +288,27 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KNN_K,
         id_col="o_orderkey",
         level=3,
+        estimated_total=_parquet_num_rows(f"{sf_dir}/orders.parquet"),
+    )
+    return out.select("query_id", "o_orderkey", "rank")
+
+
+def q_knn_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact kNN through the DataFrame-native, density-adaptive path
+    (`knn_join_df`): per-query grid levels from a counts pyramid,
+    anisotropic ring blocks expanded in mapInPandas, acceptance via
+    aggregate + anti-join — nothing per-query on the driver. Gate-verifying
+    this path means the plan a 10^6-query batch would use is the audited
+    one; the `knn` row covers the driver-list convenience surface."""
+    qdf = spark.createDataFrame(
+        [(qid, qlon, qlat) for qid, qlon, qlat, _ in RADIUS_CENTERS],
+        "query_id string, qlon double, qlat double",
+    )
+    out = knn_join_df(
+        pts_orders(spark, sf_dir),
+        qdf,
+        k=KNN_K,
+        id_col="o_orderkey",
         estimated_total=_parquet_num_rows(f"{sf_dir}/orders.parquet"),
     )
     return out.select("query_id", "o_orderkey", "rank")
@@ -925,10 +969,12 @@ def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPATIAL_QUERIES: dict[str, callable] = {
     "pip_join": q_pip_join,
+    "pip_join_cover": q_pip_join_cover,
     "tile_stats": q_tile_stats,
     "cell_assign": q_cell_assign,
     "radius_join": q_radius_join,
     "knn": q_knn,
+    "knn_df": q_knn_df,
     "rect_relate": q_rect_relate,
     "rect_counts": q_rect_counts,
     "circle_bbox": q_circle_bbox,
@@ -957,6 +1003,10 @@ def spatial_oracles() -> dict[str, str]:
         SPATIAL_ORACLES.update(
             {
                 "pip_join": sql_pip_join(),
+                # same oracle as pip_join/knn: the at-scale paths must
+                # return exactly the rows the broadcast/list paths do
+                "pip_join_cover": sql_pip_join(),
+                "knn_df": sql_knn(),
                 "tile_stats": sql_tile_stats(),
                 "cell_assign": sql_cell_assign(),
                 "radius_join": sql_radius_join(),
