@@ -244,3 +244,52 @@ def sql_image_pip_join() -> str:
     union = "\nUNION ALL\n".join(parts)
     return f"""WITH {_meta_cte()}
 SELECT poly_id, n_images FROM ({union}) WHERE n_images > 0"""
+
+
+def sql_image_dup_pairs(copies: int = 2, threshold: int = 3, bands: int = 4) -> str:
+    """Oracle for q_image_dup_pairs: regenerate the phash corpus (base
+    splitmix64 hashes + the planted bit-flip variants of
+    sources.images.phash_variants_df, op-for-op) and recover near-dup
+    pairs with the SAME pigeonhole band join the engine uses — exact for
+    threshold <= bands-1, so both engines compute the identical set.
+    Bitwise primitives (>>, &, xor, bit_count) are 64-bit-pattern
+    identical between Spark BIGINT and DuckDB UBIGINT (verified)."""
+    ids = f"SELECT unnest(range(0, CAST({N_IMAGES_SQL} AS BIGINT))) AS i"
+    base = _mix64_sql(ids, ["i"], {"ph": "CAST(i + 43981 AS UBIGINT)"})  # 0xABCD
+    base_rows = (
+        f"SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') AS image_id, ph FROM ({base})"
+    )
+    branches = [base_rows]
+    for v in range(1, copies + 1):
+        vh = _mix64_sql(
+            f"SELECT i, ph FROM ({base}) WHERE i % 4 = 0",
+            ["i", "ph"],
+            {"h": f"CAST(i * 1000003 + {(10 + v) * 77003 + 42} AS UBIGINT)"},
+        )
+        mask = f"(CAST(1 AS UBIGINT) << CAST((h >> 0) & 63 AS INTEGER))"
+        for j in range(1, v):
+            mask = (
+                f"xor({mask}, (CAST(1 AS UBIGINT) << "
+                f"CAST((h >> {6 * j}) & 63 AS INTEGER)))"
+            )
+        branches.append(
+            f"SELECT 'img' || lpad(CAST(i AS VARCHAR), 9, '0') || '_v{v}' AS image_id, "
+            f"xor(ph, {mask}) AS ph FROM ({vh})"
+        )
+    corpus = "\nUNION ALL\n".join(branches)
+    width = 64 // bands
+    blk_mask = (1 << width) - 1
+    band_vals = ", ".join(f"({b})" for b in range(bands))
+    return f"""WITH corpus AS MATERIALIZED ({corpus}),
+blocks AS (
+  SELECT image_id, ph, bi, (ph >> ({width} * bi)) & {blk_mask} AS bh
+  FROM corpus CROSS JOIN (VALUES {band_vals}) AS bvals(bi)
+),
+cand AS (
+  SELECT DISTINCT a.image_id AS image_a, b.image_id AS image_b,
+         a.ph AS pa, b.ph AS pb
+  FROM blocks a JOIN blocks b USING (bi, bh)
+  WHERE a.image_id < b.image_id
+)
+SELECT image_a, image_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {threshold}"""

@@ -178,6 +178,53 @@ def _gen_batch(ids: np.ndarray, with_bytes: bool, cell_level: int | None = None)
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
+def phash_variants_df(spark, n_rows: int, copies: int = 2, partitions: int | None = None):
+    """Deterministic near-duplicate phash rows for the images table.
+
+    For every base row with ``i % 4 == 0`` emit ``copies`` variants;
+    variant ``v`` (1-based) flips ``v`` bit positions of the base phash,
+    the positions drawn from splitmix64 with the same (id, salt) keying
+    as the coordinate generator (salt = 10 + v, so no overlap with the
+    coordinate salts 1..4). Schema: image_id string ('<base>_v<v>'),
+    phash long. hamming(base, variant_v) <= v by construction (< v when
+    two drawn positions coincide), so with threshold >= copies the dup
+    join must recover every (base, variant) and (variant, variant) pair.
+    """
+    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+
+    def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            ids = batch.column(0).to_numpy()
+            ids = ids[ids % 4 == 0]
+            if len(ids) == 0:
+                continue
+            base_ph = _mix64(ids.astype(np.uint64) + np.uint64(0xABCD))
+            out_ids: list[str] = []
+            out_ph: list[np.ndarray] = []
+            for v in range(1, copies + 1):
+                h = _mix64(
+                    ids.astype(np.uint64) * np.uint64(1_000_003)
+                    + np.uint64((10 + v) * 77_003 + 42)
+                )
+                mask = np.zeros(len(ids), dtype=np.uint64)
+                for j in range(v):
+                    pos = (h >> np.uint64(6 * j)) & np.uint64(63)
+                    mask ^= np.uint64(1) << pos
+                out_ph.append(base_ph ^ mask)
+                out_ids.extend(
+                    f"img{int(i):09d}_v{v}" for i in ids
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.string()),
+                    pa.array(np.concatenate(out_ph).astype(np.int64), pa.int64()),
+                ],
+                names=["image_id", "phash"],
+            )
+
+    return rng.mapInArrow(gen, "image_id string, phash long")
+
+
 def images_df(
     spark,
     n_rows: int,

@@ -542,6 +542,23 @@ def _buffered_layer() -> list[tuple[str, object]]:
     return _BUFFERED_LAYER
 
 
+def q_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: base corpus plus
+    planted bit-flip variants through the pigeonhole band join
+    (operators/phash_dedup.py) — EXACT for hamming <= bands-1, one
+    shuffle, no crossJoin. The image-side member of the dedup family
+    (text twins: doc_minhash / doc_simhash)."""
+    from spatial4n_spark.operators.phash_dedup import phash_dup_pairs
+    from spatial4n_spark.sources.images import images_df, phash_variants_df
+
+    n, parts = _images_scale(sf_dir)
+    base = images_df(spark, n, with_bytes=False, partitions=parts).select(
+        "image_id", "phash"
+    )
+    corpus = base.unionAll(phash_variants_df(spark, n, copies=2, partitions=parts))
+    return phash_dup_pairs(corpus, threshold=3, bands=4)
+
+
 def q_poly_buffer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon-buffer join (GetBuffered on polygons, Shape.cs:90 /
     NtsGeometry.cs:203-211): widen a polygon layer by a per-feature
@@ -991,6 +1008,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
+    "image_dup_pairs": q_image_dup_pairs,
     "poly_buffer_join": q_poly_buffer_join,
 }
 
@@ -1034,6 +1052,7 @@ def spatial_oracles() -> dict[str, str]:
                 "image_decode_check": OI.sql_image_decode_check(),
                 "image_tiles": OI.sql_image_tiles(),
                 "image_pip_join": OI.sql_image_pip_join(),
+                "image_dup_pairs": OI.sql_image_dup_pairs(),
             }
         )
     return SPATIAL_ORACLES
