@@ -980,6 +980,26 @@ def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_images"))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio arm of the multimodal family: fused generate+decode+feature
+    extraction (zero crossings, peak, energy, decimated energy, RMS) —
+    payload bytes never cross Arrow; every feature is an exact-integer
+    reduction plus one divide+sqrt for RMS."""
+    from spatial4n_spark.operators.av import generate_audio_features
+
+    n, parts = _images_scale(sf_dir, rows_per_sf=1_000_000)
+    return generate_audio_features(spark, n, partitions=parts)
+
+
+def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video arm: fused generate + frame-sample + threshold scene-cut
+    detection over planted scene structure; all-integer outputs."""
+    from spatial4n_spark.operators.av import generate_video_scenes
+
+    n, parts = _images_scale(sf_dir, rows_per_sf=500_000)
+    return generate_video_scenes(spark, n, partitions=parts)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1009,6 +1029,8 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "image_tiles": q_image_tiles,
     "image_pip_join": q_image_pip_join,
     "image_dup_pairs": q_image_dup_pairs,
+    "audio_features": q_audio_features,
+    "video_scenes": q_video_scenes,
     "poly_buffer_join": q_poly_buffer_join,
 }
 
@@ -1053,6 +1075,14 @@ def spatial_oracles() -> dict[str, str]:
                 "image_tiles": OI.sql_image_tiles(),
                 "image_pip_join": OI.sql_image_pip_join(),
                 "image_dup_pairs": OI.sql_image_dup_pairs(),
+            }
+        )
+        from spatial4n_spark import oracles_av as OA
+
+        SPATIAL_ORACLES.update(
+            {
+                "audio_features": OA.sql_audio_features(),
+                "video_scenes": OA.sql_video_scenes(),
             }
         )
     return SPATIAL_ORACLES
