@@ -76,8 +76,24 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # positional: sf_dir [query ...]; also accepts --sf DIR / --queries a,b
+    args = sys.argv[1:]
+    sf_dir, only = "/root/testdata/sf0.01", set()
+    pos = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sf_dir = args[i + 1]
+            i += 2
+        elif args[i] == "--queries":
+            only.update(q for q in args[i + 1].split(",") if q)
+            i += 2
+        else:
+            pos.append(args[i])
+            i += 1
+    if pos:
+        sf_dir = pos[0]
+        only.update(q for c in pos[1:] for q in c.split(",") if q)
 
     import __spark_entry__ as E
     from pyspark.sql import SparkSession
@@ -95,6 +111,11 @@ def main() -> int:
 
     queries = E.queries()
     oracles = E.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd filter must not report a vacuous "FAILED: none"
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
