@@ -25,9 +25,8 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-from spatial4n_spark.sources.audio import audio_meta, decode_audio, raw_samples
+from spatial4n_spark.sources.audio import audio_meta, decode_audio
 from spatial4n_spark.sources.video import (
-    FRAME_PX,
     decode_video,
     scene_index,
     video_frames,
@@ -64,22 +63,39 @@ def _audio_feature_batch(
     total = len(samples)
     n_rows = len(offsets)
     ends = np.append(offsets[1:], total)
+    counts = ends - offsets
+    empty = counts == 0
 
-    s64 = samples.astype(np.int64)
-    energy = np.add.reduceat(s64 * s64, offsets)
-    peak = np.maximum.reduceat(np.abs(samples), offsets)
+    # reduceat needs strictly-valid segment starts (< total) and
+    # misattributes a zero-width segment to the NEXT row's first element
+    # (and raises on a start == total), so reduce over the NONEMPTY rows
+    # only and scatter back — empty rows (metadata-only tables, corrupt
+    # records) get zeroed features.
+    energy = np.zeros(n_rows, dtype=np.int64)
+    peak = np.zeros(n_rows, dtype=np.int64)
+    zc = np.zeros(n_rows, dtype=np.int64)
+    eds = np.zeros(n_rows, dtype=np.int64)
+    nz = ~empty
+    if total > 0 and nz.any():
+        off_nz = offsets[nz]  # strictly increasing, all < total: adjacent
+        # empty rows have zero width, so consecutive nonempty offsets
+        # delimit exactly one row's samples
+        s64 = samples.astype(np.int64)
+        energy[nz] = np.add.reduceat(s64 * s64, off_nz)
+        peak[nz] = np.maximum.reduceat(np.abs(samples), off_nz)
 
-    # zero crossings: flips between consecutive samples, not across rows
-    neg = samples < 0
-    flips = (neg[1:] != neg[:-1]).astype(np.int64)
-    cs = np.concatenate(([0], np.cumsum(flips)))
-    zc = cs[ends - 1] - cs[offsets]
+        # zero crossings: flips between consecutive samples, not across rows
+        neg = samples < 0
+        flips = (neg[1:] != neg[:-1]).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(flips)))
+        zc[nz] = cs[ends[nz] - 1] - cs[off_nz]
 
-    # decimated (every 4th sample per row) energy: j is the within-row index
-    j = np.arange(total, dtype=np.int64) - np.repeat(offsets, ends - offsets)
-    eds = np.add.reduceat(np.where(j % SAMPLE_EVERY == 0, s64 * s64, 0), offsets)
-
-    rms = np.sqrt(energy / n_samples.astype(np.int64))
+        # decimated (every 4th sample per row) energy: j = within-row index
+        j = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts)
+        eds[nz] = np.add.reduceat(
+            np.where(j % SAMPLE_EVERY == 0, s64 * s64, 0), off_nz
+        )
+    rms = np.sqrt(energy / np.maximum(n_samples.astype(np.int64), 1))
     return pa.RecordBatch.from_arrays(
         [
             pa.array(audio_id, pa.string()),
@@ -99,28 +115,31 @@ def _audio_feature_batch(
     )
 
 
+def audio_chunk_features(chunk: pa.RecordBatch) -> pa.RecordBatch:
+    """Decode one chunk of audio payload rows -> features RecordBatch.
+
+    The single decode kernel shared by the batch table form and the
+    streaming stage (output rows are 1:1 with input rows)."""
+    ids = chunk.column("audio_id").to_pylist()
+    codec = chunk.column("codec").to_pylist()
+    rate = chunk.column("sample_rate").to_numpy()
+    nsamp = chunk.column("n_samples").to_numpy()
+    bufs = chunk.column("payload").to_pylist()
+    decoded = [decode_audio(b, c).astype(np.int32) for b, c in zip(bufs, codec)]
+    samples = np.concatenate(decoded) if decoded else np.empty(0, np.int32)
+    offsets = np.concatenate(
+        ([0], np.cumsum([len(d) for d in decoded])[:-1])
+    ).astype(np.int64)
+    return _audio_feature_batch(ids, codec, rate, nsamp, samples, offsets)
+
+
 def audio_features(audio: DataFrame, chunk_rows: int = 2048) -> DataFrame:
     """Table form: decode payload batches -> per-row audio features."""
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
-                chunk = batch.slice(s, chunk_rows)
-                ids = chunk.column("audio_id").to_pylist()
-                codec = chunk.column("codec").to_pylist()
-                rate = chunk.column("sample_rate").to_numpy()
-                nsamp = chunk.column("n_samples").to_numpy()
-                bufs = chunk.column("payload").to_pylist()
-                decoded = [
-                    decode_audio(b, c).astype(np.int32) for b, c in zip(bufs, codec)
-                ]
-                samples = (
-                    np.concatenate(decoded) if decoded else np.empty(0, np.int32)
-                )
-                offsets = np.concatenate(
-                    ([0], np.cumsum([len(d) for d in decoded])[:-1])
-                ).astype(np.int64)
-                yield _audio_feature_batch(ids, codec, rate, nsamp, samples, offsets)
+                yield audio_chunk_features(batch.slice(s, chunk_rows))
 
     return audio.mapInArrow(run, AUDIO_FEATURES_SCHEMA)
 
@@ -203,30 +222,33 @@ def _video_batch(rows: list[tuple]) -> pa.RecordBatch:
     )
 
 
-def video_scenes(video: DataFrame, chunk_rows: int = 1024) -> DataFrame:
-    """Table form: decode payloads -> scene-cut + frame-sampling features.
+def video_chunk_scenes(chunk: pa.RecordBatch) -> pa.RecordBatch:
+    """Decode one chunk of video payload rows -> scene features batch.
 
+    Shared by the batch table form and the streaming stage (1:1 rows).
     n_scene_markers (the planted ground truth) is recomputed from the
     video_id — metadata the generator owns, carried for the
-    detector-vs-planted comparison column.
-    """
+    detector-vs-planted comparison column."""
+    ids = chunk.column("video_id").to_pylist()
+    fmts = chunk.column("fmt").to_pylist()
+    fps = chunk.column("fps").to_numpy()
+    nf = chunk.column("n_frames").to_numpy()
+    bufs = chunk.column("payload").to_pylist()
+    rows = []
+    for vid, fmt, fp, n, buf in zip(ids, fmts, fps, nf, bufs):
+        frames = decode_video(buf, fmt, int(n))
+        markers = int(scene_index(int(vid[3:]), int(n))[-1])
+        rows.append(_video_scene_rows(vid, int(fp), frames, markers))
+    return _video_batch(rows)
+
+
+def video_scenes(video: DataFrame, chunk_rows: int = 1024) -> DataFrame:
+    """Table form: decode payloads -> scene-cut + frame-sampling features."""
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
-                chunk = batch.slice(s, chunk_rows)
-                ids = chunk.column("video_id").to_pylist()
-                fmts = chunk.column("fmt").to_pylist()
-                fps = chunk.column("fps").to_numpy()
-                nf = chunk.column("n_frames").to_numpy()
-                bufs = chunk.column("payload").to_pylist()
-                rows = []
-                for vid, fmt, fp, n, buf in zip(ids, fmts, fps, nf, bufs):
-                    frames = decode_video(buf, fmt, int(n))
-                    i = int(vid[3:])
-                    markers = int(scene_index(i, int(n))[-1])
-                    rows.append(_video_scene_rows(vid, int(fp), frames, markers))
-                yield _video_batch(rows)
+                yield video_chunk_scenes(batch.slice(s, chunk_rows))
 
     return video.mapInArrow(run, VIDEO_SCENES_SCHEMA)
 

@@ -45,7 +45,7 @@ def _meta_sql(n_sql: str, salt: int, unit: int) -> str:
     return f"SELECT i, CAST({unit} + (k >> 62) * {unit} AS INTEGER) AS nsz FROM ({mixed})"
 
 
-def sql_audio_features() -> str:
+def sql_audio_features(sample_every: int = 4) -> str:
     """Oracle for q_audio_features: per-row zero crossings, peak, energy,
     decimated energy, RMS over the regenerated PCM samples.
 
@@ -85,7 +85,8 @@ SELECT 'aud' || lpad(CAST(i AS VARCHAR), 9, '0') AS audio_id,
        CAST(sum(CASE WHEN j >= 1 AND neg != pneg THEN 1 ELSE 0 END) AS INTEGER) AS zc,
        CAST(max(abs(s)) AS INTEGER) AS peak,
        CAST(sum(s * s) AS BIGINT) AS energy,
-       CAST(sum(CASE WHEN j % 4 = 0 THEN s * s ELSE 0 END) AS BIGINT) AS energy_ds,
+       CAST(sum(CASE WHEN j % {sample_every} = 0 THEN s * s ELSE 0 END) AS BIGINT)
+         AS energy_ds,
        sqrt(CAST(CAST(sum(s * s) AS BIGINT) AS DOUBLE)
             / CAST(n_samples AS DOUBLE)) AS rms
 FROM ({dec})

@@ -34,7 +34,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from spatial4n_spark.sources.images import _mix64, _u01, synth_coords
+from spatial4n_spark.sources.images import _mix64, synth_coords
 
 AUDIO_SCHEMA = (
     "audio_id string, payload binary, sample_rate int, n_samples int, "

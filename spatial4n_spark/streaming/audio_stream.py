@@ -21,11 +21,10 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from spatial4n_spark.sources.audio import AUDIO_SCHEMA, decode_audio
+from spatial4n_spark.sources.audio import AUDIO_SCHEMA
 
 AUDIO_TS_SCHEMA = AUDIO_SCHEMA + ", ts timestamp"
 FEATURES_TS_SCHEMA = (
@@ -53,27 +52,13 @@ def streaming_audio_features(
     unchanged per micro-batch); output is 1:1 with input rows, with the
     geohash cell and event timestamp attached."""
     from spatial4n_spark.kernels.geohash import geohash_encode_str
-    from spatial4n_spark.operators.av import _audio_feature_batch
+    from spatial4n_spark.operators.av import audio_chunk_features
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
                 chunk = batch.slice(s, chunk_rows)
-                ids = chunk.column("audio_id").to_pylist()
-                codec = chunk.column("codec").to_pylist()
-                rate = chunk.column("sample_rate").to_numpy()
-                nsamp = chunk.column("n_samples").to_numpy()
-                bufs = chunk.column("payload").to_pylist()
-                decoded = [
-                    decode_audio(b, c).astype(np.int32) for b, c in zip(bufs, codec)
-                ]
-                samples = (
-                    np.concatenate(decoded) if decoded else np.empty(0, np.int32)
-                )
-                offsets = np.concatenate(
-                    ([0], np.cumsum([len(d) for d in decoded])[:-1])
-                ).astype(np.int64)
-                feats = _audio_feature_batch(ids, codec, rate, nsamp, samples, offsets)
+                feats = audio_chunk_features(chunk)
                 cell = geohash_encode_str(
                     chunk.column("lat").to_numpy(),
                     chunk.column("lon").to_numpy(),

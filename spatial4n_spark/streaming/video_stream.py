@@ -18,7 +18,7 @@ from typing import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from spatial4n_spark.sources.video import VIDEO_SCHEMA, decode_video, scene_index
+from spatial4n_spark.sources.video import VIDEO_SCHEMA
 
 VIDEO_TS_SCHEMA = VIDEO_SCHEMA + ", ts timestamp"
 SCENES_TS_SCHEMA = (
@@ -44,23 +44,13 @@ def streaming_video_scenes(
 ) -> DataFrame:
     """Stateless decode -> scene/sampling features over a video stream."""
     from spatial4n_spark.kernels.geohash import geohash_encode_str
-    from spatial4n_spark.operators.av import _video_batch, _video_scene_rows
+    from spatial4n_spark.operators.av import video_chunk_scenes
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
                 chunk = batch.slice(s, chunk_rows)
-                ids = chunk.column("video_id").to_pylist()
-                fmts = chunk.column("fmt").to_pylist()
-                fps = chunk.column("fps").to_numpy()
-                nf = chunk.column("n_frames").to_numpy()
-                bufs = chunk.column("payload").to_pylist()
-                rows = []
-                for vid, fmt, fp, n, buf in zip(ids, fmts, fps, nf, bufs):
-                    frames = decode_video(buf, fmt, int(n))
-                    markers = int(scene_index(int(vid[3:]), int(n))[-1])
-                    rows.append(_video_scene_rows(vid, int(fp), frames, markers))
-                feats = _video_batch(rows)
+                feats = video_chunk_scenes(chunk)
                 cell = geohash_encode_str(
                     chunk.column("lat").to_numpy(),
                     chunk.column("lon").to_numpy(),

@@ -1078,11 +1078,14 @@ def spatial_oracles() -> dict[str, str]:
             }
         )
         from spatial4n_spark import oracles_av as OA
+        from spatial4n_spark.operators.av import CUT_THRESHOLD, SAMPLE_EVERY
 
         SPATIAL_ORACLES.update(
             {
-                "audio_features": OA.sql_audio_features(),
-                "video_scenes": OA.sql_video_scenes(),
+                "audio_features": OA.sql_audio_features(sample_every=SAMPLE_EVERY),
+                "video_scenes": OA.sql_video_scenes(
+                    cut_threshold=CUT_THRESHOLD, sample_every=SAMPLE_EVERY
+                ),
             }
         )
     return SPATIAL_ORACLES

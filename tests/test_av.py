@@ -92,6 +92,39 @@ def test_video_fused_equals_table(spark):
     assert (f.n_sampled == (f.n_frames + SAMPLE_EVERY - 1) // SAMPLE_EVERY).all()
 
 
+def test_audio_features_empty_payload_rows():
+    """Zero-length payload rows (metadata-only tables, corrupt records)
+    must yield zeroed features — reduceat would otherwise silently
+    assign them the NEXT row's first sample (code-review fix)."""
+    import pyarrow as pa
+
+    from spatial4n_spark.operators.av import _audio_feature_batch
+
+    # rows: [1,-1] | empty | [2,3] | empty-at-end
+    samples = np.array([1, -1, 2, 3], dtype=np.int32)
+    offsets = np.array([0, 2, 2, 4], dtype=np.int64)
+    out = _audio_feature_batch(
+        ["a", "b", "c", "d"],
+        ["pcm"] * 4,
+        np.full(4, 8000, np.int32),
+        np.array([2, 0, 2, 0], np.int32),
+        samples,
+        offsets,
+    ).to_pandas()
+    assert out.energy.tolist() == [2, 0, 13, 0]
+    assert out.peak.tolist() == [1, 0, 3, 0]
+    assert out.zc.tolist() == [1, 0, 0, 0]
+    assert out.energy_ds.tolist() == [1, 0, 4, 0]
+    assert out.rms.tolist()[1] == 0.0 and out.rms.tolist()[3] == 0.0
+
+    # all-empty chunk must not raise
+    empty = _audio_feature_batch(
+        ["x"], ["pcm"], np.array([8000], np.int32), np.array([0], np.int32),
+        np.empty(0, np.int32), np.array([0], np.int64),
+    ).to_pandas()
+    assert empty.energy.tolist() == [0]
+
+
 def test_audio_meta_distribution():
     ids = np.arange(4000)
     nsamp, codec, rate = audio_meta(ids)

@@ -82,11 +82,14 @@ def main() -> int:
     pos = []
     i = 0
     while i < len(args):
-        if args[i] == "--sf":
-            sf_dir = args[i + 1]
-            i += 2
-        elif args[i] == "--queries":
-            only.update(q for q in args[i + 1].split(",") if q)
+        if args[i] in ("--sf", "--queries"):
+            if i + 1 >= len(args):
+                print(f"ERROR: {args[i]} requires a value")
+                return 2
+            if args[i] == "--sf":
+                sf_dir = args[i + 1]
+            else:
+                only.update(q for q in args[i + 1].split(",") if q)
             i += 2
         else:
             pos.append(args[i])
@@ -96,6 +99,15 @@ def main() -> int:
         only.update(q for c in pos[1:] for q in c.split(",") if q)
 
     import __spark_entry__ as E
+
+    queries = E.queries()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd filter must not report a vacuous "FAILED: none" —
+        # and must not pay JVM startup to say so
+        print(f"ERROR: unknown query names: {sorted(unknown)}")
+        return 2
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -109,13 +121,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 
-    queries = E.queries()
     oracles = E.oracle_sql()
-    unknown = only - set(queries)
-    if unknown:
-        # a typo'd filter must not report a vacuous "FAILED: none"
-        print(f"ERROR: unknown query names: {sorted(unknown)}")
-        return 2
     failed = []
     for name, fn in queries.items():
         if only and name not in only:
