@@ -107,6 +107,8 @@ def main() -> int:
         # at-scale twins of pip_join / knn (partitioned cover join,
         # DataFrame-native query set)
         "pip_join_cover", "knn_df",
+        # second cell-index backend (cube-face Hilbert, int64 cells)
+        "s2_cell_assign", "s2_tile_stats",
     ]
     names = [n for n in (only or default_names) if n in queries]
 

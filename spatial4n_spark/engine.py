@@ -164,13 +164,15 @@ class SpatialEngine:
     def register(self, prefix: str = "s4n") -> None:
         """Register the engine's vectorized functions for SQL use:
         ``{prefix}_geohash``, ``{prefix}_dist_km``, ``{prefix}_relate_wkt``,
-        ``{prefix}_cell_bbox`` — usable from ``spark.sql(...)``.
+        ``{prefix}_cell_bbox``, ``{prefix}_s2_cell`` — usable from
+        ``spark.sql(...)``.
         """
         from spatial4n_spark.functions.udfs import (
             dist_km_udf,
             geohash_bbox_udf,
             geohash_udf,
             relate_wkt_udf,
+            s2_udf,
         )
 
         self.spark.udf.register(f"{prefix}_geohash", geohash_udf(self.ctx.cell_level))
@@ -179,3 +181,4 @@ class SpatialEngine:
             f"{prefix}_relate_wkt", relate_wkt_udf(self.ctx.geo, self.ctx.calculator)
         )
         self.spark.udf.register(f"{prefix}_cell_bbox", geohash_bbox_udf())
+        self.spark.udf.register(f"{prefix}_s2_cell", s2_udf(self.ctx.cell_level))

@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     BooleanType,
     ByteType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -274,3 +275,35 @@ def haversine_km_udf():
         return pd.Series(d)
 
     return _dist
+
+
+def s2_udf(level: int = 12):
+    """(lat, lon) -> S2-style cell id (int64) at a fixed level (vectorized).
+
+    Second cell-index backend behind the generic cell-encode surface
+    (SURVEY §2.5); same asNondeterministic rationale as geohash_udf.
+    """
+    from spatial4n_spark.kernels.s2cell import s2_encode
+
+    @F.pandas_udf(LongType())
+    def _encode(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        c = s2_encode(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
+        return pd.Series(c)
+
+    return _encode.asNondeterministic()
+
+
+def s2_center_udf(level: int = 12):
+    """S2 cell id -> struct(clat, clon): unrounded ST-center degrees."""
+    from spatial4n_spark.kernels.s2cell import s2_decode_center
+
+    schema = StructType(
+        [StructField("clat", DoubleType()), StructField("clon", DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def _decode(cell: pd.Series) -> pd.DataFrame:
+        clat, clon = s2_decode_center(cell.to_numpy(np.int64), level)
+        return pd.DataFrame({"clat": clat, "clon": clon})
+
+    return _decode

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from spatial4n_spark.functions.native import cell_id_int
-from spatial4n_spark.functions.udfs import geohash_udf
+from spatial4n_spark.functions.udfs import geohash_udf, s2_udf
 
 
 def tile_assign(
@@ -26,8 +26,18 @@ def tile_assign(
     lat: str = "lat",
     cell_col: str = "cell",
     int_cell: bool = False,
+    index: str = "geohash",
 ) -> DataFrame:
-    out = points.withColumn(cell_col, geohash_udf(level)(F.col(lat), F.col(lon)))
+    """``index`` picks the cell backend: "geohash" (string cells, the
+    reference's grid) or "s2" (int64 cube-face Hilbert cells,
+    ``kernels/s2cell.py``) — join/agg logic downstream is identical."""
+    if index == "s2":
+        encode = s2_udf(level)
+    elif index == "geohash":
+        encode = geohash_udf(level)
+    else:
+        raise ValueError(f"unknown cell index backend: {index!r}")
+    out = points.withColumn(cell_col, encode(F.col(lat), F.col(lon)))
     if int_cell:
         out = out.withColumn(f"{cell_col}_id", cell_id_int(F.col(lon), F.col(lat), level))
     return out
@@ -42,6 +52,7 @@ def tile_stats(
     salt_col: str = "phash",
     aggs: list | None = None,
     sum_col: str | None = None,
+    index: str = "geohash",
 ) -> DataFrame:
     """Per-cell (count, mean lon/lat, ...) with optional explicit salting.
 
@@ -49,7 +60,7 @@ def tile_stats(
     (n, sum_<col>) used by the oracle-checked entry queries — integer sums
     are order-insensitive so the two-phase salted plan is bit-reproducible.
     """
-    df = tile_assign(points, level, lon, lat)
+    df = tile_assign(points, level, lon, lat, index=index)
     if sum_col is not None:
         sum_alias = f"sum_{sum_col}"
         if salt_buckets <= 1:

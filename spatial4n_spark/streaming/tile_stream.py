@@ -60,13 +60,24 @@ def streaming_tile_counts(
     lon: str = "lon",
     lat: str = "lat",
     ts: str = "ts",
+    index: str = "geohash",
 ) -> DataFrame:
     """Watermarked windowed per-cell aggregation of a geotagged stream.
 
     Returns (window, cell, n, sum_value) — append-mode compatible: rows
-    finalize when the watermark passes the window end.
+    finalize when the watermark passes the window end.  ``index`` swaps
+    the cell backend ("geohash" strings / "s2" int64 cube-face Hilbert
+    cells) with identical windowing/agg logic, same as batch tile_stats.
     """
-    cells = stream.withColumn("cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    if index == "s2":
+        from spatial4n_spark.functions.udfs import s2_udf
+
+        encode = s2_udf(level)
+    elif index == "geohash":
+        encode = geohash_udf(level)
+    else:
+        raise ValueError(f"unknown cell index backend: {index!r}")
+    cells = stream.withColumn("cell", encode(F.col(lat), F.col(lon)))
     win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
     return (
         cells.withWatermark(ts, watermark)

@@ -239,6 +239,61 @@ SELECT o_orderkey, {cell} AS cell, {cid} AS cell_id,
 FROM p"""
 
 
+def q_s2_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-backend tile assignment (kernels/s2cell.py): cube-face Hilbert
+    cell id at level 12, coarser ancestor by prefix shift (level 8), face,
+    and the decoded UNROUNDED ST-center — exercises the portable-trig
+    encode AND the inverse-Hilbert decode walk cross-engine."""
+    from spatial4n_spark.functions.udfs import s2_center_udf
+
+    out = tile_assign(
+        pts_orders(spark, sf_dir), level=12, cell_col="s2_cell", index="s2"
+    )
+    ctr = s2_center_udf(12)(F.col("s2_cell"))
+    return out.select(
+        "o_orderkey",
+        "s2_cell",
+        F.shiftright(F.col("s2_cell"), 8).alias("s2_parent"),
+        F.shiftright(F.col("s2_cell"), 24).alias("s2_face"),
+        ctr["clat"].alias("clat"),
+        ctr["clon"].alias("clon"),
+    )
+
+
+def sql_s2_cell_assign() -> str:
+    from spatial4n_spark import oracles_s2 as OS2
+
+    enc = OS2.s2_encode_stages_sql("pts", "o_orderkey", 12)
+    ctr = OS2.s2_center_stages_sql("o_orderkey", 12)
+    return f"""WITH {ORDERS_PTS_CTE}{enc},{ctr}
+SELECT o_orderkey, cell AS s2_cell, (cell >> 8) AS s2_parent,
+       (cell >> 24) AS s2_face, clat, clon FROM s2c"""
+
+
+def q_s2_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase per-cell aggregation through the S2 backend
+    (level 6) — proves the cell-index backends swap under the same
+    join/agg machinery (SURVEY §2.5 pluggability claim)."""
+    return tile_stats(
+        pts_lineitem(spark, sf_dir),
+        level=6,
+        salt_buckets=8,
+        salt_col="l_partkey",
+        sum_col="l_linenumber",
+        index="s2",
+    )
+
+
+def sql_s2_tile_stats() -> str:
+    from spatial4n_spark import oracles_s2 as OS2
+
+    enc = OS2.s2_encode_stages_sql("pts", "l_linenumber", 6)
+    return f"""WITH {LINEITEM_PTS_CTE}{enc}
+SELECT cell, count(*) AS n,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber
+FROM s2f GROUP BY 1"""
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance join: points within R km of query centers."""
     out = radius_join(
@@ -1009,6 +1064,8 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "pip_join_cover": q_pip_join_cover,
     "tile_stats": q_tile_stats,
     "cell_assign": q_cell_assign,
+    "s2_cell_assign": q_s2_cell_assign,
+    "s2_tile_stats": q_s2_tile_stats,
     "radius_join": q_radius_join,
     "knn": q_knn,
     "knn_df": q_knn_df,
@@ -1049,6 +1106,8 @@ def spatial_oracles() -> dict[str, str]:
                 "knn_df": sql_knn(),
                 "tile_stats": sql_tile_stats(),
                 "cell_assign": sql_cell_assign(),
+                "s2_cell_assign": sql_s2_cell_assign(),
+                "s2_tile_stats": sql_s2_tile_stats(),
                 "radius_join": sql_radius_join(),
                 "knn": sql_knn(),
                 "rect_relate": sql_rect_relate(),

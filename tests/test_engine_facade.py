@@ -26,11 +26,15 @@ def test_sql_registration(engine, spark):
     row = spark.sql(
         "SELECT s4n_geohash(42.6d, -5.6d) AS gh, "
         "round(s4n_dist_km(2.0d, 1.0d, 4.0d, 3.0d), 3) AS d, "
-        "s4n_relate_wkt('ENVELOPE(-10, 10, 10, -10)', 'POINT(5 5)') AS rel"
+        "s4n_relate_wkt('ENVELOPE(-10, 10, 10, -10)', 'POINT(5 5)') AS rel, "
+        "s4n_s2_cell(42.6d, -5.6d) AS s2"
     ).collect()[0]
     assert row["gh"] == "ezs4"  # golden geohash prefix (TestGeohashUtils.cs:32-40)
     assert row["d"] == pytest.approx(314.403)
     assert row["rel"] == "CONTAINS"
+    from spatial4n_spark.kernels.s2cell import s2_encode
+
+    assert row["s2"] == int(s2_encode([42.6], [-5.6], engine.ctx.cell_level)[0])
 
 
 def test_layer_ingestion_and_join(engine, spark):

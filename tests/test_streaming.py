@@ -42,9 +42,12 @@ def _run_stream(df, tmp_base: str):
     return name
 
 
-def test_streaming_tile_counts_equals_batch(spark, events_dir, tmp_path):
+@pytest.mark.parametrize("index", ["geohash", "s2"])
+def test_streaming_tile_counts_equals_batch(spark, events_dir, tmp_path, index):
     stream = events_as_stream(spark, events_dir)
-    agg = streaming_tile_counts(stream, level=3, window="1 hour", watermark="0 seconds")
+    agg = streaming_tile_counts(
+        stream, level=3, window="1 hour", watermark="0 seconds", index=index
+    )
     # complete/update would emit partial windows; with availableNow +
     # append, only watermark-finalized windows emit — use a huge advance
     # by re-running in 'update' mode instead: simplest exact comparison is
@@ -59,7 +62,13 @@ def test_streaming_tile_counts_equals_batch(spark, events_dir, tmp_path):
     got = spark.sql(f"select window.start as ws, cell, n, sum_value from {name}").toPandas()
 
     batch = derive_coords(spark.read.parquet(f"{SF_DIR}/events.parquet"))
-    batch = batch.withColumn("cell", geohash_udf(3)(F.col("lat"), F.col("lon")))
+    if index == "s2":
+        from spatial4n_spark.functions.udfs import s2_udf
+
+        enc = s2_udf(3)
+    else:
+        enc = geohash_udf(3)
+    batch = batch.withColumn("cell", enc(F.col("lat"), F.col("lon")))
     want = (
         batch.groupBy(F.window("ts", "1 hour").alias("window"), "cell")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
