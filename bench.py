@@ -73,6 +73,10 @@ def main() -> int:
         "image_decode_check": n_images,
         "image_tiles": n_images,
         "image_pip_join": n_images,
+        "image_s2_tiles": n_images,
+        "pip_join_s2": n_orders,
+        "s2_cell_assign": n_orders,
+        "s2_tile_stats": n_lineitem,
     }
 
     queries = dict(E.queries())
@@ -108,7 +112,7 @@ def main() -> int:
         # DataFrame-native query set)
         "pip_join_cover", "knn_df",
         # second cell-index backend (cube-face Hilbert, int64 cells)
-        "s2_cell_assign", "s2_tile_stats",
+        "s2_cell_assign", "s2_tile_stats", "image_s2_tiles", "pip_join_s2",
     ]
     names = [n for n in (only or default_names) if n in queries]
 

@@ -169,6 +169,8 @@ CHIPS_SCHEMA = (
     "image_id string, cell string, chip_row int, chip_col int, "
     "chip_w int, chip_h int, chip_sum long, chip_mean double, chip binary"
 )
+# s2 backend: int64 cube-face Hilbert cells instead of geohash strings
+CHIPS_SCHEMA_S2 = CHIPS_SCHEMA.replace("cell string", "cell long")
 
 
 def tile_images(
@@ -178,6 +180,7 @@ def tile_images(
     with_chip_bytes: bool = False,
     chunk_rows: int = 1024,
     min_psnr_db: float | None = None,
+    cell_index: str = "geohash",
 ) -> DataFrame:
     """Chip each decoded image into ``chip_px`` x ``chip_px`` raster chips,
     each tagged with the image's cell — the raster->vector tiling stage.
@@ -196,10 +199,12 @@ def tile_images(
         for batch in it:
             for s in range(0, batch.num_rows, chunk_rows):
                 yield _tile_chunk(
-                    batch.slice(s, chunk_rows), level, chip_px, with_chip_bytes, min_psnr_db
+                    batch.slice(s, chunk_rows), level, chip_px, with_chip_bytes,
+                    min_psnr_db, cell_index,
                 )
 
-    return images.mapInArrow(run, CHIPS_SCHEMA)
+    schema = CHIPS_SCHEMA_S2 if cell_index == "s2" else CHIPS_SCHEMA
+    return images.mapInArrow(run, schema)
 
 
 def _tile_chunk(
@@ -208,6 +213,7 @@ def _tile_chunk(
     chip_px: int,
     with_chip_bytes: bool,
     min_psnr_db: float | None,
+    cell_index: str = "geohash",
 ) -> pa.RecordBatch:
     """Decode + optional gate + chip of one Arrow chunk -> chips batch."""
     ids = chunk.column("image_id").to_pylist()
@@ -220,7 +226,16 @@ def _tile_chunk(
     lat = chunk.column("lat").to_numpy()
 
     decoded = decode_image_batch(bufs, w, h, fmts)
-    cells = geohash_encode_str(lat, lon, level)
+    if cell_index == "s2":
+        from spatial4n_spark.kernels.s2cell import s2_encode
+
+        cells = s2_encode(lat, lon, level)
+        cell_type = pa.int64()
+    elif cell_index == "geohash":
+        cells = geohash_encode_str(lat, lon, level)
+        cell_type = pa.string()
+    else:
+        raise ValueError(f"unknown cell index backend: {cell_index!r}")
 
     out_id, out_cell, out_r, out_c = [], [], [], []
     out_w, out_h, out_sum, out_mean, out_bytes = [], [], [], [], []
@@ -293,7 +308,7 @@ def _tile_chunk(
     return pa.RecordBatch.from_arrays(
         [
             pa.array(out_id, pa.string()),
-            pa.array(out_cell, pa.string()),
+            pa.array(out_cell, cell_type),
             pa.array(out_r, pa.int32()),
             pa.array(out_c, pa.int32()),
             pa.array(out_w, pa.int32()),
@@ -339,7 +354,11 @@ def cell_mosaic_stats(chips: DataFrame) -> DataFrame:
 
 
 def raster_pipeline(
-    images: DataFrame, level: int = 4, chip_px: int = 8, min_psnr_db: float = 40.0
+    images: DataFrame,
+    level: int = 4,
+    chip_px: int = 8,
+    min_psnr_db: float = 40.0,
+    cell_index: str = "geohash",
 ) -> DataFrame:
     """decode -> PSNR/caption gate -> chip -> per-cell mosaic stats.
 
@@ -348,7 +367,9 @@ def raster_pipeline(
     images failing the gate are excluded at the source (at design scale
     they'd be routed to a quarantine table instead of dropped).
     """
-    chips = tile_images(images, level, chip_px, min_psnr_db=min_psnr_db)
+    chips = tile_images(
+        images, level, chip_px, min_psnr_db=min_psnr_db, cell_index=cell_index
+    )
     return cell_mosaic_stats(chips)
 
 
@@ -360,6 +381,7 @@ def generate_raster_pipeline(
     min_psnr_db: float = 40.0,
     partitions: int | None = None,
     chunk_rows: int = 1024,
+    cell_index: str = "geohash",
 ) -> DataFrame:
     """Fused source -> decode -> gate -> chip -> mosaic: the image payload
     never crosses the Arrow boundary (see generate_decode_check); only
@@ -379,6 +401,8 @@ def generate_raster_pipeline(
                     chip_px,
                     False,
                     min_psnr_db,
+                    cell_index,
                 )
 
-    return cell_mosaic_stats(rng.mapInArrow(run, CHIPS_SCHEMA))
+    schema = CHIPS_SCHEMA_S2 if cell_index == "s2" else CHIPS_SCHEMA
+    return cell_mosaic_stats(rng.mapInArrow(run, schema))

@@ -60,6 +60,7 @@ def spatial_join_points_polygons(
     geo: bool = True,
     keep_cell: bool = False,
     cell_col: str | None = None,
+    index: str = "geohash",
 ) -> DataFrame:
     """Inner-join points to the polygons that cover them.
 
@@ -72,9 +73,21 @@ def spatial_join_points_polygons(
     explicit opt-in, and the level contract is asserted against the
     column values at runtime (mismatched levels would silently join
     nothing otherwise).
+    ``index`` picks the cell scheme for candidate generation: "geohash"
+    (quadtree cover, plans.cover) or "s2" (cube-face Hilbert cover,
+    plans.s2cover) — bbox prefilter and exact refinement are identical,
+    so join RESULTS are index-invariant; only the candidate sets differ.
     Returns the points' columns + ``poly_id`` (+ ``_cell`` if keep_cell).
     """
     spark = points.sparkSession
+    if index == "s2":
+        from spatial4n_spark.plans.s2cover import cover_cells_s2 as _cover
+        if cell_col is not None:
+            raise ValueError("cell_col pre-assignment is geohash-only")
+    elif index == "geohash":
+        _cover = cover_cells
+    else:
+        raise ValueError(f"unknown cell index backend: {index!r}")
     if level is None:
         level = choose_join_level(polygons)
     # cover rows carry the polygon bbox inline (composed driver-side — a
@@ -82,15 +95,16 @@ def spatial_join_points_polygons(
     # join with two shuffles for data that never leaves the driver)
     cover_rows = []
     for pid, shape in polygons:
-        fulls, bounds = cover_cells(shape, level, geo)
+        fulls, bounds = _cover(shape, level, geo)
         bb = shape_bbox(shape, geo)
         for c in fulls:
             cover_rows.append((c, pid, True, bb.min_x, bb.max_x, bb.min_y, bb.max_y))
         for c in bounds:
             cover_rows.append((c, pid, False, bb.min_x, bb.max_x, bb.min_y, bb.max_y))
+    cell_sql_type = "long" if index == "s2" else "string"
     cover_df = spark.createDataFrame(
         cover_rows,
-        "_cell string, poly_id string, _full boolean, "
+        f"_cell {cell_sql_type}, poly_id string, _full boolean, "
         "_bminx double, _bmaxx double, _bminy double, _bmaxy double",
     )
 
@@ -109,6 +123,10 @@ def spatial_join_points_polygons(
                 )
             ),
         )
+    elif index == "s2":
+        from spatial4n_spark.functions.udfs import s2_udf
+
+        pts = points.withColumn("_cell", s2_udf(level)(F.col(lat), F.col(lon)))
     else:
         pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
 

@@ -230,6 +230,29 @@ SELECT cell,
 FROM cells GROUP BY cell"""
 
 
+def sql_image_s2_tiles() -> str:
+    """Oracle for q_image_s2_tiles: the same closed-form per-image chip
+    aggregates as sql_image_tiles, keyed by S2 level-8 cells.  Unlike
+    geohash (whose ceil twin needed the true bisection mirror on these
+    arbitrary-double coordinates), the S2 encode chain (oracles_s2) is
+    op-for-op IEEE-mirrored end to end, so it is bit-exact on ANY input —
+    no lattice assumption."""
+    from spatial4n_spark import oracles_s2 as OS2
+
+    enc = OS2.s2_encode_stages_sql("imgpts", "w, px_dec", 8)
+    return f"""WITH {_meta_cte()},
+{_pixel_agg_cte()},
+{_img_stats_cte()},
+imgpts AS (SELECT w, px_dec, lon, lat FROM imgstats){enc}
+SELECT cell,
+       CAST(sum((w // 8) * (w // 8)) AS BIGINT) AS n_chips,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) AS sum_px,
+       CAST(sum(px_dec) AS BIGINT) / (CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) * 3)
+         AS avg_brightness
+FROM s2f GROUP BY cell"""
+
+
 def sql_image_pip_join() -> str:
     """Oracle for q_image_pip_join: per-polygon image counts via the same
     covers-test SQL the lineitem pip_join oracle uses, over the generated

@@ -1,0 +1,215 @@
+"""S2 cell-cover planning: shape -> cube-face Hilbert cells (full / boundary).
+
+The S2 twin of ``plans/cover.py`` (same contract: 'full' cells skip the
+refinement UDF, 'boundary' cells get exact PIP refinement, conservative
+ties always go to 'boundary' — join results are exact regardless of the
+cover's tightness).  The BFS descends the 4-ary S2 cell tree from the six
+face cells, classifying each cell against the query shape via the cell's
+EXACT latitude/longitude bounding box, which is closed-form under the
+gnomonic cube projection:
+
+- equatorial faces (0,1,3,4): the direction vector is linear in (u,v)
+  with the dominant axis fixed, so longitude depends on ONE uv
+  coordinate only (lon = face_offset + atan(w)) and latitude is
+  atan(b / sqrt(1 + a^2)) — monotone in b, with its only a-extremum at
+  a = 0.  Extremes therefore sit at cell corners plus the a=0-clamped
+  edge midcandidates.
+- polar faces (2,5): lat = ±atan(1/r) with r the uv-distance from the
+  face center — extremes from the rect's min/max distance to the origin;
+  lon is the angular interval of the (reflected) uv-rect seen from the
+  origin — extremes at corners, full [-180,180] if the rect contains the
+  origin (the cell holds the pole).
+
+Cells whose lon interval crosses the dateline (face 3 always straddles
+lon=180; polar cells can) are split into two plain rect pieces and the
+piece classifications are combined conservatively.
+
+The bbox is padded outward by EPS before classification: the bbox is a
+superset of the true (curved-boundary) cell region, so CONTAINS and
+DISJOINT verdicts on the padded bbox remain sound for the cell, and the
+pad absorbs the ~1e-15 deg difference between the planner's libm trig
+and the point-side portable-trig encode (kernels/ptrig.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from spatial4n_spark.kernels.s2cell import s2_decode_st_bounds, st_to_uv
+from spatial4n_spark.plans.cover import _classify_cells
+from spatial4n_spark.relation import CONTAINS, DISJOINT, INTERSECTS
+
+EPS = 1e-9
+RAD2DEG = 180.0 / math.pi
+
+
+def _lat_eq(a: float, b: float) -> float:
+    """Equatorial-face latitude: atan(b / sqrt(1 + a^2)), degrees."""
+    return math.atan2(b, math.sqrt(1.0 + a * a)) * RAD2DEG
+
+
+def _eq_face_bbox(lon_off: float, a0: float, a1: float, b0: float, b1: float):
+    """(lon piece(s), lat range) for an equatorial-face cell whose
+    lon-driving coordinate spans [a0, a1] and lat-driving [b0, b1].
+    ``lon_off`` is the face-center longitude; face 3 (off=180) wraps."""
+    lo = lon_off + math.atan(a0) * RAD2DEG
+    hi = lon_off + math.atan(a1) * RAD2DEG
+    astar = min(max(0.0, a0), a1)  # the only interior lat extremum
+    cands = [
+        _lat_eq(a0, b0), _lat_eq(a0, b1), _lat_eq(a1, b0), _lat_eq(a1, b1),
+        _lat_eq(astar, b0), _lat_eq(astar, b1),
+    ]
+    miny, maxy = min(cands), max(cands)
+    if hi <= 180.0:
+        return [(lo, hi)], miny, maxy
+    if lo >= 180.0:
+        return [(lo - 360.0, hi - 360.0)], miny, maxy
+    return [(lo, 180.0), (-180.0, hi - 360.0)], miny, maxy
+
+
+def _polar_face_bbox(south: bool, u0: float, u1: float, v0: float, v1: float):
+    """(lon piece(s), lat range) for a polar-face cell."""
+    # direction components seen from the pole axis:
+    # face 2 (z+): (X, Y) = (-u, -v);  face 5 (z-): (X, Y) = (-v, u)
+    if south:
+        rx0, rx1, ry0, ry1 = -v1, -v0, u0, u1
+    else:
+        rx0, rx1, ry0, ry1 = -u1, -u0, -v1, -v0
+    # normalize -0.0 -> +0.0: atan2(-0.0, x<0) is -180 while
+    # atan2(+0.0, x<0) is +180, and -0.0 <= 0.0 confuses the seam test
+    rx0, rx1, ry0, ry1 = rx0 + 0.0, rx1 + 0.0, ry0 + 0.0, ry1 + 0.0
+    dx = 0.0 if rx0 <= 0.0 <= rx1 else min(abs(rx0), abs(rx1))
+    dy = 0.0 if ry0 <= 0.0 <= ry1 else min(abs(ry0), abs(ry1))
+    r_min = math.hypot(dx, dy)
+    r_max = max(
+        math.hypot(rx0, ry0), math.hypot(rx0, ry1),
+        math.hypot(rx1, ry0), math.hypot(rx1, ry1),
+    )
+    if south:
+        maxy = -math.atan2(1.0, r_max) * RAD2DEG
+        miny = -90.0 if r_min == 0.0 else -math.atan2(1.0, r_min) * RAD2DEG
+    else:
+        miny = math.atan2(1.0, r_max) * RAD2DEG
+        maxy = 90.0 if r_min == 0.0 else math.atan2(1.0, r_min) * RAD2DEG
+    if r_min == 0.0:  # cell holds the pole: all longitudes
+        return [(-180.0, 180.0)], miny, maxy
+    corners = [
+        math.atan2(ry0, rx0) * RAD2DEG, math.atan2(ry0, rx1) * RAD2DEG,
+        math.atan2(ry1, rx0) * RAD2DEG, math.atan2(ry1, rx1) * RAD2DEG,
+    ]
+    # seam crossing: the rect meets the ray {Y=0, X<0}. Touching from
+    # BELOW (ry1 == 0) counts — angles approach -180 as Y -> 0- while the
+    # Y=0 corner itself evaluates to +180; touching from above does not
+    # (the interval is continuous at +180 from Y > 0).
+    if ry0 < 0.0 <= ry1 and rx1 < 0.0:
+        pos = [c for c in corners if c > 0.0]
+        neg = [c for c in corners if c <= 0.0]
+        return [(min(pos), 180.0), (-180.0, max(neg))], miny, maxy
+    return [(min(corners), max(corners))], miny, maxy
+
+
+def s2_cell_bbox_pieces(cell: int, level: int):
+    """Exact lat/lon bbox of one S2 cell as 1 or 2 non-wrapping rect
+    pieces [(min_x, max_x, min_y, max_y)], padded outward by EPS."""
+    import numpy as np
+
+    face_a, s0, t0, s1, t1 = s2_decode_st_bounds(np.array([cell]), level)
+    face = int(face_a[0])
+    u0, u1 = float(st_to_uv(s0)[0]), float(st_to_uv(s1)[0])
+    v0, v1 = float(st_to_uv(t0)[0]), float(st_to_uv(t1)[0])
+    if face == 0:
+        pieces, miny, maxy = _eq_face_bbox(0.0, u0, u1, v0, v1)
+    elif face == 1:
+        pieces, miny, maxy = _eq_face_bbox(90.0, u0, u1, v0, v1)
+    elif face == 3:
+        # lon driven by v (lon = 180 + atan(v)); lat by -u
+        pieces, miny, maxy = _eq_face_bbox(180.0, v0, v1, -u1, -u0)
+    elif face == 4:
+        pieces, miny, maxy = _eq_face_bbox(-90.0, v0, v1, -u1, -u0)
+    else:
+        pieces, miny, maxy = _polar_face_bbox(face == 5, u0, u1, v0, v1)
+    miny = max(miny - EPS, -90.0)
+    maxy = min(maxy + EPS, 90.0)
+    out = [
+        (max(lo - EPS, -180.0), min(hi + EPS, 180.0), miny, maxy)
+        for lo, hi in pieces
+    ]
+    # lon -180 and +180 are the same meridian: a point at lon = -180 can
+    # encode into a cell whose interval ends at +180 (and vice versa) —
+    # mirror a degenerate strip across the seam so seam-adjacent cells
+    # are never wrongly pruned against seam-touching shapes
+    for lo, hi, y0, y1 in list(out):
+        if hi >= 180.0 - EPS:
+            out.append((-180.0, -180.0 + 2 * EPS, y0, y1))
+        if lo <= -180.0 + EPS:
+            out.append((180.0 - 2 * EPS, 180.0, y0, y1))
+    return out
+
+
+def _combine(piece_cls) -> int:
+    """Conservative combination of per-piece classifications."""
+    if all(c == DISJOINT for c in piece_cls):
+        return DISJOINT
+    if all(c == CONTAINS for c in piece_cls):
+        return CONTAINS
+    return INTERSECTS
+
+
+_S2_COVER_CACHE: dict = {}
+_S2_COVER_CACHE_MAX = 256
+
+
+def cover_cells_s2(shape, level: int, geo: bool = True, max_cells: int = 4096):
+    """4-ary BFS cover of a shape with level-``level`` S2 cells.
+
+    Returns (full_cells, boundary_cells) as int lists — the same contract
+    as plans.cover.cover_cells, with int64 ids instead of geohash strings.
+    """
+    import numpy as np
+
+    key = (id(shape), level, geo, max_cells)
+    hit = _S2_COVER_CACHE.get(key)
+    if hit is not None and hit[0] is shape:
+        return hit[1]
+
+    full: list[int] = []
+    boundary: list[int] = []
+    frontier: list[int] = list(range(6))  # the six face cells, level 0
+    for depth in range(0, level + 1):
+        if not frontier:
+            break
+        # flatten cells -> rect pieces, classify all pieces in one call
+        piece_rects: list[tuple[float, float, float, float]] = []
+        piece_owner: list[int] = []
+        for idx, cell in enumerate(frontier):
+            for rect in s2_cell_bbox_pieces(cell, depth):
+                piece_rects.append(rect)
+                piece_owner.append(idx)
+        arr = np.asarray(piece_rects, dtype=np.float64)
+        cls = _classify_cells(shape, (arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]), geo)
+        per_cell: dict[int, list[int]] = {}
+        for own, c in zip(piece_owner, cls):
+            per_cell.setdefault(own, []).append(int(c))
+        nxt: list[int] = []
+        for idx, cell in enumerate(frontier):
+            r = _combine(per_cell[idx])
+            if r == DISJOINT:
+                continue
+            if r == CONTAINS:
+                # expand to uniform join level: the 4^(level-depth) leaves
+                k = level - depth
+                full.extend(range(cell << (2 * k), (cell + 1) << (2 * k)))
+            elif depth == level:
+                boundary.append(cell)
+            else:
+                nxt.extend((cell << 2) | q for q in range(4))
+            if len(full) + len(boundary) > max_cells:
+                raise ValueError(
+                    f"s2 cell cover exceeds {max_cells} cells at level {level}"
+                )
+        frontier = nxt
+
+    if len(_S2_COVER_CACHE) >= _S2_COVER_CACHE_MAX:
+        _S2_COVER_CACHE.pop(next(iter(_S2_COVER_CACHE)))
+    _S2_COVER_CACHE[key] = (shape, (full, boundary))
+    return full, boundary

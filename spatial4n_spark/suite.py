@@ -183,6 +183,18 @@ def q_pip_join_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "poly_id")
 
 
+def q_pip_join_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship PIP join with S2-cover candidate generation
+    (plans/s2cover.py: cube-face Hilbert cells, exact closed-form cell
+    lat/lon bboxes, dateline/pole pieces) instead of the geohash
+    quadtree. Same bbox prefilter + exact refine, so the oracle is
+    sql_pip_join verbatim — join results are index-invariant."""
+    out = spatial_join_points_polygons(
+        pts_orders(spark, sf_dir), layer(), level=3, index="s2"
+    )
+    return out.select("o_orderkey", "poly_id")
+
+
 def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase per-cell aggregation (geohash level 3)."""
     return tile_stats(
@@ -1017,6 +1029,22 @@ def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raster pipeline with images assigned to S2 cells (level 8 int64
+    cube-face Hilbert ids) instead of geohash strings — the north star's
+    "image rows assigned to H3/S2 cells via batched cell-encode UDFs",
+    through the same fused decode -> gate -> chip -> mosaic stage."""
+    from spatial4n_spark.operators.raster import generate_raster_pipeline
+
+    n, parts = _images_scale(sf_dir)
+    out = generate_raster_pipeline(
+        spark, n, level=8, chip_px=8, partitions=parts, cell_index="s2"
+    )
+    return out.select(
+        "cell", "n_chips", "n_images", "sum_px", F.col("avg_brightness")
+    )
+
+
 def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image table through the PIP spatial join: per-polygon image counts.
 
@@ -1062,6 +1090,7 @@ def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPATIAL_QUERIES: dict[str, callable] = {
     "pip_join": q_pip_join,
     "pip_join_cover": q_pip_join_cover,
+    "pip_join_s2": q_pip_join_s2,
     "tile_stats": q_tile_stats,
     "cell_assign": q_cell_assign,
     "s2_cell_assign": q_s2_cell_assign,
@@ -1084,6 +1113,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "group_bbox": q_group_bbox,
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
+    "image_s2_tiles": q_image_s2_tiles,
     "image_pip_join": q_image_pip_join,
     "image_dup_pairs": q_image_dup_pairs,
     "audio_features": q_audio_features,
@@ -1103,6 +1133,7 @@ def spatial_oracles() -> dict[str, str]:
                 # same oracle as pip_join/knn: the at-scale paths must
                 # return exactly the rows the broadcast/list paths do
                 "pip_join_cover": sql_pip_join(),
+                "pip_join_s2": sql_pip_join(),
                 "knn_df": sql_knn(),
                 "tile_stats": sql_tile_stats(),
                 "cell_assign": sql_cell_assign(),
@@ -1132,6 +1163,7 @@ def spatial_oracles() -> dict[str, str]:
             {
                 "image_decode_check": OI.sql_image_decode_check(),
                 "image_tiles": OI.sql_image_tiles(),
+                "image_s2_tiles": OI.sql_image_s2_tiles(),
                 "image_pip_join": OI.sql_image_pip_join(),
                 "image_dup_pairs": OI.sql_image_dup_pairs(),
             }

@@ -114,3 +114,22 @@ def test_gate_drops_corrupted_images(spark):
     kept = gated.select("image_id").distinct().count()
     assert kept == 60 - n_bad
     assert n_bad > 0
+
+
+def test_raster_pipeline_s2_backend(spark, images):
+    """Swapping the cell backend changes only the cell keying: totals are
+    conserved, and each image's int64 cell equals a direct s2_encode of
+    its coordinates."""
+    from spatial4n_spark.kernels.s2cell import s2_encode
+
+    geo = raster_pipeline(images, level=4, chip_px=8).toPandas()
+    s2 = raster_pipeline(images, level=8, chip_px=8, cell_index="s2").toPandas()
+    assert s2["cell"].dtype.kind == "i"
+    assert s2["sum_px"].sum() == geo["sum_px"].sum()
+    assert s2["n_chips"].sum() == geo["n_chips"].sum()
+    assert s2["n_images"].sum() == N
+    meta = images.select("lon", "lat").toPandas()
+    want = set(
+        s2_encode(meta["lat"].to_numpy(), meta["lon"].to_numpy(), 8).tolist()
+    )
+    assert set(s2["cell"].tolist()) == want
