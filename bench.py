@@ -75,6 +75,7 @@ def main() -> int:
         "image_pip_join": n_images,
         "image_s2_tiles": n_images,
         "pip_join_s2": n_orders,
+        "radius_join_s2": n_orders,
         "s2_cell_assign": n_orders,
         "s2_tile_stats": n_lineitem,
     }
@@ -113,6 +114,7 @@ def main() -> int:
         "pip_join_cover", "knn_df",
         # second cell-index backend (cube-face Hilbert, int64 cells)
         "s2_cell_assign", "s2_tile_stats", "image_s2_tiles", "pip_join_s2",
+        "radius_join_s2",
     ]
     names = [n for n in (only or default_names) if n in queries]
 

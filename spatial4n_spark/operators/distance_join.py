@@ -26,24 +26,40 @@ def radius_join(
     lat: str = "lat",
     level: int = 3,
     with_distance: bool = True,
+    index: str = "geohash",
 ) -> DataFrame:
     """``queries``: [(query_id, qlon, qlat, radius_km)] (the small side).
 
-    Returns point columns + query_id (+ dist_km).
+    ``index`` picks the candidate cell scheme ("geohash" / "s2"); the
+    exact haversine predicate is unchanged, so results are
+    index-invariant. Returns point columns + query_id (+ dist_km).
     """
     spark = points.sparkSession
+    if index == "s2":
+        from spatial4n_spark.functions.udfs import s2_udf
+        from spatial4n_spark.plans.s2cover import cover_cells_s2 as _cover
+
+        encode = s2_udf(level)
+        cell_sql_type = "long"
+    elif index == "geohash":
+        _cover = cover_cells
+        encode = geohash_udf(level)
+        cell_sql_type = "string"
+    else:
+        raise ValueError(f"unknown cell index backend: {index!r}")
     rows = []
     for qid, qlon, qlat, r_km in queries:
         r_deg = float(km_to_deg(r_km))
         circle = Circle(qlon, qlat, r_deg, geo=True)
-        fulls, bounds = cover_cells(circle, level)
+        fulls, bounds = _cover(circle, level)
         for c in fulls + bounds:
             rows.append((c, qid, float(qlon), float(qlat), float(r_km)))
     cover_df = spark.createDataFrame(
-        rows, "_cell string, query_id string, _qlon double, _qlat double, _rkm double"
+        rows,
+        f"_cell {cell_sql_type}, query_id string, _qlon double, _qlat double, _rkm double",
     )
 
-    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    pts = points.withColumn("_cell", encode(F.col(lat), F.col(lon)))
     cand = pts.join(F.broadcast(cover_df), "_cell")
     out = cand.where(within_radius_km(F.col(lon), F.col(lat), "_qlon", "_qlat", "_rkm"))
     if with_distance:

@@ -314,6 +314,17 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "o_orderkey")
 
 
+def q_radius_join_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The radius join with S2-cover candidate cells (circle classified
+    against exact cell bboxes by plans/s2cover.py) — same exact haversine
+    predicate, so the oracle is sql_radius_join verbatim."""
+    out = radius_join(
+        pts_orders(spark, sf_dir), RADIUS_CENTERS, level=3,
+        with_distance=False, index="s2",
+    )
+    return out.select("query_id", "o_orderkey")
+
+
 def sql_radius_join() -> str:
     parts = []
     for qid, qlon, qlat, r_km in RADIUS_CENTERS:
@@ -1096,6 +1107,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "s2_cell_assign": q_s2_cell_assign,
     "s2_tile_stats": q_s2_tile_stats,
     "radius_join": q_radius_join,
+    "radius_join_s2": q_radius_join_s2,
     "knn": q_knn,
     "knn_df": q_knn_df,
     "rect_relate": q_rect_relate,
@@ -1140,6 +1152,7 @@ def spatial_oracles() -> dict[str, str]:
                 "s2_cell_assign": sql_s2_cell_assign(),
                 "s2_tile_stats": sql_s2_tile_stats(),
                 "radius_join": sql_radius_join(),
+                "radius_join_s2": sql_radius_join(),
                 "knn": sql_knn(),
                 "rect_relate": sql_rect_relate(),
                 "rect_counts": sql_rect_counts(),

@@ -119,3 +119,16 @@ class TestSparkJoin:
             spatial_join_points_polygons(
                 pts_orders(spark, sf_dir), layer(), level=3, index="h3"
             )
+
+
+class TestRadiusJoinS2:
+    def test_s2_radius_equals_geohash(self, spark, sf_dir):
+        from spatial4n_spark.operators.distance_join import radius_join
+        from spatial4n_spark.suite import RADIUS_CENTERS, pts_orders
+
+        pts = pts_orders(spark, sf_dir)
+        a = radius_join(pts, RADIUS_CENTERS, level=3, with_distance=False)
+        b = radius_join(pts, RADIUS_CENTERS, level=3, with_distance=False, index="s2")
+        ka = {(r["query_id"], r["o_orderkey"]) for r in a.collect()}
+        kb = {(r["query_id"], r["o_orderkey"]) for r in b.collect()}
+        assert ka == kb and len(ka) > 0
