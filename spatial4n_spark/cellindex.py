@@ -1,0 +1,63 @@
+"""Cell-index backend registry — the ONE place that maps an ``index``
+name ("geohash" / "s2") to its encode UDF, raw kernel, cell column type,
+and cover planner.
+
+Every operator that takes an ``index=`` switch (tiles, spatial join,
+radius join, raster tiling, streaming tile counts) resolves it here, so
+adding a third backend (e.g. H3) touches this module only.  All members
+import lazily: the registry itself is importable without pyspark.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CellIndexBackend:
+    name: str
+    sql_type: str  # Spark DDL / createDataFrame type of the cell column
+
+    def udf(self, level: int):
+        """Arrow-vectorized (lat, lon) -> cell pandas UDF."""
+        from spatial4n_spark.functions import udfs
+
+        return (udfs.s2_udf if self.name == "s2" else udfs.geohash_udf)(level)
+
+    def kernel(self, lat, lon, level: int):
+        """Raw numpy encode (for fused mapInArrow stages)."""
+        if self.name == "s2":
+            from spatial4n_spark.kernels.s2cell import s2_encode
+
+            return s2_encode(lat, lon, level)
+        from spatial4n_spark.kernels.geohash import geohash_encode_str
+
+        return geohash_encode_str(lat, lon, level)
+
+    def arrow_type(self):
+        import pyarrow as pa
+
+        return pa.int64() if self.name == "s2" else pa.string()
+
+    def cover(self, shape, level: int, geo: bool = True, max_cells: int = 4096):
+        """(full_cells, boundary_cells) at the uniform join level."""
+        if self.name == "s2":
+            from spatial4n_spark.plans.s2cover import cover_cells_s2
+
+            return cover_cells_s2(shape, level, geo, max_cells)
+        from spatial4n_spark.plans.cover import cover_cells
+
+        return cover_cells(shape, level, geo, max_cells)
+
+
+_BACKENDS = {
+    "geohash": CellIndexBackend("geohash", "string"),
+    "s2": CellIndexBackend("s2", "long"),
+}
+
+
+def cell_backend(index: str) -> CellIndexBackend:
+    try:
+        return _BACKENDS[index]
+    except KeyError:
+        raise ValueError(f"unknown cell index backend: {index!r}") from None

@@ -28,6 +28,11 @@ class SpatialCtx:
     max_y: float = 90.0
     # engine knobs (no reference counterpart)
     cell_level: int = 4  # geohash precision used for tiling / join partitioning
+    # S2 level of equivalent granularity: geohash level g resolves
+    # ~2.5*g bits per axis over 360 deg, an S2 level L resolves L bits
+    # per axis over ~90 deg (one face) -> equal cell width at
+    # L = 2.5*g - 2 (g=4 -> L=8, ~0.35 deg cells both ways)
+    s2_cell_level: int = 8
     salt_buckets: int = 8  # salting factor for hot cells
     hot_cell_threshold: int = 200_000  # rows per cell before salting kicks in
 

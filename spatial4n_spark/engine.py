@@ -181,4 +181,4 @@ class SpatialEngine:
             f"{prefix}_relate_wkt", relate_wkt_udf(self.ctx.geo, self.ctx.calculator)
         )
         self.spark.udf.register(f"{prefix}_cell_bbox", geohash_bbox_udf())
-        self.spark.udf.register(f"{prefix}_s2_cell", s2_udf(self.ctx.cell_level))
+        self.spark.udf.register(f"{prefix}_s2_cell", s2_udf(self.ctx.s2_cell_level))

@@ -12,11 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from spatial4n_spark.functions.native import haversine_km, within_radius_km
-from spatial4n_spark.functions.udfs import geohash_udf
 from spatial4n_spark.kernels.circle import circle_bbox
 from spatial4n_spark.kernels.distance import km_to_deg
 from spatial4n_spark.kernels.polygon import Circle, Rect
-from spatial4n_spark.plans.cover import cover_cells
 
 
 def radius_join(
@@ -35,28 +33,20 @@ def radius_join(
     index-invariant. Returns point columns + query_id (+ dist_km).
     """
     spark = points.sparkSession
-    if index == "s2":
-        from spatial4n_spark.functions.udfs import s2_udf
-        from spatial4n_spark.plans.s2cover import cover_cells_s2 as _cover
+    from spatial4n_spark.cellindex import cell_backend
 
-        encode = s2_udf(level)
-        cell_sql_type = "long"
-    elif index == "geohash":
-        _cover = cover_cells
-        encode = geohash_udf(level)
-        cell_sql_type = "string"
-    else:
-        raise ValueError(f"unknown cell index backend: {index!r}")
+    backend = cell_backend(index)
+    encode = backend.udf(level)
     rows = []
     for qid, qlon, qlat, r_km in queries:
         r_deg = float(km_to_deg(r_km))
         circle = Circle(qlon, qlat, r_deg, geo=True)
-        fulls, bounds = _cover(circle, level)
+        fulls, bounds = backend.cover(circle, level)
         for c in fulls + bounds:
             rows.append((c, qid, float(qlon), float(qlat), float(r_km)))
     cover_df = spark.createDataFrame(
         rows,
-        f"_cell {cell_sql_type}, query_id string, _qlon double, _qlat double, _rkm double",
+        f"_cell {backend.sql_type}, query_id string, _qlon double, _qlat double, _rkm double",
     )
 
     pts = points.withColumn("_cell", encode(F.col(lat), F.col(lon)))

@@ -180,7 +180,7 @@ def tile_images(
     with_chip_bytes: bool = False,
     chunk_rows: int = 1024,
     min_psnr_db: float | None = None,
-    cell_index: str = "geohash",
+    index: str = "geohash",
 ) -> DataFrame:
     """Chip each decoded image into ``chip_px`` x ``chip_px`` raster chips,
     each tagged with the image's cell — the raster->vector tiling stage.
@@ -200,10 +200,10 @@ def tile_images(
             for s in range(0, batch.num_rows, chunk_rows):
                 yield _tile_chunk(
                     batch.slice(s, chunk_rows), level, chip_px, with_chip_bytes,
-                    min_psnr_db, cell_index,
+                    min_psnr_db, index,
                 )
 
-    schema = CHIPS_SCHEMA_S2 if cell_index == "s2" else CHIPS_SCHEMA
+    schema = CHIPS_SCHEMA_S2 if index == "s2" else CHIPS_SCHEMA
     return images.mapInArrow(run, schema)
 
 
@@ -213,7 +213,7 @@ def _tile_chunk(
     chip_px: int,
     with_chip_bytes: bool,
     min_psnr_db: float | None,
-    cell_index: str = "geohash",
+    index: str = "geohash",
 ) -> pa.RecordBatch:
     """Decode + optional gate + chip of one Arrow chunk -> chips batch."""
     ids = chunk.column("image_id").to_pylist()
@@ -225,17 +225,12 @@ def _tile_chunk(
     lon = chunk.column("lon").to_numpy()
     lat = chunk.column("lat").to_numpy()
 
-    decoded = decode_image_batch(bufs, w, h, fmts)
-    if cell_index == "s2":
-        from spatial4n_spark.kernels.s2cell import s2_encode
+    from spatial4n_spark.cellindex import cell_backend
 
-        cells = s2_encode(lat, lon, level)
-        cell_type = pa.int64()
-    elif cell_index == "geohash":
-        cells = geohash_encode_str(lat, lon, level)
-        cell_type = pa.string()
-    else:
-        raise ValueError(f"unknown cell index backend: {cell_index!r}")
+    decoded = decode_image_batch(bufs, w, h, fmts)
+    backend = cell_backend(index)
+    cells = backend.kernel(lat, lon, level)
+    cell_type = backend.arrow_type()
 
     out_id, out_cell, out_r, out_c = [], [], [], []
     out_w, out_h, out_sum, out_mean, out_bytes = [], [], [], [], []
@@ -358,7 +353,7 @@ def raster_pipeline(
     level: int = 4,
     chip_px: int = 8,
     min_psnr_db: float = 40.0,
-    cell_index: str = "geohash",
+    index: str = "geohash",
 ) -> DataFrame:
     """decode -> PSNR/caption gate -> chip -> per-cell mosaic stats.
 
@@ -368,7 +363,7 @@ def raster_pipeline(
     they'd be routed to a quarantine table instead of dropped).
     """
     chips = tile_images(
-        images, level, chip_px, min_psnr_db=min_psnr_db, cell_index=cell_index
+        images, level, chip_px, min_psnr_db=min_psnr_db, index=index
     )
     return cell_mosaic_stats(chips)
 
@@ -381,7 +376,7 @@ def generate_raster_pipeline(
     min_psnr_db: float = 40.0,
     partitions: int | None = None,
     chunk_rows: int = 1024,
-    cell_index: str = "geohash",
+    index: str = "geohash",
 ) -> DataFrame:
     """Fused source -> decode -> gate -> chip -> mosaic: the image payload
     never crosses the Arrow boundary (see generate_decode_check); only
@@ -401,8 +396,8 @@ def generate_raster_pipeline(
                     chip_px,
                     False,
                     min_psnr_db,
-                    cell_index,
+                    index,
                 )
 
-    schema = CHIPS_SCHEMA_S2 if cell_index == "s2" else CHIPS_SCHEMA
+    schema = CHIPS_SCHEMA_S2 if index == "s2" else CHIPS_SCHEMA
     return cell_mosaic_stats(rng.mapInArrow(run, schema))

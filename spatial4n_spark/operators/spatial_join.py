@@ -80,14 +80,11 @@ def spatial_join_points_polygons(
     Returns the points' columns + ``poly_id`` (+ ``_cell`` if keep_cell).
     """
     spark = points.sparkSession
-    if index == "s2":
-        from spatial4n_spark.plans.s2cover import cover_cells_s2 as _cover
-        if cell_col is not None:
-            raise ValueError("cell_col pre-assignment is geohash-only")
-    elif index == "geohash":
-        _cover = cover_cells
-    else:
-        raise ValueError(f"unknown cell index backend: {index!r}")
+    from spatial4n_spark.cellindex import cell_backend
+
+    backend = cell_backend(index)
+    if index == "s2" and cell_col is not None:
+        raise ValueError("cell_col pre-assignment is geohash-only")
     if level is None:
         level = choose_join_level(polygons)
     # cover rows carry the polygon bbox inline (composed driver-side — a
@@ -95,16 +92,15 @@ def spatial_join_points_polygons(
     # join with two shuffles for data that never leaves the driver)
     cover_rows = []
     for pid, shape in polygons:
-        fulls, bounds = _cover(shape, level, geo)
+        fulls, bounds = backend.cover(shape, level, geo)
         bb = shape_bbox(shape, geo)
         for c in fulls:
             cover_rows.append((c, pid, True, bb.min_x, bb.max_x, bb.min_y, bb.max_y))
         for c in bounds:
             cover_rows.append((c, pid, False, bb.min_x, bb.max_x, bb.min_y, bb.max_y))
-    cell_sql_type = "long" if index == "s2" else "string"
     cover_df = spark.createDataFrame(
         cover_rows,
-        f"_cell {cell_sql_type}, poly_id string, _full boolean, "
+        f"_cell {backend.sql_type}, poly_id string, _full boolean, "
         "_bminx double, _bmaxx double, _bminy double, _bmaxy double",
     )
 
@@ -123,12 +119,8 @@ def spatial_join_points_polygons(
                 )
             ),
         )
-    elif index == "s2":
-        from spatial4n_spark.functions.udfs import s2_udf
-
-        pts = points.withColumn("_cell", s2_udf(level)(F.col(lat), F.col(lon)))
     else:
-        pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+        pts = points.withColumn("_cell", backend.udf(level)(F.col(lat), F.col(lon)))
 
     # the native bbox prefilter lives in the JOIN CONDITION, not a
     # post-join .where(): Catalyst collapses adjacent filters, which would

@@ -15,8 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from spatial4n_spark.cellindex import cell_backend
 from spatial4n_spark.functions.native import cell_id_int
-from spatial4n_spark.functions.udfs import geohash_udf, s2_udf
 
 
 def tile_assign(
@@ -31,13 +31,9 @@ def tile_assign(
     """``index`` picks the cell backend: "geohash" (string cells, the
     reference's grid) or "s2" (int64 cube-face Hilbert cells,
     ``kernels/s2cell.py``) — join/agg logic downstream is identical."""
-    if index == "s2":
-        encode = s2_udf(level)
-    elif index == "geohash":
-        encode = geohash_udf(level)
-    else:
-        raise ValueError(f"unknown cell index backend: {index!r}")
-    out = points.withColumn(cell_col, encode(F.col(lat), F.col(lon)))
+    out = points.withColumn(
+        cell_col, cell_backend(index).udf(level)(F.col(lat), F.col(lon))
+    )
     if int_cell:
         out = out.withColumn(f"{cell_col}_id", cell_id_int(F.col(lon), F.col(lat), level))
     return out

@@ -36,7 +36,7 @@ from __future__ import annotations
 import math
 
 from spatial4n_spark.kernels.s2cell import s2_decode_st_bounds, st_to_uv
-from spatial4n_spark.plans.cover import _classify_cells
+from spatial4n_spark.plans.cover import _classify_cells, _cover_key
 from spatial4n_spark.relation import CONTAINS, DISJOINT, INTERSECTS
 
 EPS = 1e-9
@@ -109,14 +109,20 @@ def _polar_face_bbox(south: bool, u0: float, u1: float, v0: float, v1: float):
 
 
 def s2_cell_bbox_pieces(cell: int, level: int):
-    """Exact lat/lon bbox of one S2 cell as 1 or 2 non-wrapping rect
-    pieces [(min_x, max_x, min_y, max_y)], padded outward by EPS."""
+    """Exact lat/lon bbox of one S2 cell as 1+ non-wrapping rect pieces
+    [(min_x, max_x, min_y, max_y)], padded outward by EPS."""
     import numpy as np
 
     face_a, s0, t0, s1, t1 = s2_decode_st_bounds(np.array([cell]), level)
-    face = int(face_a[0])
     u0, u1 = float(st_to_uv(s0)[0]), float(st_to_uv(s1)[0])
     v0, v1 = float(st_to_uv(t0)[0]), float(st_to_uv(t1)[0])
+    return _bbox_pieces(int(face_a[0]), u0, u1, v0, v1)
+
+
+def _bbox_pieces(face: int, u0: float, u1: float, v0: float, v1: float):
+    """Padded bbox pieces from plain-float face/uv bounds (scalar math
+    only — the cover BFS decodes whole frontiers vectorized and feeds
+    floats here, so the per-cell cost is a few libm calls)."""
     if face == 0:
         pieces, miny, maxy = _eq_face_bbox(0.0, u0, u1, v0, v1)
     elif face == 1:
@@ -167,10 +173,16 @@ def cover_cells_s2(shape, level: int, geo: bool = True, max_cells: int = 4096):
     """
     import numpy as np
 
-    key = (id(shape), level, geo, max_cells)
+    # value-keyed for per-call-rebuilt Circle/Rect query shapes,
+    # identity-keyed for parsed polygon layers — same semantics as the
+    # geohash planner (the cached value pins identity-keyed shapes, so a
+    # stale id-collision hit is impossible)
+    key = ("s2",) + _cover_key(shape, level, geo, max_cells)
     hit = _S2_COVER_CACHE.get(key)
-    if hit is not None and hit[0] is shape:
-        return hit[1]
+    if hit is not None:
+        cached_shape, result = hit
+        if cached_shape is shape or key[1][0] != "id":
+            return result
 
     full: list[int] = []
     boundary: list[int] = []
@@ -178,11 +190,19 @@ def cover_cells_s2(shape, level: int, geo: bool = True, max_cells: int = 4096):
     for depth in range(0, level + 1):
         if not frontier:
             break
-        # flatten cells -> rect pieces, classify all pieces in one call
+        # ONE vectorized decode of the whole frontier, then scalar-float
+        # piece construction, then one vectorized classification call
+        cells_arr = np.asarray(frontier, dtype=np.int64)
+        face_a, s0a, t0a, s1a, t1a = s2_decode_st_bounds(cells_arr, depth)
+        u0a, u1a = st_to_uv(s0a), st_to_uv(s1a)
+        v0a, v1a = st_to_uv(t0a), st_to_uv(t1a)
         piece_rects: list[tuple[float, float, float, float]] = []
         piece_owner: list[int] = []
-        for idx, cell in enumerate(frontier):
-            for rect in s2_cell_bbox_pieces(cell, depth):
+        for idx in range(len(frontier)):
+            for rect in _bbox_pieces(
+                int(face_a[idx]), float(u0a[idx]), float(u1a[idx]),
+                float(v0a[idx]), float(v1a[idx]),
+            ):
                 piece_rects.append(rect)
                 piece_owner.append(idx)
         arr = np.asarray(piece_rects, dtype=np.float64)

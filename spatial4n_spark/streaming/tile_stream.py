@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spatial4n_spark.functions.native import haversine_km
-from spatial4n_spark.functions.udfs import geohash_udf
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -69,14 +68,9 @@ def streaming_tile_counts(
     the cell backend ("geohash" strings / "s2" int64 cube-face Hilbert
     cells) with identical windowing/agg logic, same as batch tile_stats.
     """
-    if index == "s2":
-        from spatial4n_spark.functions.udfs import s2_udf
+    from spatial4n_spark.cellindex import cell_backend
 
-        encode = s2_udf(level)
-    elif index == "geohash":
-        encode = geohash_udf(level)
-    else:
-        raise ValueError(f"unknown cell index backend: {index!r}")
+    encode = cell_backend(index).udf(level)
     cells = stream.withColumn("cell", encode(F.col(lat), F.col(lon)))
     win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
     return (

@@ -1049,7 +1049,7 @@ def q_image_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n, parts = _images_scale(sf_dir)
     out = generate_raster_pipeline(
-        spark, n, level=8, chip_px=8, partitions=parts, cell_index="s2"
+        spark, n, level=8, chip_px=8, partitions=parts, index="s2"
     )
     return out.select(
         "cell", "n_chips", "n_images", "sum_px", F.col("avg_brightness")

@@ -34,7 +34,7 @@ def test_sql_registration(engine, spark):
     assert row["rel"] == "CONTAINS"
     from spatial4n_spark.kernels.s2cell import s2_encode
 
-    assert row["s2"] == int(s2_encode([42.6], [-5.6], engine.ctx.cell_level)[0])
+    assert row["s2"] == int(s2_encode([42.6], [-5.6], engine.ctx.s2_cell_level)[0])
 
 
 def test_layer_ingestion_and_join(engine, spark):

@@ -123,7 +123,7 @@ def test_raster_pipeline_s2_backend(spark, images):
     from spatial4n_spark.kernels.s2cell import s2_encode
 
     geo = raster_pipeline(images, level=4, chip_px=8).toPandas()
-    s2 = raster_pipeline(images, level=8, chip_px=8, cell_index="s2").toPandas()
+    s2 = raster_pipeline(images, level=8, chip_px=8, index="s2").toPandas()
     assert s2["cell"].dtype.kind == "i"
     assert s2["sum_px"].sum() == geo["sum_px"].sum()
     assert s2["n_chips"].sum() == geo["n_chips"].sum()
