@@ -39,6 +39,39 @@ class CellIndexBackend:
 
         return pa.int64() if self.name == "s2" else pa.string()
 
+    def parent_col(self, col, from_level: int, to_level: int):
+        """Column expression: a level-``from_level`` cell's ancestor at
+        ``to_level`` (the prefix property: int shift for S2, string
+        prefix for geohash) — coarser joins reuse ONE point encode."""
+        from pyspark.sql import functions as F
+
+        if to_level > from_level:
+            raise ValueError("to_level must be <= from_level")
+        if to_level == from_level:
+            return F.col(col) if isinstance(col, str) else col
+        if self.name == "s2":
+            return F.shiftright(col, 2 * (from_level - to_level))
+        return F.substring(col, 1, to_level)
+
+    def parent_kernel(self, cells, from_level: int, to_level: int):
+        """Driver/numpy twin of ``parent_col``."""
+        if to_level > from_level:
+            raise ValueError("to_level must be <= from_level")
+        if self.name == "s2":
+            return [int(c) >> (2 * (from_level - to_level)) for c in cells]
+        return [str(c)[:to_level] for c in cells]
+
+    def cell_size_deg(self, level: int) -> float:
+        """Conservative cell extent (degrees) at ``level`` — S2 face
+        cells are 90/2^level across in (u,v) angle; geohash cells use
+        the larger of the lat/lon box sides."""
+        if self.name == "s2":
+            return 90.0 / float(1 << level)
+        from spatial4n_spark.kernels.geohash import geohash_cell_sizes
+
+        lat_h, lon_w = geohash_cell_sizes(level)
+        return max(lat_h, lon_w)
+
     def cover(self, shape, level: int, geo: bool = True, max_cells: int = 4096):
         """(full_cells, boundary_cells) at the uniform join level."""
         if self.name == "s2":

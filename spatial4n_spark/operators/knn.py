@@ -435,6 +435,161 @@ def knn_join_df(
     return out
 
 
+def knn_join_cover(
+    points: DataFrame,
+    queries: list[tuple[str, float, float]],
+    k: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "image_id",
+    index: str = "s2",
+    level: int = 12,
+    max_rounds: int = 8,
+    estimated_total: int | None = None,
+    target_cells_across: float = 8.0,
+) -> DataFrame:
+    """Exact kNN on any cell-index backend via expanding CIRCLE COVERS.
+
+    The geohash path above enumerates rectangular ring blocks, which
+    leans on lat/lon-aligned cells; S2 cells are not lat/lon rectangles,
+    so the backend-portable form replaces the ring with an exact circle
+    cover (``cellindex.CellIndexBackend.cover`` — the same planner the
+    radius join uses). Per round each pending query covers a radius-R
+    circle at a per-query cover level chosen so the cover stays O(10^2)
+    cells; coarser cover cells join against the ONE fine point encode
+    through the prefix property (int shift for S2, string prefix for
+    geohash — ``parent_col``). The cover is a superset of every cell
+    intersecting the circle, so any point within R km of the query is a
+    candidate, which makes acceptance (n >= k and the k-th distance
+    <= R) exact; survivors double R. Reference analog: GetSubGeohashes
+    ring expansion (GeohashUtils.cs:219-228) — the ring becomes a circle
+    cover, the top-k stays a query-partitioned Window
+    (north_rule: "kNN queries run as cell-ring candidate generation
+    followed by exact-distance top-k via Window ranking").
+
+    ``queries``: [(query_id, qlon, qlat)]. Returns (query_id, <id_col>,
+    dist_km, rank); ties break on <id_col>. Results are index-invariant
+    (pytest-equal to ``knn_join``); the circle covers handle pole and
+    dateline queries through the planner's piece splitting.
+    """
+    import numpy as np  # noqa: F401  (parity with module imports)
+
+    from spatial4n_spark.cellindex import cell_backend
+    from spatial4n_spark.kernels.distance import km_to_deg
+    from spatial4n_spark.kernels.polygon import Circle
+
+    spark = points.sparkSession
+    be = cell_backend(index)
+    pts = points.withColumn("_cellF", be.udf(level)(F.col(lat), F.col(lon)))
+    pts = pts.select(id_col, lon, lat, "_cellF").persist()
+
+    n_total = estimated_total if estimated_total is not None else pts.count()
+    # initial radius: ~4k expected candidates under a uniform-density
+    # estimate (the acceptance check corrects for any skew)
+    earth_area = 4.0 * math.pi * 6371.0087714**2
+    target = max(64.0, 4.0 * k)
+    r_cap_km = float(deg_to_km(180.0))  # a 180-deg circle covers the globe
+    r0 = math.sqrt(target / max(n_total, 1) * earth_area / math.pi)
+    r0 = min(max(r0, 0.5), r_cap_km)
+
+    def cover_level(r_km: float) -> int:
+        """Finest level (<= the encode level) whose cell size keeps the
+        cover at ~``target_cells_across`` cells across the diameter."""
+        want = 2.0 * float(km_to_deg(r_km)) / target_cells_across
+        lv = level
+        while lv > 1 and be.cell_size_deg(lv) < want:
+            lv -= 1
+        return lv
+
+    pending = {qid: (float(a), float(b)) for qid, a, b in queries}
+    radius = {qid: r0 for qid in pending}
+    accepted: list[DataFrame] = []
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_km").asc(), F.col(id_col).asc()
+    )
+    out_schema = (
+        f"query_id string, {id_col} {points.schema[id_col].dataType.simpleString()},"
+        " dist_km double, rank int"
+    )
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        # cover every pending query's circle (driver-side: list path)
+        by_level: dict[int, list[tuple]] = {}
+        for qid, (qx, qy) in pending.items():
+            r_km = radius[qid]
+            lv = cover_level(r_km)
+            circle = Circle(qx, qy, float(km_to_deg(r_km)), geo=True)
+            fulls, bounds = be.cover(circle, lv)
+            by_level.setdefault(lv, []).extend(
+                (c, qid, qx, qy) for c in fulls + bounds
+            )
+        cand = None
+        for lv, rows in sorted(by_level.items()):
+            cov = spark.createDataFrame(
+                rows,
+                f"_pcell {be.sql_type}, query_id string, _qlon double, _qlat double",
+            )
+            c = pts.withColumn("_pcell", be.parent_col("_cellF", level, lv)).join(
+                F.broadcast(cov), "_pcell"
+            )
+            cand = c if cand is None else cand.unionAll(c)
+        ranked = (
+            cand.withColumn(
+                "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+        )
+        # ONE heavy job per round (same pattern as knn_join)
+        ranked = ranked.localCheckpoint(eager=True)
+        summ = (
+            ranked.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("dist_km").alias("dmax"))
+            .collect()
+        )
+        info = {r["query_id"]: (r["n"], r["dmax"]) for r in summ}
+        ok = [
+            qid
+            for qid in pending
+            if info.get(qid, (0, None))[0] >= k and info[qid][1] <= radius[qid]
+        ]
+        if ok:
+            accepted.append(ranked.where(F.col("query_id").isin(ok)))
+        ok_set = set(ok)
+        pending = {q: v for q, v in pending.items() if q not in ok_set}
+        for qid in pending:
+            radius[qid] = min(radius[qid] * 2.0, r_cap_km)
+
+    if pending:
+        # stragglers (n_total < k, or max_rounds exhausted): exact brute
+        # force — broadcast the bounded query list, shuffle keyed by
+        # query_id only
+        rows = [(qid, a, b) for qid, (a, b) in pending.items()]
+        q_df = spark.createDataFrame(rows, "query_id string, _qlon double, _qlat double")
+        fb = (
+            points.select(id_col, lon, lat)
+            .crossJoin(F.broadcast(q_df))
+            .withColumn(
+                "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+        )
+        accepted.append(fb.localCheckpoint(eager=True))
+
+    pts.unpersist()
+    if not accepted:
+        return spark.createDataFrame([], out_schema)
+    out = accepted[0]
+    for df in accepted[1:]:
+        out = out.unionAll(df)
+    return out
+
+
 def knn_join(
     points: DataFrame,
     queries: list[tuple[str, float, float]],

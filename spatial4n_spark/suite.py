@@ -392,6 +392,30 @@ def q_knn_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "o_orderkey", "rank")
 
 
+def q_knn_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN on the S2 cell backend via expanding circle covers
+    (`knn_join_cover`, index="s2"): per round each pending query covers
+    a radius-R circle in S2 cells (the radius-join planner), candidates
+    join the ONE fine point encode through the int-shift prefix
+    property, acceptance (k-th distance <= R) is exact. With this row
+    the S2 index is gate-verified join-complete: PIP, radius, tiles,
+    raster AND kNN. Results are index-invariant — the oracle is the
+    same brute-force SQL as `knn`."""
+    from spatial4n_spark.operators.knn import knn_join_cover
+
+    queries = [(qid, qlon, qlat) for qid, qlon, qlat, _ in RADIUS_CENTERS]
+    out = knn_join_cover(
+        pts_orders(spark, sf_dir),
+        queries,
+        k=KNN_K,
+        id_col="o_orderkey",
+        index="s2",
+        level=12,
+        estimated_total=_parquet_num_rows(f"{sf_dir}/orders.parquet"),
+    )
+    return out.select("query_id", "o_orderkey", "rank")
+
+
 def sql_knn() -> str:
     vals = ", ".join(
         f"('{qid}', {O.dlit(qlon)}, {O.dlit(qlat)})" for qid, qlon, qlat, _ in RADIUS_CENTERS
@@ -1110,6 +1134,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "radius_join_s2": q_radius_join_s2,
     "knn": q_knn,
     "knn_df": q_knn_df,
+    "knn_s2": q_knn_s2,
     "rect_relate": q_rect_relate,
     "rect_counts": q_rect_counts,
     "circle_bbox": q_circle_bbox,
@@ -1147,6 +1172,7 @@ def spatial_oracles() -> dict[str, str]:
                 "pip_join_cover": sql_pip_join(),
                 "pip_join_s2": sql_pip_join(),
                 "knn_df": sql_knn(),
+                "knn_s2": sql_knn(),
                 "tile_stats": sql_tile_stats(),
                 "cell_assign": sql_cell_assign(),
                 "s2_cell_assign": sql_s2_cell_assign(),

@@ -237,6 +237,34 @@ def test_knn_join_df_equals_list_path(spark, points):
     assert got == want, "adaptive levels"
 
 
+def test_knn_join_cover_equals_ring_path(spark, points):
+    """The backend-portable cover-based kNN (expanding circle covers per
+    round, prefix-property coarse joins) returns exactly the ring path's
+    rows on BOTH cell backends — including pole and dateline queries,
+    which exercise the cover planner's piece splitting."""
+    from spatial4n_spark.operators.knn import knn_join_cover
+
+    queries = [
+        ("q_paris", 2.35, 48.85),
+        ("q_dl", 179.9, -5.0),
+        ("q_sparse", -120.0, -55.0),
+        ("q_pole", 10.0, 89.5),
+    ]
+    k = 7
+    want = {
+        (r["query_id"], r["image_id"], r["rank"])
+        for r in knn_join(points, queries, k=k, level=3).collect()
+    }
+    for index, level in (("s2", 12), ("geohash", 5)):
+        got = {
+            (r["query_id"], r["image_id"], r["rank"])
+            for r in knn_join_cover(
+                points, queries, k=k, index=index, level=level
+            ).collect()
+        }
+        assert got == want, index
+
+
 def test_tile_stats_salted_equals_plain(spark, points):
     plain = {r["cell"]: (r["n"], r["avg_lon"], r["avg_lat"]) for r in tile_stats(points, level=3).collect()}
     salted = {r["cell"]: (r["n"], r["avg_lon"], r["avg_lat"]) for r in tile_stats(points, level=3, salt_buckets=8).collect()}
