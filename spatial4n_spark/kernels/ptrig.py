@@ -172,3 +172,29 @@ def patan2_case_sql(a: str, y: str, x: str) -> str:
         f"WHEN {y} > 0e0 THEN {_dlit(PI_2)} "
         f"WHEN {y} < 0e0 THEN {_dlit(-PI_2)} ELSE 0e0 END)"
     )
+
+
+def patan2_pair_stages_sql(prefix: str, src: str) -> str:
+    """The dual-quotient atan staging shared by every oracle that mirrors
+    ``patan2`` on two arguments at once: reads columns ``qa``/``qb`` from
+    CTE ``src`` and emits the fold -> 3x half-angle -> odd-Horner ->
+    unfold chain as MATERIALIZED CTEs ``{prefix}5b .. {prefix}8b``, the
+    last exposing ``aa``/``ab`` = atan(qa), atan(qb). The caller supplies
+    its own quadrant CASE (:func:`patan2_case_sql`) on top — the y/x
+    operands differ per call site. Keeping the staging HERE (one copy)
+    is bit-parity-critical: two hand-maintained copies could drift and
+    break a cross-engine gate only at sweep time."""
+    return f"""
+{prefix}5b AS MATERIALIZED (
+  SELECT *, {atan_fold_arg_sql('qa')} AS qqa, {atan_fold_arg_sql('qb')} AS qqb FROM {src}),
+{prefix}6 AS MATERIALIZED (
+  SELECT *, {atan_z1_sql('qqa')} AS qa1, {atan_z1_sql('qqb')} AS qb1 FROM {prefix}5b),
+{prefix}7 AS MATERIALIZED (
+  SELECT *, {atan_z1_sql('qa1')} AS qa2, {atan_z1_sql('qb1')} AS qb2 FROM {prefix}6),
+{prefix}7b AS MATERIALIZED (
+  SELECT *, {atan_z1_sql('qa2')} AS qa3, {atan_z1_sql('qb2')} AS qb3 FROM {prefix}7),
+{prefix}8 AS MATERIALIZED (
+  SELECT *, {atan_poly_sql('qa3')} AS aa0, {atan_poly_sql('qb3')} AS ab0 FROM {prefix}7b),
+{prefix}8b AS MATERIALIZED (
+  SELECT *, {atan_unfold_sql('aa0', 'qa')} AS aa, {atan_unfold_sql('ab0', 'qb')} AS ab
+  FROM {prefix}8)"""

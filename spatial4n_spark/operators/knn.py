@@ -135,17 +135,24 @@ def _covered_radius_expr(qlat_col, rings_col, level: int):
         F.abs(qlat_col) + (rings_col + 1) * F.lit(float(lat_h)), F.lit(90.0)
     )
     cosv = F.greatest(F.cos(F.radians(edge)), F.lit(1e-9))
-    rx = F.least(F.ceil(rings_col / cosv), F.lit(rx_cap)).cast("double")
+    rx_raw = F.ceil(rings_col / cosv).cast("double")  # UNcapped ceil
+    rx = F.least(rx_raw, F.lit(float(rx_cap)))
     rx_c = F.greatest(rx - 1, F.lit(0.0))
     lat_km = rings_col * F.lit(float(deg_to_km(lat_h)))
     # full wrap: claimed either when even the slack-reduced rx spans the
-    # circle, or when rx sits AT the cap — the cap is the same exact
-    # integer in numpy and the JVM, and a capped block always wraps
-    # ((2*cap+1)*lon_w >= 360 by construction), so no ulp hazard there.
-    # Without the cap clause a pole query's 2*(cap-1)+1 columns can land
-    # just under 360 and strand the query at radius 0 forever.
+    # circle, or when the UNcapped ceil exceeds the cap BY MORE THAN ONE
+    # cell (rx_raw - 1 >= cap). The second clause carries the same
+    # one-cell slack as everywhere else: if the JVM's rings/cos cleared
+    # the cap by a whole cell, numpy's ceil — at most one off — still hit
+    # the cap and enumerated the full (2*cap+1)-column wrap
+    # ((2*cap+1)*lon_w >= 360 by construction of cap = ceil(180/lon_w)).
+    # A pole query exactly AT the cap boundary defers the wrap claim by
+    # one ring doubling instead of risking a one-column acceptance gap;
+    # the clause must compare the UNcapped ceil — the capped rx can never
+    # exceed cap, so a capped comparison would never fire and would
+    # strand pole queries at a near-zero acceptance radius forever.
     full_wrap = ((2 * rx_c + 1) * F.lit(float(lon_w)) >= F.lit(360.0)) | (
-        rx >= F.lit(float(rx_cap))
+        rx_raw - 1 >= F.lit(float(rx_cap))
     )
     lon_km = (
         rx_c
@@ -158,6 +165,30 @@ def _covered_radius_expr(qlat_col, rings_col, level: int):
     return F.when(full_wrap, F.greatest(lat_km, F.lit(0.0))).otherwise(
         F.greatest(F.least(lat_km, lon_km), F.lit(0.0))
     )
+
+
+def _est_cells_expr(levels: list[int]):
+    """Per-row enumerated-cell estimate over ``_qlat``/``_rings``/``_level``
+    columns, ANISOTROPIC: the lon ring count rx grows as rings/cos(lat)
+    (capped at a full wrap), so a pole-adjacent batch counts
+    (2*rx+1)*(2*rings+1), not (2*rings+1)^2 — the isotropic square
+    under-counts by orders of magnitude exactly where blocks are widest,
+    and the broadcast decision in ``knn_join_df`` trusts this number."""
+    e = F.lit(0.0)
+    for lv in levels:
+        lat_h, lon_w = geohash_cell_sizes(lv)
+        rx_cap = int(math.ceil(180.0 / lon_w))
+        edge = F.least(
+            F.abs(F.col("_qlat")) + (F.col("_rings") + 1) * F.lit(float(lat_h)),
+            F.lit(90.0),
+        )
+        cosv = F.greatest(F.cos(F.radians(edge)), F.lit(1e-9))
+        rx = F.least(F.ceil(F.col("_rings") / cosv), F.lit(rx_cap))
+        e = F.when(
+            F.col("_level") == lv,
+            (2 * rx + 1).cast("double") * (2 * F.col("_rings") + 1),
+        ).otherwise(e)
+    return e
 
 
 def knn_join_df(
@@ -286,7 +317,7 @@ def knn_join_df(
     def _pending_stats(pdf: DataFrame):
         rows = pdf.groupBy("_level").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.pow(2 * F.col("_rings") + 1, 2)).alias("cells"),
+            F.sum(_est_cells_expr(levels)).alias("cells"),
         ).collect()
         n = sum(int(r["n"]) for r in rows)
         cells = sum(int(r["cells"] or 0) for r in rows)
@@ -351,6 +382,13 @@ def knn_join_df(
         if n_pending == 0:
             break
         cells = pending.mapInPandas(cells_gen(), cells_schema)
+        if len(active_levels) > 1:
+            # the per-level join branches below each re-read this plan;
+            # Spark does not dedupe common subplans across unionAll
+            # branches, so without materialization the Python ring
+            # enumeration of ALL pending queries would re-run once per
+            # active level
+            cells = cells.localCheckpoint(eager=True)
         # one prefix-keyed join per ACTIVE level against the same cached
         # encode; at scale each is the standard shuffle-by-cell plan (AQE
         # skew-joins the residual hot cells), and the points side never
@@ -472,8 +510,6 @@ def knn_join_cover(
     (pytest-equal to ``knn_join``); the circle covers handle pole and
     dateline queries through the planner's piece splitting.
     """
-    import numpy as np  # noqa: F401  (parity with module imports)
-
     from spatial4n_spark.cellindex import cell_backend
     from spatial4n_spark.kernels.distance import km_to_deg
     from spatial4n_spark.kernels.polygon import Circle

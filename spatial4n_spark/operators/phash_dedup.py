@@ -33,8 +33,11 @@ __all__ = ["phash_dup_pairs", "hamming64"]
 
 
 def hamming64(a, b):
-    """Hamming distance between two 64-bit hashes (native, codegen)."""
-    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
+    """Hamming distance between two 64-bit hashes (native, codegen).
+    ``a``/``b`` may each independently be a column name or a Column."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def phash_dup_pairs(

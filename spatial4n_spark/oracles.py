@@ -325,11 +325,8 @@ def point_on_bearing_select_sql(cte: str, id_col: str) -> str:
     """
     from spatial4n_spark.kernels.ptrig import (
         PI_2,
-        atan_fold_arg_sql,
-        atan_poly_sql,
-        atan_unfold_sql,
-        atan_z1_sql,
         patan2_case_sql,
+        patan2_pair_stages_sql,
         psin_poly_sql,
         psin_reduce_sql,
     )
@@ -362,20 +359,7 @@ p5 AS MATERIALIZED (
     sl2c / (CASE WHEN sqrt(1e0 - sl2c * sl2c) = 0e0 THEN 1e0
             ELSE sqrt(1e0 - sl2c * sl2c) END) AS qa,
     ly / (CASE WHEN lx = 0e0 THEN 1e0 ELSE lx END) AS qb
-  FROM p4),
-p5b AS MATERIALIZED (
-  SELECT *, {atan_fold_arg_sql('qa')} AS qqa, {atan_fold_arg_sql('qb')} AS qqb FROM p5),
-p6 AS MATERIALIZED (
-  SELECT *, {atan_z1_sql('qqa')} AS qa1, {atan_z1_sql('qqb')} AS qb1 FROM p5b),
-p7 AS MATERIALIZED (
-  SELECT *, {atan_z1_sql('qa1')} AS qa2, {atan_z1_sql('qb1')} AS qb2 FROM p6),
-p7b AS MATERIALIZED (
-  SELECT *, {atan_z1_sql('qa2')} AS qa3, {atan_z1_sql('qb2')} AS qb3 FROM p7),
-p8 AS MATERIALIZED (
-  SELECT *, {atan_poly_sql('qa3')} AS aa0, {atan_poly_sql('qb3')} AS ab0 FROM p7b),
-p8b AS MATERIALIZED (
-  SELECT *, {atan_unfold_sql('aa0', 'qa')} AS aa, {atan_unfold_sql('ab0', 'qb')} AS ab
-  FROM p8),
+  FROM p4),{patan2_pair_stages_sql('p', 'p5')},
 p9 AS MATERIALIZED (
   SELECT *, {patan2_case_sql('aa', 'sl2c', 'ax')} AS lat2_rad,
          (lo + {patan2_case_sql('ab', 'ly', 'lx')}) AS lon2_rad

@@ -19,11 +19,8 @@ from __future__ import annotations
 
 from spatial4n_spark.kernels.ptrig import (
     PI_2,
-    atan_fold_arg_sql,
-    atan_poly_sql,
-    atan_unfold_sql,
-    atan_z1_sql,
     patan2_case_sql,
+    patan2_pair_stages_sql,
     psin_poly_sql,
     psin_reduce_sql,
 )
@@ -184,20 +181,7 @@ c5 AS MATERIALIZED (
   SELECT {keep}, cell, x, y, zn, axx,
          zn / (CASE WHEN axx = 0e0 THEN 1e0 ELSE axx END) AS qa,
          y / (CASE WHEN x = 0e0 THEN 1e0 ELSE x END) AS qb
-  FROM c4),
-c5b AS MATERIALIZED (
-  SELECT *, {atan_fold_arg_sql('qa')} AS qqa, {atan_fold_arg_sql('qb')} AS qqb FROM c5),
-c6 AS MATERIALIZED (
-  SELECT *, {atan_z1_sql('qqa')} AS qa1, {atan_z1_sql('qqb')} AS qb1 FROM c5b),
-c7 AS MATERIALIZED (
-  SELECT *, {atan_z1_sql('qa1')} AS qa2, {atan_z1_sql('qb1')} AS qb2 FROM c6),
-c7b AS MATERIALIZED (
-  SELECT *, {atan_z1_sql('qa2')} AS qa3, {atan_z1_sql('qb2')} AS qb3 FROM c7),
-c8 AS MATERIALIZED (
-  SELECT *, {atan_poly_sql('qa3')} AS aa0, {atan_poly_sql('qb3')} AS ab0 FROM c7b),
-c8b AS MATERIALIZED (
-  SELECT *, {atan_unfold_sql('aa0', 'qa')} AS aa, {atan_unfold_sql('ab0', 'qb')} AS ab
-  FROM c8),
+  FROM c4),{patan2_pair_stages_sql('c', 'c5')},
 s2c AS MATERIALIZED (
   SELECT {keep}, cell,
          ({patan2_case_sql('aa', 'zn', 'axx')} * {dlit(RAD_TO_DEG)}) AS clat,

@@ -216,8 +216,15 @@ def cover_cells_s2(shape, level: int, geo: bool = True, max_cells: int = 4096):
             if r == DISJOINT:
                 continue
             if r == CONTAINS:
-                # expand to uniform join level: the 4^(level-depth) leaves
+                # expand to uniform join level: the 4^(level-depth) leaves.
+                # Check the projected size BEFORE extending — a near-world
+                # shape at a fine level would otherwise allocate the whole
+                # 4^k expansion (GBs of ints) just to raise afterwards
                 k = level - depth
+                if len(full) + len(boundary) + (1 << (2 * k)) > max_cells:
+                    raise ValueError(
+                        f"s2 cell cover exceeds {max_cells} cells at level {level}"
+                    )
                 full.extend(range(cell << (2 * k), (cell + 1) << (2 * k)))
             elif depth == level:
                 boundary.append(cell)

@@ -517,14 +517,29 @@ def _emb_index_path(spark: SparkSession, sf_dir: str) -> str:
     src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
     key = f"{src}:{os.path.getmtime(src)}:{ANN_PLANES}:{ANN_TABLES}"
     if key not in _INDEX_CACHE:
+        # directory name depends on the SOURCE PATH + params only (not the
+        # mtime): a regenerated tier rebuilds IN PLACE instead of leaking
+        # one full-size orphaned index copy per regeneration; the mtime key
+        # lives in a marker file that gates the rebuild
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_emb_index",
-            hashlib.md5(key.encode()).hexdigest()[:16],
+            hashlib.md5(f"{src}:{ANN_PLANES}:{ANN_TABLES}".encode()).hexdigest()[:16],
         )
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        marker = os.path.join(path, "_SOURCE_KEY")
+        fresh = os.path.exists(os.path.join(path, "_SUCCESS"))
+        if fresh:
+            try:
+                with open(marker) as f:
+                    fresh = f.read() == key
+            except OSError:
+                fresh = False
+        if not fresh:
+            import shutil
+
             from spatial4n_spark.io.ann_index import write_emb_index
 
+            shutil.rmtree(path, ignore_errors=True)
             write_emb_index(
                 _emb(spark, sf_dir),
                 path,
@@ -533,6 +548,8 @@ def _emb_index_path(spark: SparkSession, sf_dir: str) -> str:
                 n_planes=ANN_PLANES,
                 n_tables=ANN_TABLES,
             )
+            with open(marker, "w") as f:
+                f.write(key)
         _INDEX_CACHE[key] = path
     return _INDEX_CACHE[key]
 

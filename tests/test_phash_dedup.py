@@ -77,3 +77,19 @@ def test_planted_variants_recovered(spark):
         assert by_pair[(b, v1)] <= 1
         assert by_pair[(b, v2)] <= 2
         assert by_pair[(v1, v2)] <= 3
+
+
+def test_hamming64_mixed_args(spark):
+    """Both operands independently accept a name or a Column — mixed
+    (str, Column) calls must reference the named COLUMN, not a literal."""
+    from spatial4n_spark.operators.phash_dedup import hamming64
+
+    df = spark.createDataFrame([(0b1011, 0b0011)], "pa long, pb long")
+    variants = [
+        hamming64("pa", "pb"),
+        hamming64(F.col("pa"), F.col("pb")),
+        hamming64("pa", F.col("pb")),
+        hamming64(F.col("pa"), "pb"),
+    ]
+    vals = df.select(*[v.alias(f"h{i}") for i, v in enumerate(variants)]).first()
+    assert list(vals) == [1, 1, 1, 1]

@@ -132,3 +132,17 @@ class TestRadiusJoinS2:
         ka = {(r["query_id"], r["o_orderkey"]) for r in a.collect()}
         kb = {(r["query_id"], r["o_orderkey"]) for r in b.collect()}
         assert ka == kb and len(ka) > 0
+
+
+def test_max_cells_cap_raises_before_expansion():
+    """The projected-size check runs BEFORE a CONTAINS cell expands its
+    4^(level-depth) leaves: a near-world rect at a fine level must raise
+    immediately instead of first allocating the multi-GB expansion."""
+    import time
+
+    from spatial4n_spark.kernels.polygon import Rect
+
+    t0 = time.time()
+    with pytest.raises(ValueError, match="exceeds"):
+        cover_cells_s2(Rect(-179.5, 179.5, -89.5, 89.5), 14, max_cells=4096)
+    assert time.time() - t0 < 10.0

@@ -358,3 +358,58 @@ def test_group_bbox_dateline_smart(spark):
     assert eu["min_x"] == -10.0 and eu["max_x"] == -6.0  # plain bbox
     solo = out["solo"]
     assert solo["min_x"] == solo["max_x"] == 42.5
+
+
+def test_knn_est_cells_anisotropic(spark):
+    """The broadcast-decision estimate must carry the cos(lat) lon-ring
+    growth the enumeration actually performs: a pole-adjacent query's
+    estimate is many times the equator estimate for the same rings, and
+    both upper-bound the rows _ring_cells_frame really emits."""
+    from spatial4n_spark.operators.knn import _est_cells_expr, _ring_cells_frame
+
+    level, rings = 4, 8
+    df = spark.createDataFrame(
+        [(0.0, rings, level), (89.5, rings, level)],
+        "_qlat double, _rings int, _level int",
+    )
+    eq, pole = [
+        r[0] for r in df.select(_est_cells_expr([level]).alias("c")).collect()
+    ]
+    assert pole > 20 * eq  # anisotropy reflected, not the isotropic square
+    for qlat, est in ((0.0, eq), (89.5, pole)):
+        n = len(_ring_cells_frame(np.array(["q"]), [10.0], [qlat], level, rings))
+        assert n <= est  # estimate stays an upper bound on enumerated rows
+
+
+def test_knn_covered_radius_expr_never_exceeds_enumeration(spark):
+    """Acceptance soundness across the cap boundary: the JVM per-row
+    covered-radius expression must never exceed the numpy twin computed
+    with the UNslacked rx (what the block really enumerated) — including
+    pole-adjacent rows where rings/cos lands at the full-wrap cap."""
+    from spatial4n_spark.operators.knn import (
+        _covered_radius_expr,
+        _covered_radius_km,
+    )
+
+    level = 3
+    rows = [
+        (qlat, rings)
+        for qlat in (0.0, 45.0, 75.0, 85.0, 88.0, 89.0, 89.9, -89.9)
+        for rings in (1, 2, 4, 8, 16, 64, 256)
+    ]
+    df = spark.createDataFrame(rows, "_qlat double, _rings int")
+    got = df.select(
+        "_qlat",
+        "_rings",
+        _covered_radius_expr(F.col("_qlat"), F.col("_rings"), level).alias("r"),
+    ).collect()
+    for r in got:
+        assert r["r"] <= _covered_radius_km(r["_qlat"], level, int(r["_rings"])) + 1e-9, (
+            r["_qlat"],
+            r["_rings"],
+        )
+    # pole queries must still reach a full-wrap (lat-band) radius once
+    # rings/cos clears the cap — a cap clause that can never fire would
+    # strand them at ~0 km and force every pole query to brute force
+    pole = [r["r"] for r in got if r["_qlat"] == 89.9 and r["_rings"] == 256]
+    assert pole and pole[0] > 1000.0
