@@ -3,6 +3,10 @@ from spatial4n_spark.streaming.tile_stream import (  # noqa: F401
     streaming_radius_alerts,
     streaming_tile_counts,
 )
+from spatial4n_spark.streaming.pip_stream import (  # noqa: F401
+    streaming_pip_join,
+    streaming_polygon_counts,
+)
 from spatial4n_spark.streaming.image_stream import (  # noqa: F401
     images_as_stream,
     streaming_image_chips,

@@ -293,3 +293,71 @@ def test_streaming_image_mosaics_equals_batch(spark, images_dir, tmp_path):
     assert len(got) == len(want) and len(got) > 0
     for c in ["n_chips", "n_images", "sum_px", "sum_val"]:
         assert (got[c].values == want[c].values).all(), c
+
+
+@pytest.mark.parametrize("index", ["geohash", "s2"])
+def test_streaming_pip_join_equals_batch(spark, events_dir, tmp_path, index):
+    """The flagship PIP join run as a stream-static join over the event
+    stream returns exactly the batch join's rows — structurally the same
+    plan (stateless), pinned here over both cell backends."""
+    from spatial4n_spark.streaming import streaming_pip_join
+    from spatial4n_spark.suite import layer
+
+    stream = events_as_stream(spark, events_dir)
+    hits = streaming_pip_join(stream, layer(), level=3, index=index).select(
+        "event_id", "poly_id"
+    )
+    name = _run_stream(hits, str(tmp_path))
+    got = spark.sql(f"select event_id, poly_id from {name}").toPandas()
+
+    from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+
+    batch = derive_coords(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    want = (
+        spatial_join_points_polygons(batch, layer(), level=3, index=index)
+        .select("event_id", "poly_id")
+        .toPandas()
+    )
+    key = ["event_id", "poly_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(want) > 0
+    assert got.equals(want)
+
+
+def test_streaming_polygon_counts_equals_batch(spark, events_dir, tmp_path):
+    """Watermarked per-polygon windowed rollup == the batch groupBy over
+    the same joined frames."""
+    from spatial4n_spark.streaming import streaming_polygon_counts
+    from spatial4n_spark.suite import layer
+
+    stream = events_as_stream(spark, events_dir)
+    agg = streaming_polygon_counts(
+        stream, layer(), window="1 hour", watermark="0 seconds", level=3
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/cpoly")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        f"select window.start as ws, poly_id, n, sum_value from {name}"
+    ).toPandas()
+
+    from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+
+    batch = derive_coords(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    want = (
+        spatial_join_points_polygons(batch, layer(), level=3)
+        .groupBy(F.window("ts", "1 hour").alias("window"), "poly_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("window.start").alias("ws"), "poly_id", "n", "sum_value")
+        .toPandas()
+    )
+    key = ["ws", "poly_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(want) > 0
+    assert got.equals(want)
