@@ -305,13 +305,16 @@ def knn_join_df(
         )
         / 2
     ).cast("int")
+    # lazy checkpoint: the _pending_stats collect right below materializes
+    # it — an eager one would spend a whole extra Spark job on the same
+    # plan (job count, not data volume, dominates small-batch latency)
     pending = (
         q0.withColumn(
             "_rings",
             F.greatest(F.lit(1), F.least(F.lit(int(max_rings0)), local_rings)),
         )
         .select("query_id", "_qlon", "_qlat", "_level", "_rings")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     def _pending_stats(pdf: DataFrame):
@@ -408,12 +411,14 @@ def knn_join_df(
             .where(F.col("rank") <= k)
             .select("query_id", id_col, "dist_km", "rank")
         )
-        # ONE heavy Spark job per round: materialize the bounded top-k
-        # (<= |pending| * k rows) and truncate lineage; acceptance and
-        # the next round's anti-join read the materialized result
+        # lazy checkpoint of the bounded top-k (<= |pending| * k rows):
+        # the next-pending stats collect below materializes the whole
+        # round — ranked, acceptance, anti-join — as ONE Spark job while
+        # the ptsF/cnt caches are still alive; acceptance and the final
+        # union then read the materialized checkpoint
         _t = _time.time()
-        ranked = ranked.localCheckpoint(eager=True)
-        _dbg(f"round ranked job: pending={n_pending} est_cells={est_cells}", _t)
+        ranked = ranked.localCheckpoint(eager=False)
+        _dbg(f"round ranked planned: pending={n_pending} est_cells={est_cells}", _t)
         summ = ranked.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("_n"), F.max("dist_km").alias("_dmax")
         )
@@ -435,10 +440,10 @@ def knn_join_df(
             .withColumn(
                 "_rings", F.least(F.col("_rings") * 2, F.lit(int(max_rings0 * 16)))
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_pending, est_cells, active_levels = _pending_stats(pending)
-        _dbg(f"round accept+stats: next pending={n_pending}", _t)
+        _dbg(f"round job (ranked+accept+stats): next pending={n_pending}", _t)
 
     if n_pending:
         # final fallback: exact brute force for the stragglers (pole/sparse
@@ -579,8 +584,9 @@ def knn_join_cover(
             .where(F.col("rank") <= k)
             .select("query_id", id_col, "dist_km", "rank")
         )
-        # ONE heavy job per round (same pattern as knn_join)
-        ranked = ranked.localCheckpoint(eager=True)
+        # ONE heavy job per round (same pattern as knn_join): the summary
+        # collect materializes the lazy checkpoint
+        ranked = ranked.localCheckpoint(eager=False)
         summ = (
             ranked.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n"), F.max("dist_km").alias("dmax"))
@@ -702,11 +708,12 @@ def knn_join(
             .where(F.col("rank") <= k)
             .select("query_id", id_col, "dist_km", "rank")
         )
-        # ONE Spark job per round: materialize the bounded top-k
-        # (<= |pending| * k rows) and truncate lineage; the acceptance
-        # summary and the accepted-rows filter below read the
-        # materialized result, never re-running the join
-        ranked = ranked.localCheckpoint(eager=True)
+        # ONE Spark job per round: the summary collect right below
+        # materializes the lazily-checkpointed bounded top-k
+        # (<= |pending| * k rows) and truncates lineage; the acceptance
+        # summary and the accepted-rows filter read the materialized
+        # result, never re-running the join
+        ranked = ranked.localCheckpoint(eager=False)
         summ = (
             ranked.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n"), F.max("dist_km").alias("dmax"))
