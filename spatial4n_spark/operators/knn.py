@@ -478,6 +478,198 @@ def knn_join_df(
     return out
 
 
+def _initial_cover_radius_km(n_total: int, k: int) -> tuple[float, float]:
+    """(r0, r_cap): first-round circle radius targeting ~4x k expected
+    candidates under a uniform-density estimate (acceptance corrects any
+    skew), and the global cap (a 180-deg circle covers the globe)."""
+    earth_area = 4.0 * math.pi * 6371.0087714**2
+    target = max(64.0, 4.0 * k)
+    r_cap_km = float(deg_to_km(180.0))
+    r0 = math.sqrt(target / max(n_total, 1) * earth_area / math.pi)
+    return min(max(r0, 0.5), r_cap_km), r_cap_km
+
+
+def _cover_level(be, r_km: float, level: int, target_cells_across: float) -> int:
+    """Finest level (<= the encode level) whose cell size keeps a circle
+    cover at ~``target_cells_across`` cells across the diameter."""
+    from spatial4n_spark.kernels.distance import km_to_deg
+
+    want = 2.0 * float(km_to_deg(r_km)) / target_cells_across
+    lv = level
+    while lv > 1 and be.cell_size_deg(lv) < want:
+        lv -= 1
+    return lv
+
+
+def knn_join_cover_df(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    id_col: str = "image_id",
+    query_id: str = "query_id",
+    qlon: str = "qlon",
+    qlat: str = "qlat",
+    index: str = "s2",
+    level: int = 12,
+    max_rounds: int = 8,
+    estimated_total: int | None = None,
+    target_cells_across: float = 8.0,
+    broadcast_cells: int = 200_000,
+) -> DataFrame:
+    """Backend-portable exact kNN with the QUERY SET AS A DATAFRAME — the
+    at-scale twin of ``knn_join_cover`` (which composes covers driver-side
+    from a bounded list), completing the surface matrix: geohash and S2
+    both have a driver-list convenience path and a DataFrame-native path.
+
+    Because every pending query shares the same per-round radius (r0
+    doubling on survival — density skew is handled by the exact
+    acceptance check, not per-query radii), each round has ONE cover
+    level, so the plan is simple: a ``mapInPandas`` stage runs the exact
+    circle-cover planner per query (the same ``CellIndexBackend.cover``
+    the radius join uses, distributed — nothing per-query on the
+    driver), candidates come from one prefix-keyed equi-join against the
+    single fine point encode (broadcast under a size bound, else
+    shuffle-by-cell), and acceptance (n >= k and k-th distance <= R) is
+    aggregate + anti-join. Returns (query_id, <id_col>, dist_km, rank);
+    ties break on <id_col>. Results are index-invariant (pytest-equal to
+    ``knn_join_cover`` and ``knn_join``).
+    """
+    from spatial4n_spark.cellindex import cell_backend
+    from spatial4n_spark.kernels.distance import km_to_deg
+
+    spark = points.sparkSession
+    be = cell_backend(index)
+    pts = points.withColumn("_cellF", be.udf(level)(F.col(lat), F.col(lon)))
+    pts = pts.select(id_col, lon, lat, "_cellF").persist()
+    n_total = estimated_total if estimated_total is not None else pts.count()
+    r_km, r_cap_km = _initial_cover_radius_km(n_total, k)
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    id_type = points.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, {id_col} {id_type}, dist_km double, rank int"
+    cover_schema = (
+        f"_pcell {be.sql_type}, query_id {qid_type}, _qlon double, _qlat double"
+    )
+
+    pending = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(qlon).cast("double").alias("_qlon"),
+        F.col(qlat).cast("double").alias("_qlat"),
+    ).localCheckpoint(eager=False)
+    n_pending = pending.count()
+
+    accepted: list[DataFrame] = []
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_km").asc(), F.col(id_col).asc()
+    )
+
+    def cover_gen(lv: int, r_deg: float):
+        def gen(it):
+            import pandas as pd
+
+            from spatial4n_spark.cellindex import cell_backend as _cb
+            from spatial4n_spark.kernels.polygon import Circle
+
+            be_w = _cb(index)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                qx = pdf["_qlon"].to_numpy()
+                qy = pdf["_qlat"].to_numpy()
+                cells: list = []
+                idx: list[int] = []
+                for i in range(len(pdf)):
+                    fulls, bounds = be_w.cover(
+                        Circle(float(qx[i]), float(qy[i]), r_deg, geo=True), lv
+                    )
+                    cs = fulls + bounds
+                    cells.extend(cs)
+                    idx.extend([i] * len(cs))
+                out = pd.DataFrame(
+                    {
+                        "_pcell": np.asarray(
+                            cells, dtype=np.int64 if be_w.sql_type == "long" else object
+                        ),
+                        "query_id": pdf["query_id"].to_numpy()[idx],
+                        "_qlon": qx[idx],
+                        "_qlat": qy[idx],
+                    }
+                )
+                yield out
+
+        return gen
+
+    for _ in range(max_rounds):
+        if n_pending == 0:
+            break
+        lv = _cover_level(be, r_km, level, target_cells_across)
+        covers = pending.mapInPandas(
+            cover_gen(lv, float(km_to_deg(r_km))), cover_schema
+        )
+        # ~target_cells_across^2 cells per query by construction of lv
+        if n_pending * target_cells_across**2 <= broadcast_cells:
+            covers = F.broadcast(covers)
+        cand = pts.withColumn("_pcell", be.parent_col("_cellF", level, lv)).join(
+            covers, "_pcell"
+        )
+        ranked = (
+            cand.withColumn(
+                "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+        )
+        # lazy checkpoint: the pending count below materializes the whole
+        # round (ranked, acceptance, anti-join) as one job
+        ranked = ranked.localCheckpoint(eager=False)
+        summ = ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_km").alias("_dmax")
+        )
+        accepted_ids = summ.where(
+            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(float(r_km)))
+        ).select("query_id")
+        accepted.append(
+            ranked.join(F.broadcast(accepted_ids), "query_id").select(
+                "query_id", id_col, "dist_km", "rank"
+            )
+        )
+        pending = pending.join(
+            F.broadcast(accepted_ids), "query_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        n_pending = pending.count()
+        r_km = min(r_km * 2.0, r_cap_km)
+
+    if n_pending:
+        # stragglers (n_total < k, or max_rounds exhausted): exact brute
+        # force, broadcasting whichever side is smaller (same rationale
+        # as knn_join_df's fallback)
+        p = points.select(id_col, lon, lat)
+        if n_total <= n_pending:
+            fb_cand = pending.crossJoin(F.broadcast(p))
+        else:
+            fb_cand = p.crossJoin(F.broadcast(pending))
+        fb = (
+            fb_cand.withColumn(
+                "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+        )
+        accepted.append(fb.localCheckpoint(eager=True))
+
+    pts.unpersist()
+    if not accepted:
+        return spark.createDataFrame([], out_schema)
+    out = accepted[0]
+    for df in accepted[1:]:
+        out = out.unionAll(df)
+    return out
+
+
 def knn_join_cover(
     points: DataFrame,
     queries: list[tuple[str, float, float]],
@@ -525,22 +717,10 @@ def knn_join_cover(
     pts = pts.select(id_col, lon, lat, "_cellF").persist()
 
     n_total = estimated_total if estimated_total is not None else pts.count()
-    # initial radius: ~4k expected candidates under a uniform-density
-    # estimate (the acceptance check corrects for any skew)
-    earth_area = 4.0 * math.pi * 6371.0087714**2
-    target = max(64.0, 4.0 * k)
-    r_cap_km = float(deg_to_km(180.0))  # a 180-deg circle covers the globe
-    r0 = math.sqrt(target / max(n_total, 1) * earth_area / math.pi)
-    r0 = min(max(r0, 0.5), r_cap_km)
+    r0, r_cap_km = _initial_cover_radius_km(n_total, k)
 
     def cover_level(r_km: float) -> int:
-        """Finest level (<= the encode level) whose cell size keeps the
-        cover at ~``target_cells_across`` cells across the diameter."""
-        want = 2.0 * float(km_to_deg(r_km)) / target_cells_across
-        lv = level
-        while lv > 1 and be.cell_size_deg(lv) < want:
-            lv -= 1
-        return lv
+        return _cover_level(be, r_km, level, target_cells_across)
 
     pending = {qid: (float(a), float(b)) for qid, a, b in queries}
     radius = {qid: r0 for qid in pending}

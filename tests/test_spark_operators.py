@@ -265,6 +265,37 @@ def test_knn_join_cover_equals_ring_path(spark, points):
         assert got == want, index
 
 
+def test_knn_join_cover_df_equals_list_path(spark, points):
+    """The DataFrame-native cover kNN (covers planned DISTRIBUTED in a
+    mapInPandas stage, acceptance as aggregate + anti-join) returns
+    exactly the driver-list cover path's rows on both backends,
+    including pole and dateline queries."""
+    from spatial4n_spark.operators.knn import knn_join_cover, knn_join_cover_df
+
+    queries = [
+        ("q_paris", 2.35, 48.85),
+        ("q_dl", 179.9, -5.0),
+        ("q_sparse", -120.0, -55.0),
+        ("q_pole", 10.0, 89.5),
+    ]
+    k = 7
+    q_df = spark.createDataFrame(queries, "query_id string, qlon double, qlat double")
+    for index, level in (("s2", 12), ("geohash", 5)):
+        want = {
+            (r["query_id"], r["image_id"], r["rank"])
+            for r in knn_join_cover(
+                points, queries, k=k, index=index, level=level
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["image_id"], r["rank"])
+            for r in knn_join_cover_df(
+                points, q_df, k=k, index=index, level=level
+            ).collect()
+        }
+        assert got == want, index
+
+
 def test_tile_stats_salted_equals_plain(spark, points):
     plain = {r["cell"]: (r["n"], r["avg_lon"], r["avg_lat"]) for r in tile_stats(points, level=3).collect()}
     salted = {r["cell"]: (r["n"], r["avg_lon"], r["avg_lat"]) for r in tile_stats(points, level=3, salt_buckets=8).collect()}
