@@ -184,6 +184,13 @@ def cover_cells(shape, level: int, geo: bool = True, max_cells: int = 4096):
     boundary: list[str] = []
 
     def expand_full(cell: str):
+        # check the projected size BEFORE recursing: a CONTAINS cell at a
+        # shallow depth would otherwise materialize all 32^(level-depth)
+        # leaf strings (GBs at fine levels) just to raise afterwards
+        if len(full) + len(boundary) + 32 ** (level - len(cell)) > max_cells:
+            raise ValueError(
+                f"cell cover exceeds {max_cells} cells at level {level}"
+            )
         if len(cell) == level:
             full.append(cell)
             return

@@ -146,3 +146,17 @@ def test_max_cells_cap_raises_before_expansion():
     with pytest.raises(ValueError, match="exceeds"):
         cover_cells_s2(Rect(-179.5, 179.5, -89.5, 89.5), 14, max_cells=4096)
     assert time.time() - t0 < 10.0
+
+
+def test_geohash_cover_max_cells_raises_before_expansion():
+    """Same pre-expansion guard for the geohash planner: a near-world
+    rect at a fine level raises without materializing 32^k leaves."""
+    import time
+
+    from spatial4n_spark.kernels.polygon import Rect
+    from spatial4n_spark.plans.cover import cover_cells
+
+    t0 = time.time()
+    with pytest.raises(ValueError, match="exceeds"):
+        cover_cells(Rect(-179.5, 179.5, -89.5, 89.5), 8, max_cells=4096)
+    assert time.time() - t0 < 10.0
