@@ -114,7 +114,7 @@ def main() -> int:
         "pip_join_cover", "knn_df",
         # second cell-index backend (cube-face Hilbert, int64 cells)
         "s2_cell_assign", "s2_tile_stats", "image_s2_tiles", "pip_join_s2",
-        "radius_join_s2", "knn_s2",
+        "radius_join_s2", "knn_s2", "knn_s2_df",
     ]
     names = [n for n in (only or default_names) if n in queries]
 

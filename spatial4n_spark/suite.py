@@ -416,6 +416,32 @@ def q_knn_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "o_orderkey", "rank")
 
 
+def q_knn_s2_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact S2 kNN through the DataFrame-native cover path
+    (`knn_join_cover_df`): per-query circle covers planned DISTRIBUTED
+    in a mapInPandas stage, candidates via the int-shift prefix join,
+    acceptance as aggregate + anti-join — the plan a 10^6-query S2 batch
+    would use, gate-verified (the `knn_s2` row covers the driver-list
+    convenience surface). Results are index- and surface-invariant; the
+    oracle is the same brute-force SQL as `knn`."""
+    from spatial4n_spark.operators.knn import knn_join_cover_df
+
+    qdf = spark.createDataFrame(
+        [(qid, qlon, qlat) for qid, qlon, qlat, _ in RADIUS_CENTERS],
+        "query_id string, qlon double, qlat double",
+    )
+    out = knn_join_cover_df(
+        pts_orders(spark, sf_dir),
+        qdf,
+        k=KNN_K,
+        id_col="o_orderkey",
+        index="s2",
+        level=12,
+        estimated_total=_parquet_num_rows(f"{sf_dir}/orders.parquet"),
+    )
+    return out.select("query_id", "o_orderkey", "rank")
+
+
 def sql_knn() -> str:
     vals = ", ".join(
         f"('{qid}', {O.dlit(qlon)}, {O.dlit(qlat)})" for qid, qlon, qlat, _ in RADIUS_CENTERS
@@ -1135,6 +1161,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "knn": q_knn,
     "knn_df": q_knn_df,
     "knn_s2": q_knn_s2,
+    "knn_s2_df": q_knn_s2_df,
     "rect_relate": q_rect_relate,
     "rect_counts": q_rect_counts,
     "circle_bbox": q_circle_bbox,
@@ -1173,6 +1200,7 @@ def spatial_oracles() -> dict[str, str]:
                 "pip_join_s2": sql_pip_join(),
                 "knn_df": sql_knn(),
                 "knn_s2": sql_knn(),
+                "knn_s2_df": sql_knn(),
                 "tile_stats": sql_tile_stats(),
                 "cell_assign": sql_cell_assign(),
                 "s2_cell_assign": sql_s2_cell_assign(),
