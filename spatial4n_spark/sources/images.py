@@ -16,10 +16,11 @@ lat in [85,90].
 
 Image payloads:
 - fmt='raw'  : real raw RGB bytes (w*h*3), lossless.
-- fmt='png'  : STUB lossless container — 8-byte magic + raw payload.
-               Real PNG codecs are unavailable in this environment; the
-               Spark-side plumbing (binary column, batched decode, schema)
-               is real and the bytes round-trip exactly.
+- fmt='png'  : REAL spec-compliant PNG (stdlib zlib — no image library
+               needed): 8-bit RGB, non-interlaced, CRC-checked chunks;
+               the decoder implements all five scanline filters, so
+               foreign PNGs of this variant decode too. Lossless
+               round-trip, byte output opens in any viewer.
 - fmt='jpg'  : STUB lossy container — 8-byte magic + payload quantized to
                a step of 4 (deterministic 'lossy' transform), giving a
                true PSNR of ~48 dB against the original, which exercises
@@ -38,7 +39,6 @@ IMAGES_SCHEMA = (
     "caption string, phash long, lon double, lat double"
 )
 
-_PNG_MAGIC = b"S4NPNG\x00\x01"
 _JPG_MAGIC = b"S4NJPG\x00\x01"
 _FMTS = ("png", "jpg", "raw")
 
@@ -88,12 +88,116 @@ def synth_coords(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return lon, lat
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(rgb: np.ndarray) -> bytes:
+    """REAL spec-compliant PNG (stdlib zlib, no image libraries): 8-bit
+    RGB (color type 2), non-interlaced, filter-0 scanlines, one zlib
+    IDAT. Output opens in any PNG viewer; ``png_decode`` is the exact
+    inverse (lossless)."""
+    import struct
+    import zlib
+
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    lines = np.concatenate(
+        [np.zeros((h, 1), np.uint8), rgb.reshape(h, w * 3)], axis=1
+    )
+    idat = zlib.compress(lines.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    """Full PNG decode for 8-bit non-interlaced RGB: chunk walk with CRC
+    verification, zlib inflate, and ALL FIVE scanline filters (None/Sub/
+    Up/Average/Paeth — our encoder emits only 0, but foreign PNGs may use
+    any). Sub defilters as a vectorized per-channel cumsum; Average and
+    Paeth fall back to a per-pixel walk (rows here are <= 32 px)."""
+    import struct
+    import zlib
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("bad png signature")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png chunk crc mismatch: {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("unsupported png variant (need 8-bit RGB, no interlace)")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("png missing IHDR")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * 3
+    raw = raw.reshape(h, stride + 1)
+    ftypes, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft, row = int(ftypes[y]), rows[y]
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-3] -> cumsum per lane
+            rec = (
+                np.cumsum(row.reshape(w, 3).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            rec = row + prev
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - 3]) if x >= 3 else 0
+                b = int(prev[x])
+                if ft == 3:
+                    rec[x] = (int(row[x]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - 3]) if x >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad png filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out.reshape(h, w, 3)
+
+
 def _encode_payload(rgb: np.ndarray, fmt: str) -> bytes:
     raw = rgb.tobytes()
     if fmt == "raw":
         return raw
     if fmt == "png":
-        return _PNG_MAGIC + raw
+        return png_encode(rgb)
     if fmt == "jpg":
         q = (rgb.astype(np.int16) // 4 * 4).astype(np.uint8)  # lossy quantization
         return _JPG_MAGIC + q.tobytes()
@@ -103,17 +207,21 @@ def _encode_payload(rgb: np.ndarray, fmt: str) -> bytes:
 def decode_image_batch(buf_list, w: np.ndarray, h: np.ndarray, fmt_list) -> list[np.ndarray]:
     """Decode a batch of image payloads to (h, w, 3) uint8 arrays.
 
-    The stub-codec twin of ``_encode_payload``; a real deployment would
-    swap in PIL/libjpeg here — the engine plumbing (mapInArrow batching,
-    schema, PSNR gate) does not change.
+    The decode twin of ``_encode_payload``: 'png' runs the REAL PNG
+    decoder above (chunk walk + zlib inflate + defilter); 'raw' is a
+    buffer view; 'jpg' remains the disclosed stub container (a real
+    deployment swaps in libjpeg there — the engine plumbing, mapInArrow
+    batching, schema, and PSNR gate do not change).
     """
     out = []
     for buf, wi, hi, fmt in zip(buf_list, w, h, fmt_list):
         b = bytes(buf)
         if fmt == "png":
-            if not b.startswith(_PNG_MAGIC):
-                raise ValueError("bad png stub magic")
-            b = b[len(_PNG_MAGIC):]
+            arr = png_decode(b)
+            if arr.shape != (int(hi), int(wi), 3):
+                raise ValueError("png dims disagree with metadata")
+            out.append(arr)
+            continue
         elif fmt == "jpg":
             if not b.startswith(_JPG_MAGIC):
                 raise ValueError("bad jpg stub magic")
