@@ -149,9 +149,10 @@ def generate_audio_features(
 ) -> DataFrame:
     """Fused form: generate + decode + features in one Python stage.
 
-    The ulaw decode is applied as the same step-8 quantization the codec
-    stores (``raw & ~7``), without the byte round-trip — pytest asserts
-    equality with the table form, which does round-trip the bytes.
+    The ulaw transform is the same G.711 encode+decode the codec applies
+    (sources.audio.ulaw_encode/ulaw_decode), without the AU-container
+    byte round-trip — pytest asserts equality with the table form, which
+    does round-trip the bytes.
     """
     rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
 
@@ -174,11 +175,13 @@ def generate_audio_features(
 
                 h = _mix64(ids_rep * np.uint64(_SAMPLE_MUL) + j + np.uint64(_SAMPLE_ADD))
                 raw = (h & np.uint64(0xFFFF)).astype(np.int32)
+                from spatial4n_spark.sources.audio import ulaw_decode, ulaw_encode
+
                 ulaw_rep = np.repeat(
                     np.array([c == "ulaw" for c in codec]), counts
                 )
-                raw = np.where(ulaw_rep, raw & ~7, raw)
-                samples = raw - 32768
+                lin = raw - 32768
+                samples = np.where(ulaw_rep, ulaw_decode(ulaw_encode(lin)), lin)
                 audio_id = np.char.add("aud", np.char.zfill(ids.astype(str), 9))
                 yield _audio_feature_batch(
                     audio_id.tolist(), codec, rate, nsamp, samples, offsets

@@ -45,15 +45,39 @@ def _meta_sql(n_sql: str, salt: int, unit: int) -> str:
     return f"SELECT i, CAST({unit} + (k >> 62) * {unit} AS INTEGER) AS nsz FROM ({mixed})"
 
 
+def _ulaw_exp_sql(m: str) -> str:
+    """bit_length(m) - 8 for m in [132, 32767] — the mu-law segment."""
+    return (
+        f"(CASE WHEN {m} >= 16384 THEN 7 WHEN {m} >= 8192 THEN 6 "
+        f"WHEN {m} >= 4096 THEN 5 WHEN {m} >= 2048 THEN 4 "
+        f"WHEN {m} >= 1024 THEN 3 WHEN {m} >= 512 THEN 2 "
+        f"WHEN {m} >= 256 THEN 1 ELSE 0 END)"
+    )
+
+
+def _ulaw_dq_sql(s: str, m: str, e: str) -> str:
+    """REAL G.711 mu-law encode-then-decode of linear ``s`` (materialized
+    magnitude ``m`` = least(abs(s),32635)+132 and segment ``e``): pure
+    integer shifts/masks, op-for-op the numpy kernel
+    (sources/audio.py:ulaw_encode/ulaw_decode)."""
+    return (
+        f"((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * "
+        f"(((((({m} >> ({e} + 3)) & 15) << 3) + 132) << {e}) - 132))"
+    )
+
+
 def sql_audio_features(sample_every: int = 4) -> str:
     """Oracle for q_audio_features: per-row zero crossings, peak, energy,
     decimated energy, RMS over the regenerated PCM samples.
 
-    s = (raw & ~7 if ulaw else raw) - 32768 with raw = mix64(...) & 0xFFFF;
-    sign(s) < 0 iff raw < 32768 (step-8 quantization preserves the sign
-    bit), so the crossing test uses the raw values directly. RMS =
-    sqrt(energy / n): exact-int inputs, one divide, one sqrt — both
-    correctly rounded, bit-identical to numpy."""
+    s = raw - 32768 with raw = mix64(...) & 0xFFFF; codec='ulaw' rows
+    pass s through the REAL G.711 mu-law quantization (encode-then-
+    decode, integer-exact — see _ulaw_dq_sql), so features including the
+    crossing signs are computed on the DECODED values exactly as the
+    engine kernel does (mu-law does NOT preserve small-sample signs: a
+    sample in [-3, 3] decodes to 0). RMS = sqrt(energy / n): exact-int
+    inputs, one divide, one sqrt — both correctly rounded, bit-identical
+    to numpy."""
     meta = f"""ameta AS MATERIALIZED (
   SELECT i, nsz AS n_samples,
          CASE WHEN i % 2 = 0 THEN 'pcm' ELSE 'ulaw' END AS codec,
@@ -73,12 +97,19 @@ def sql_audio_features(sample_every: int = 4) -> str:
             "hp": f"CAST(i * {_A_MUL} + greatest(j, 1) - 1 + {_A_ADD} AS UBIGINT)",
         },
     )
-    dec = f"""SELECT i, n_samples, codec, sample_rate, j,
-       (CASE WHEN codec = 'ulaw' THEN CAST(h & 65535 AS BIGINT) & 65528
-             ELSE CAST(h & 65535 AS BIGINT) END) - 32768 AS s,
-       CAST(h & 65535 AS BIGINT) < 32768 AS neg,
-       CAST(hp & 65535 AS BIGINT) < 32768 AS pneg
+    d0 = f"""SELECT i, n_samples, codec, sample_rate, j,
+       CAST(h & 65535 AS BIGINT) - 32768 AS s,
+       CAST(hp & 65535 AS BIGINT) - 32768 AS sp
 FROM ({mixed})"""
+    d1 = f"""SELECT *, least(abs(s), 32635) + 132 AS ma,
+       least(abs(sp), 32635) + 132 AS map FROM ({d0})"""
+    d2 = f"""SELECT *, {_ulaw_exp_sql('ma')} AS me, {_ulaw_exp_sql('map')} AS mep
+FROM ({d1})"""
+    dec = f"""SELECT i, n_samples, codec, sample_rate, j,
+       (CASE WHEN codec = 'ulaw' THEN {_ulaw_dq_sql('s', 'ma', 'me')} ELSE s END) AS s,
+       (CASE WHEN codec = 'ulaw' THEN {_ulaw_dq_sql('s', 'ma', 'me')} ELSE s END) < 0 AS neg,
+       (CASE WHEN codec = 'ulaw' THEN {_ulaw_dq_sql('sp', 'map', 'mep')} ELSE sp END) < 0 AS pneg
+FROM ({d2})"""
     return f"""WITH {meta}
 SELECT 'aud' || lpad(CAST(i AS VARCHAR), 9, '0') AS audio_id,
        codec, sample_rate, n_samples,

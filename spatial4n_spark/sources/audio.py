@@ -11,15 +11,15 @@ finalizer (sources/images.py:_mix64), so the whole table is recomputable
 in SQL by the DuckDB oracle (oracles_av.py) — same design as the image
 table.
 
-Payloads are 16-bit PCM stored as little-endian uint16 with a -32768
-bias applied at decode:
-- codec='pcm'  : lossless raw samples.
-- codec='ulaw' : STUB lossy companding — 8-byte magic + samples
-                 quantized to a step of 8 (``raw & ~7``). Real
-                 G.711/opus codecs are unavailable in this container;
-                 the engine plumbing (binary column, Arrow-batched
-                 decode, feature extraction) is real and the
-                 quantization gives true lossy math for the features.
+Payloads:
+- codec='pcm'  : lossless raw samples — little-endian uint16 with a
+                 -32768 bias applied at decode.
+- codec='ulaw' : REAL G.711 mu-law companding (pure integer math, no
+                 audio library needed) in a REAL Sun AU container
+                 ('.snd' header, encoding 1, mono) — the payload opens
+                 in standard audio players, and the lossy segment
+                 quantization is the genuine G.711 transform, mirrored
+                 integer-exactly by the DuckDB oracle.
 
 Reference parity note: the reference engine (Spatial4n) has no media
 types; this family implements the training-data-pipeline multimodal
@@ -41,7 +41,6 @@ AUDIO_SCHEMA = (
     "codec string, lon double, lat double"
 )
 
-_ULAW_MAGIC = b"S4NULAW\x01"
 _RATES = (8000, 16000, 44100)
 
 # sample keying constants (distinct from the image pixel key 0x1F123)
@@ -56,26 +55,70 @@ def raw_samples(i: int, n: int) -> np.ndarray:
     return (h & np.uint64(0xFFFF)).astype(np.uint16)
 
 
-def _encode_payload(raw: np.ndarray, codec: str) -> bytes:
+_AU_MAGIC = b".snd"
+_ULAW_BIAS = 132
+_ULAW_CLIP = 32635
+
+
+def ulaw_encode(s: np.ndarray) -> np.ndarray:
+    """REAL G.711 mu-law companding (pure integer math, vectorized):
+    linear samples (int, clipped to +-32635) -> inverted 8-bit codes.
+    Exponent comes from ``np.frexp`` (exact bit-length, no float-log
+    boundary hazard)."""
+    s = np.asarray(s, dtype=np.int32)
+    sign = np.where(s < 0, 0x80, 0).astype(np.int32)
+    m = np.minimum(np.abs(s), _ULAW_CLIP) + _ULAW_BIAS  # 132..32767
+    exp = (np.frexp(m.astype(np.float64))[1] - 8).astype(np.int32)  # 0..7
+    mant = (m >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """Inverse G.711 mu-law: 8-bit codes -> linear int32 in [-32124, 32124]."""
+    u = (~np.asarray(u).astype(np.int32)) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    t = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80 != 0, -t, t).astype(np.int32)
+
+
+def _au_header(n_bytes: int, rate: int) -> bytes:
+    """Sun AU container header: '.snd', data offset 24, data size,
+    encoding 1 (8-bit G.711 mu-law), sample rate, 1 channel — a REAL
+    audio container; the payload opens in standard players."""
+    import struct
+
+    return _AU_MAGIC + struct.pack(">5I", 24, n_bytes, 1, rate, 1)
+
+
+def _encode_payload(raw: np.ndarray, codec: str, rate: int = 8000) -> bytes:
     if codec == "pcm":
         return raw.astype("<u2").tobytes()
     if codec == "ulaw":
-        q = (raw & np.uint16(0xFFF8)).astype("<u2")  # step-8 quantization
-        return _ULAW_MAGIC + q.tobytes()
+        codes = ulaw_encode(raw.astype(np.int32) - 32768)
+        return _au_header(len(codes), rate) + codes.tobytes()
     raise ValueError(codec)
 
 
 def decode_audio(buf, codec: str) -> np.ndarray:
-    """Decode a payload to biased int32 samples in [-32768, 32767].
+    """Decode a payload to linear int32 samples.
 
-    Stub-codec twin of ``_encode_payload``; a real deployment swaps in a
-    libsndfile/opus decode here — the engine plumbing does not change.
+    'pcm' is raw little-endian uint16 with a -32768 bias (lossless);
+    'ulaw' is a REAL Sun AU container of G.711 mu-law codes — header
+    validated, codes expanded through ``ulaw_decode`` (lossy, as real
+    mu-law is). The video 'v4n' container remains the one disclosed
+    stub in the media family.
     """
+    import struct
+
     b = bytes(buf)
     if codec == "ulaw":
-        if not b.startswith(_ULAW_MAGIC):
-            raise ValueError("bad ulaw stub magic")
-        b = b[len(_ULAW_MAGIC):]
+        if b[:4] != _AU_MAGIC:
+            raise ValueError("bad AU magic")
+        off, size, enc, _rate, ch = struct.unpack(">5I", b[4:24])
+        if enc != 1 or ch != 1:
+            raise ValueError("unsupported AU variant (need 8-bit mu-law mono)")
+        return ulaw_decode(np.frombuffer(b[off : off + size], dtype=np.uint8))
     raw = np.frombuffer(b, dtype="<u2").astype(np.int32)
     return raw - 32768
 
@@ -95,8 +138,8 @@ def _gen_batch(ids: np.ndarray, with_payload: bool) -> pa.RecordBatch:
     audio_id = np.char.add("aud", np.char.zfill(ids.astype(str), 9))
     if with_payload:
         payloads = [
-            _encode_payload(raw_samples(int(i), int(n)), c)
-            for i, n, c in zip(ids, n_samples, codec)
+            _encode_payload(raw_samples(int(i), int(n)), c, int(r))
+            for i, n, c, r in zip(ids, n_samples, codec, rate)
         ]
     else:
         payloads = [b""] * len(ids)

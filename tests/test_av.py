@@ -36,11 +36,50 @@ def test_audio_codec_roundtrip():
     dec_pcm = decode_audio(encode_audio(raw, "pcm"), "pcm")
     assert np.array_equal(dec_pcm, raw.astype(np.int32) - 32768)
     dec_ulaw = decode_audio(encode_audio(raw, "ulaw"), "ulaw")
-    # step-8 quantization, sign preserved
-    assert np.array_equal(dec_ulaw, (raw.astype(np.int32) & ~7) - 32768)
-    assert np.array_equal(dec_ulaw < 0, dec_pcm < 0)
+    # real G.711 mu-law: matches the scalar spec reference sample-by-sample
+    from spatial4n_spark.sources.audio import ulaw_decode, ulaw_encode
+
+    assert np.array_equal(
+        dec_ulaw, ulaw_decode(ulaw_encode(raw.astype(np.int32) - 32768))
+    )
     with pytest.raises(ValueError):
         decode_audio(b"garbage!" + raw.tobytes(), "ulaw")
+
+
+def _ulaw_ref_scalar(s: int) -> int:
+    """Direct port of the published G.711 mu-law pseudocode (scalar),
+    encode followed by decode — the reference the vectorized kernel must
+    match on every 16-bit input."""
+    sign = 0x80 if s < 0 else 0
+    m = min(abs(s), 32635) + 132
+    exp = 0
+    while m >> (exp + 8):
+        exp += 1
+    mant = (m >> (exp + 3)) & 0x0F
+    u = ~(sign | (exp << 4) | mant) & 0xFF
+    # decode
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 132) << ((u >> 4) & 0x07)
+    t -= 132
+    return -t if u & 0x80 else t
+
+
+def test_ulaw_matches_spec_reference_exhaustively():
+    """All 65536 linear inputs: vectorized encode+decode == scalar spec
+    reference; also the classic anchor values (0 -> code 0xFF -> 0)."""
+    from spatial4n_spark.sources.audio import ulaw_decode, ulaw_encode
+
+    s = np.arange(-32768, 32768, dtype=np.int32)
+    got = ulaw_decode(ulaw_encode(s))
+    want = np.array([_ulaw_ref_scalar(int(x)) for x in range(-32768, 32768)])
+    assert np.array_equal(got, want)
+    assert int(ulaw_encode(np.array([0]))[0]) == 0xFF
+    assert int(ulaw_decode(np.array([0xFF]))[0]) == 0
+    # quantization is value-idempotent: decode(encode(.)) of a decoded
+    # value returns it unchanged (the CODE may differ for values that
+    # decode to 0 — the sign bit of a negative zero is lost — so the
+    # invariant is on values, not code bytes)
+    assert np.array_equal(ulaw_decode(ulaw_encode(got)), got)
 
 
 def test_video_codec_roundtrip():
