@@ -106,8 +106,9 @@ def decode_audio(buf, codec: str) -> np.ndarray:
     'pcm' is raw little-endian uint16 with a -32768 bias (lossless);
     'ulaw' is a REAL Sun AU container of G.711 mu-law codes — header
     validated, codes expanded through ``ulaw_decode`` (lossy, as real
-    mu-law is). The video 'v4n' container remains the one disclosed
-    stub in the media family.
+    mu-law is). The media family's remaining simplifications are the
+    compressed codecs (real JPEG / H.264), disclosed in the image and
+    video module docstrings.
     """
     import struct
 

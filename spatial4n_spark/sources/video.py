@@ -24,9 +24,14 @@ Every byte is a pure function of (row index, frame, pixel) via
 splitmix64, so the DuckDB oracle (oracles_av.py) recomputes the table
 and the detector end-to-end in SQL (LAG over (i, j) ordered by f).
 
-fmt='rawv' is plain concatenated frames; fmt='v4n' is a STUB container
-(8-byte magic + same bytes) — real video codecs are unavailable in this
-container; the decode/frame-sample/scene-cut plumbing is real.
+fmt='rawv' is plain concatenated frames; fmt='y4m' is a REAL YUV4MPEG2
+container (the standard uncompressed-video interchange format —
+``YUV4MPEG2 W8 H8 F<fps>:1 ... Cmono`` header + per-frame ``FRAME``
+markers; the payload plays in ffmpeg/mpv). Y4M is lossless, so the
+decode/frame-sample/scene-cut math is unchanged; compressed video
+codecs (H.264 etc.) remain out of scope in this container, as does real
+JPEG on the image side — those two are the media family's disclosed
+simplifications.
 """
 
 from __future__ import annotations
@@ -43,7 +48,7 @@ VIDEO_SCHEMA = (
     "fmt string, lon double, lat double"
 )
 
-_V4N_MAGIC = b"S4NV\x00\x01\x02\x03"
+_Y4M_MAGIC = b"YUV4MPEG2"
 FRAME_W = 8
 FRAME_H = 8
 FRAME_PX = FRAME_W * FRAME_H
@@ -62,7 +67,7 @@ def video_meta(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray, list[str]]:
     k = _mix64(ids.astype(np.uint64) * np.uint64(1_000_003) + np.uint64(6 * 77_003 + 42))
     n_frames = (8 + (k >> np.uint64(62)).astype(np.int64) * 8).astype(np.int32)
     fps = np.where(ids % 2 == 0, 24, 30).astype(np.int32)
-    fmt = ["rawv" if int(i) % 2 == 0 else "v4n" for i in ids]
+    fmt = ["rawv" if int(i) % 2 == 0 else "y4m" for i in ids]
     return n_frames, fps, fmt
 
 
@@ -89,26 +94,53 @@ def video_frames(i: int, n_frames: int) -> np.ndarray:
     return (base + jit).astype(np.uint8)
 
 
-def _encode_payload(frames: np.ndarray, fmt: str) -> bytes:
+def _encode_payload(frames: np.ndarray, fmt: str, fps: int = 24) -> bytes:
     raw = frames.tobytes()
     if fmt == "rawv":
         return raw
-    if fmt == "v4n":
-        return _V4N_MAGIC + raw
+    if fmt == "y4m":
+        head = (
+            f"YUV4MPEG2 W{FRAME_W} H{FRAME_H} F{int(fps)}:1 Ip A1:1 Cmono\n"
+        ).encode()
+        body = b"".join(
+            b"FRAME\n" + frames[k].tobytes() for k in range(frames.shape[0])
+        )
+        return head + body
     raise ValueError(fmt)
 
 
 def decode_video(buf, fmt: str, n_frames: int) -> np.ndarray:
     """Decode a payload to an (n_frames, 64) int32 frame matrix.
 
-    Stub-codec twin of ``_encode_payload``; a real deployment swaps in
-    ffmpeg/pyav frame extraction here — the plumbing does not change.
+    'rawv' is a buffer view; 'y4m' is a REAL YUV4MPEG2 parse — stream
+    header (W/H/colorspace validated), then per-frame ``FRAME`` markers
+    (parameters after FRAME tolerated, per spec). Compressed codecs
+    (a real deployment's ffmpeg/pyav swap-in) stay out of scope; the
+    plumbing is identical either way.
     """
     b = bytes(buf)
-    if fmt == "v4n":
-        if not b.startswith(_V4N_MAGIC):
-            raise ValueError("bad v4n stub magic")
-        b = b[len(_V4N_MAGIC):]
+    if fmt == "y4m":
+        if not b.startswith(_Y4M_MAGIC + b" "):
+            raise ValueError("bad y4m magic")
+        nl = b.index(b"\n")
+        params = b[len(_Y4M_MAGIC) + 1 : nl].split(b" ")
+        tags = {p[:1]: p[1:] for p in params if p}
+        w, h = int(tags[b"W"]), int(tags[b"H"])
+        if (w, h) != (FRAME_W, FRAME_H):
+            raise ValueError("y4m dims disagree with the frame kernel")
+        if tags.get(b"C", b"mono") != b"mono":
+            raise ValueError("unsupported y4m colorspace (need mono)")
+        pos, out = nl + 1, []
+        while pos < len(b):
+            if b[pos : pos + 5] != b"FRAME":
+                raise ValueError("bad y4m frame marker")
+            pos = b.index(b"\n", pos) + 1  # FRAME may carry parameters
+            out.append(np.frombuffer(b[pos : pos + FRAME_PX], dtype=np.uint8))
+            pos += FRAME_PX
+        arr = np.stack(out).astype(np.int32)
+        if arr.shape[0] != int(n_frames):
+            raise ValueError("y4m frame count disagrees with metadata")
+        return arr
     arr = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
     return arr.reshape(int(n_frames), FRAME_PX)
 
@@ -119,8 +151,8 @@ def _gen_batch(ids: np.ndarray, with_payload: bool) -> pa.RecordBatch:
     video_id = np.char.add("vid", np.char.zfill(ids.astype(str), 9))
     if with_payload:
         payloads = [
-            _encode_payload(video_frames(int(i), int(nf)), f)
-            for i, nf, f in zip(ids, n_frames, fmt)
+            _encode_payload(video_frames(int(i), int(nf)), f, int(r))
+            for i, nf, f, r in zip(ids, n_frames, fmt, fps)
         ]
     else:
         payloads = [b""] * len(ids)

@@ -86,9 +86,16 @@ def test_video_codec_roundtrip():
     fr = video_frames(11, 16)
     assert fr.shape == (16, 64)
     assert np.array_equal(decode_video(encode_video(fr, "rawv"), "rawv", 16), fr)
-    assert np.array_equal(decode_video(encode_video(fr, "v4n"), "v4n", 16), fr)
+    # real YUV4MPEG2: lossless round-trip, spec header + FRAME markers
+    buf = encode_video(fr, "y4m", 30)
+    assert buf.startswith(b"YUV4MPEG2 W8 H8 F30:1 ") and b"Cmono" in buf[:64]
+    assert buf.count(b"FRAME\n") == 16
+    assert np.array_equal(decode_video(buf, "y4m", 16), fr)
+    # FRAME parameter strings after the marker are tolerated (per spec)
+    buf_p = buf.replace(b"FRAME\n", b"FRAME Xparam\n", 1)
+    assert np.array_equal(decode_video(buf_p, "y4m", 16), fr)
     with pytest.raises(ValueError):
-        decode_video(fr.tobytes(), "v4n", 16)
+        decode_video(fr.tobytes(), "y4m", 16)
 
 
 def test_video_planted_scene_structure():
