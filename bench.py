@@ -115,6 +115,9 @@ def main() -> int:
         # second cell-index backend (cube-face Hilbert, int64 cells)
         "s2_cell_assign", "s2_tile_stats", "image_s2_tiles", "pip_join_s2",
         "radius_join_s2", "knn_s2", "knn_s2_df",
+        # third cell-index backend (hex grid, int64 cells)
+        "h3_cell_assign", "h3_tile_stats", "pip_join_h3", "radius_join_h3",
+        "image_h3_tiles",
     ]
     names = [n for n in (only or default_names) if n in queries]
 

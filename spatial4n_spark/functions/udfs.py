@@ -307,3 +307,37 @@ def s2_center_udf(level: int = 12):
         return pd.DataFrame({"clat": clat, "clon": clon})
 
     return _decode
+
+
+def h3_udf(level: int = 7):
+    """(lat, lon) -> H3-style hex cell id (int64) at a fixed level
+    (vectorized).
+
+    Third cell-index backend behind the generic cell-encode surface
+    (SURVEY §2.5, kernels/h3cell.py); same asNondeterministic rationale
+    as geohash_udf.
+    """
+    from spatial4n_spark.kernels.h3cell import h3_encode
+
+    @F.pandas_udf(LongType())
+    def _encode(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        c = h3_encode(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
+        return pd.Series(c)
+
+    return _encode.asNondeterministic()
+
+
+def h3_center_udf(level: int = 7):
+    """Hex cell id -> struct(clat, clon): unrounded hex-center degrees."""
+    from spatial4n_spark.kernels.h3cell import h3_decode_center
+
+    schema = StructType(
+        [StructField("clat", DoubleType()), StructField("clon", DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def _decode(cell: pd.Series) -> pd.DataFrame:
+        clat, clon = h3_decode_center(cell.to_numpy(np.int64), level)
+        return pd.DataFrame({"clat": clat, "clon": clon})
+
+    return _decode

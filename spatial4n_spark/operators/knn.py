@@ -489,6 +489,16 @@ def _initial_cover_radius_km(n_total: int, k: int) -> tuple[float, float]:
     return min(max(r0, 0.5), r_cap_km), r_cap_km
 
 
+def _coarse_cell(be, fine_level: int, lv: int, lat: str, lon: str):
+    """Column of level-``lv`` cells for the candidate join: the fine
+    encode's ancestor where the backend has a prefix hierarchy, else a
+    re-encode at ``lv`` (h3: hexes don't nest, so there is no ancestor —
+    one extra vectorized encode pass per active level instead)."""
+    if be.has_hierarchy:
+        return be.parent_col("_cellF", fine_level, lv)
+    return be.udf(lv)(F.col(lat), F.col(lon))
+
+
 def _cover_level(be, r_km: float, level: int, target_cells_across: float) -> int:
     """Finest level (<= the encode level) whose cell size keeps a circle
     cover at ~``target_cells_across`` cells across the diameter."""
@@ -611,7 +621,7 @@ def knn_join_cover_df(
         # ~target_cells_across^2 cells per query by construction of lv
         if n_pending * target_cells_across**2 <= broadcast_cells:
             covers = F.broadcast(covers)
-        cand = pts.withColumn("_pcell", be.parent_col("_cellF", level, lv)).join(
+        cand = pts.withColumn("_pcell", _coarse_cell(be, level, lv, lat, lon)).join(
             covers, "_pcell"
         )
         ranked = (
@@ -752,7 +762,7 @@ def knn_join_cover(
                 rows,
                 f"_pcell {be.sql_type}, query_id string, _qlon double, _qlat double",
             )
-            c = pts.withColumn("_pcell", be.parent_col("_cellF", level, lv)).join(
+            c = pts.withColumn("_pcell", _coarse_cell(be, level, lv, lat, lon)).join(
                 F.broadcast(cov), "_pcell"
             )
             cand = c if cand is None else cand.unionAll(c)

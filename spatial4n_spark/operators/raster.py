@@ -169,8 +169,12 @@ CHIPS_SCHEMA = (
     "image_id string, cell string, chip_row int, chip_col int, "
     "chip_w int, chip_h int, chip_sum long, chip_mean double, chip binary"
 )
-# s2 backend: int64 cube-face Hilbert cells instead of geohash strings
+# s2/h3 backends: int64 cells instead of geohash strings
 CHIPS_SCHEMA_S2 = CHIPS_SCHEMA.replace("cell string", "cell long")
+
+
+def _chips_schema(index: str) -> str:
+    return CHIPS_SCHEMA if index == "geohash" else CHIPS_SCHEMA_S2
 
 
 def tile_images(
@@ -203,8 +207,7 @@ def tile_images(
                     min_psnr_db, index,
                 )
 
-    schema = CHIPS_SCHEMA_S2 if index == "s2" else CHIPS_SCHEMA
-    return images.mapInArrow(run, schema)
+    return images.mapInArrow(run, _chips_schema(index))
 
 
 def _tile_chunk(
@@ -399,5 +402,4 @@ def generate_raster_pipeline(
                     index,
                 )
 
-    schema = CHIPS_SCHEMA_S2 if index == "s2" else CHIPS_SCHEMA
-    return cell_mosaic_stats(rng.mapInArrow(run, schema))
+    return cell_mosaic_stats(rng.mapInArrow(run, _chips_schema(index)))

@@ -83,7 +83,7 @@ def spatial_join_points_polygons(
     from spatial4n_spark.cellindex import cell_backend
 
     backend = cell_backend(index)
-    if index == "s2" and cell_col is not None:
+    if index != "geohash" and cell_col is not None:
         raise ValueError("cell_col pre-assignment is geohash-only")
     if level is None:
         level = choose_join_level(polygons)

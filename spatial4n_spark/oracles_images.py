@@ -253,6 +253,28 @@ SELECT cell,
 FROM s2f GROUP BY cell"""
 
 
+def sql_image_h3_tiles() -> str:
+    """Oracle for q_image_h3_tiles: the same closed-form per-image chip
+    aggregates as sql_image_tiles, keyed by H3 level-7 hex cells.  The
+    hex encode chain (oracles_h3) is trig-free and op-for-op
+    IEEE-mirrored, so it is bit-exact on ANY input — no lattice
+    assumption (same property as the S2 oracle)."""
+    from spatial4n_spark import oracles_h3 as OH3
+
+    enc = OH3.h3_encode_stages_sql("imgpts", "w, px_dec", 7)
+    return f"""WITH {_meta_cte()},
+{_pixel_agg_cte()},
+{_img_stats_cte()},
+imgpts AS (SELECT w, px_dec, lon, lat FROM imgstats){enc}
+SELECT cell,
+       CAST(sum((w // 8) * (w // 8)) AS BIGINT) AS n_chips,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) AS sum_px,
+       CAST(sum(px_dec) AS BIGINT) / (CAST(sum(CAST(w AS BIGINT) * w) AS BIGINT) * 3)
+         AS avg_brightness
+FROM h3f GROUP BY cell"""
+
+
 def sql_image_pip_join() -> str:
     """Oracle for q_image_pip_join: per-polygon image counts via the same
     covers-test SQL the lineitem pip_join oracle uses, over the generated

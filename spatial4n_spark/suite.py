@@ -306,6 +306,84 @@ SELECT cell, count(*) AS n,
 FROM s2f GROUP BY 1"""
 
 
+def q_h3_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-backend tile assignment (kernels/h3cell.py): hexagonal cell id
+    at level 7 (axial coords + cube rounding) and the decoded UNROUNDED
+    hex center — the third cell backend behind the same tile_assign
+    surface. The encode chain is trig-free (+,-,*,/,floor,abs only), so
+    the oracle mirror is bit-exact on any input by construction."""
+    from spatial4n_spark.functions.udfs import h3_center_udf
+
+    out = tile_assign(
+        pts_orders(spark, sf_dir), level=7, cell_col="h3_cell", index="h3"
+    )
+    ctr = h3_center_udf(7)(F.col("h3_cell"))
+    return out.select(
+        "o_orderkey",
+        "h3_cell",
+        F.shiftright(F.col("h3_cell"), 56).alias("h3_level"),
+        ctr["clat"].alias("clat"),
+        ctr["clon"].alias("clon"),
+    )
+
+
+def sql_h3_cell_assign() -> str:
+    from spatial4n_spark import oracles_h3 as OH3
+
+    enc = OH3.h3_encode_stages_sql("pts", "o_orderkey", 7)
+    ctr = OH3.h3_center_stages_sql("o_orderkey", 7)
+    return f"""WITH {ORDERS_PTS_CTE}{enc}{ctr}
+SELECT o_orderkey, cell AS h3_cell, (cell >> 56) AS h3_level, clat, clon
+FROM h3c"""
+
+
+def q_h3_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase per-cell aggregation through the H3 hex backend
+    (level 5) — the third backend under the same join/agg machinery
+    (SURVEY §2.5 pluggability claim, now exercised three ways)."""
+    return tile_stats(
+        pts_lineitem(spark, sf_dir),
+        level=5,
+        salt_buckets=8,
+        salt_col="l_partkey",
+        sum_col="l_linenumber",
+        index="h3",
+    )
+
+
+def sql_h3_tile_stats() -> str:
+    from spatial4n_spark import oracles_h3 as OH3
+
+    enc = OH3.h3_encode_stages_sql("pts", "l_linenumber", 5)
+    return f"""WITH {LINEITEM_PTS_CTE}{enc}
+SELECT cell, count(*) AS n,
+       CAST(sum(l_linenumber) AS BIGINT) AS sum_l_linenumber
+FROM h3f GROUP BY 1"""
+
+
+def q_pip_join_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship PIP join with H3 hex-cover candidate generation
+    (plans/h3cover.py: uniform-level hex enumeration + shared vectorized
+    classification, dateline pages and seam mirror strips) instead of the
+    geohash quadtree. Same bbox prefilter + exact refine, so the oracle
+    is sql_pip_join verbatim — join results are index-invariant across
+    all three backends."""
+    out = spatial_join_points_polygons(
+        pts_orders(spark, sf_dir), layer(), level=5, index="h3"
+    )
+    return out.select("o_orderkey", "poly_id")
+
+
+def q_radius_join_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The radius join with H3 hex-cover candidate cells — same exact
+    haversine predicate, so the oracle is sql_radius_join verbatim."""
+    out = radius_join(
+        pts_orders(spark, sf_dir), RADIUS_CENTERS, level=5,
+        with_distance=False, index="h3",
+    )
+    return out.select("query_id", "o_orderkey")
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance join: points within R km of query centers."""
     out = radius_join(
@@ -411,6 +489,29 @@ def q_knn_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="o_orderkey",
         index="s2",
         level=12,
+        estimated_total=_parquet_num_rows(f"{sf_dir}/orders.parquet"),
+    )
+    return out.select("query_id", "o_orderkey", "rank")
+
+
+def q_knn_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN on the H3 hex backend via expanding circle covers
+    (`knn_join_cover`, index="h3"). Hexes have no prefix hierarchy, so
+    the candidate join re-encodes points at each round's cover level
+    (one extra vectorized pass) instead of shifting the fine encode —
+    with this row all THREE cell backends are gate-verified
+    join-complete: PIP, radius, tiles, raster AND kNN. Results are
+    index-invariant — the oracle is the same brute-force SQL as `knn`."""
+    from spatial4n_spark.operators.knn import knn_join_cover
+
+    queries = [(qid, qlon, qlat) for qid, qlon, qlat, _ in RADIUS_CENTERS]
+    out = knn_join_cover(
+        pts_orders(spark, sf_dir),
+        queries,
+        k=KNN_K,
+        id_col="o_orderkey",
+        index="h3",
+        level=7,
         estimated_total=_parquet_num_rows(f"{sf_dir}/orders.parquet"),
     )
     return out.select("query_id", "o_orderkey", "rank")
@@ -1106,6 +1207,24 @@ def q_image_s2_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_h3_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raster pipeline with images assigned to H3 hex cells (level 7
+    int64 axial ids) — the north star's "image rows assigned to H3/S2
+    cells via batched cell-encode UDFs" with the H3 half, through the
+    same fused decode -> gate -> chip -> mosaic stage. Like S2 (and
+    unlike geohash), the hex encode chain is IEEE-mirrored op-for-op, so
+    the oracle needs no lattice assumption."""
+    from spatial4n_spark.operators.raster import generate_raster_pipeline
+
+    n, parts = _images_scale(sf_dir)
+    out = generate_raster_pipeline(
+        spark, n, level=7, chip_px=8, partitions=parts, index="h3"
+    )
+    return out.select(
+        "cell", "n_chips", "n_images", "sum_px", F.col("avg_brightness")
+    )
+
+
 def q_image_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image table through the PIP spatial join: per-polygon image counts.
 
@@ -1156,11 +1275,16 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "cell_assign": q_cell_assign,
     "s2_cell_assign": q_s2_cell_assign,
     "s2_tile_stats": q_s2_tile_stats,
+    "h3_cell_assign": q_h3_cell_assign,
+    "h3_tile_stats": q_h3_tile_stats,
+    "pip_join_h3": q_pip_join_h3,
+    "radius_join_h3": q_radius_join_h3,
     "radius_join": q_radius_join,
     "radius_join_s2": q_radius_join_s2,
     "knn": q_knn,
     "knn_df": q_knn_df,
     "knn_s2": q_knn_s2,
+    "knn_h3": q_knn_h3,
     "knn_s2_df": q_knn_s2_df,
     "rect_relate": q_rect_relate,
     "rect_counts": q_rect_counts,
@@ -1178,6 +1302,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "image_decode_check": q_image_decode_check,
     "image_tiles": q_image_tiles,
     "image_s2_tiles": q_image_s2_tiles,
+    "image_h3_tiles": q_image_h3_tiles,
     "image_pip_join": q_image_pip_join,
     "image_dup_pairs": q_image_dup_pairs,
     "audio_features": q_audio_features,
@@ -1198,15 +1323,20 @@ def spatial_oracles() -> dict[str, str]:
                 # return exactly the rows the broadcast/list paths do
                 "pip_join_cover": sql_pip_join(),
                 "pip_join_s2": sql_pip_join(),
+                "pip_join_h3": sql_pip_join(),
                 "knn_df": sql_knn(),
                 "knn_s2": sql_knn(),
+                "knn_h3": sql_knn(),
                 "knn_s2_df": sql_knn(),
                 "tile_stats": sql_tile_stats(),
                 "cell_assign": sql_cell_assign(),
                 "s2_cell_assign": sql_s2_cell_assign(),
                 "s2_tile_stats": sql_s2_tile_stats(),
+                "h3_cell_assign": sql_h3_cell_assign(),
+                "h3_tile_stats": sql_h3_tile_stats(),
                 "radius_join": sql_radius_join(),
                 "radius_join_s2": sql_radius_join(),
+                "radius_join_h3": sql_radius_join(),
                 "knn": sql_knn(),
                 "rect_relate": sql_rect_relate(),
                 "rect_counts": sql_rect_counts(),
@@ -1231,6 +1361,7 @@ def spatial_oracles() -> dict[str, str]:
                 "image_decode_check": OI.sql_image_decode_check(),
                 "image_tiles": OI.sql_image_tiles(),
                 "image_s2_tiles": OI.sql_image_s2_tiles(),
+                "image_h3_tiles": OI.sql_image_h3_tiles(),
                 "image_pip_join": OI.sql_image_pip_join(),
                 "image_dup_pairs": OI.sql_image_dup_pairs(),
             }

@@ -209,4 +209,4 @@ class TestSparkBackend:
         from spatial4n_spark.suite import pts_orders
 
         with pytest.raises(ValueError, match="backend"):
-            tile_assign(pts_orders(spark, sf_dir), level=4, index="h3")
+            tile_assign(pts_orders(spark, sf_dir), level=4, index="quadkey")

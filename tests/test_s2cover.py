@@ -117,7 +117,7 @@ class TestSparkJoin:
 
         with pytest.raises(ValueError, match="backend"):
             spatial_join_points_polygons(
-                pts_orders(spark, sf_dir), layer(), level=3, index="h3"
+                pts_orders(spark, sf_dir), layer(), level=3, index="quadkey"
             )
 
 

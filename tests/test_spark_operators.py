@@ -255,7 +255,9 @@ def test_knn_join_cover_equals_ring_path(spark, points):
         (r["query_id"], r["image_id"], r["rank"])
         for r in knn_join(points, queries, k=k, level=3).collect()
     }
-    for index, level in (("s2", 12), ("geohash", 5)):
+    # h3 has no prefix hierarchy: the coarse join column is a re-encode
+    # at the cover level instead of an ancestor shift (_coarse_cell)
+    for index, level in (("s2", 12), ("geohash", 5), ("h3", 7)):
         got = {
             (r["query_id"], r["image_id"], r["rank"])
             for r in knn_join_cover(
@@ -280,7 +282,7 @@ def test_knn_join_cover_df_equals_list_path(spark, points):
     ]
     k = 7
     q_df = spark.createDataFrame(queries, "query_id string, qlon double, qlat double")
-    for index, level in (("s2", 12), ("geohash", 5)):
+    for index, level in (("s2", 12), ("geohash", 5), ("h3", 7)):
         want = {
             (r["query_id"], r["image_id"], r["rank"])
             for r in knn_join_cover(

@@ -42,7 +42,7 @@ def _run_stream(df, tmp_base: str):
     return name
 
 
-@pytest.mark.parametrize("index", ["geohash", "s2"])
+@pytest.mark.parametrize("index", ["geohash", "s2", "h3"])
 def test_streaming_tile_counts_equals_batch(spark, events_dir, tmp_path, index):
     stream = events_as_stream(spark, events_dir)
     agg = streaming_tile_counts(
@@ -66,6 +66,10 @@ def test_streaming_tile_counts_equals_batch(spark, events_dir, tmp_path, index):
         from spatial4n_spark.functions.udfs import s2_udf
 
         enc = s2_udf(3)
+    elif index == "h3":
+        from spatial4n_spark.functions.udfs import h3_udf
+
+        enc = h3_udf(3)
     else:
         enc = geohash_udf(3)
     batch = batch.withColumn("cell", enc(F.col("lat"), F.col("lon")))
@@ -295,7 +299,7 @@ def test_streaming_image_mosaics_equals_batch(spark, images_dir, tmp_path):
         assert (got[c].values == want[c].values).all(), c
 
 
-@pytest.mark.parametrize("index", ["geohash", "s2"])
+@pytest.mark.parametrize("index", ["geohash", "s2", "h3"])
 def test_streaming_pip_join_equals_batch(spark, events_dir, tmp_path, index):
     """The flagship PIP join run as a stream-static join over the event
     stream returns exactly the batch join's rows — structurally the same
