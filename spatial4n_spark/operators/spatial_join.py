@@ -153,10 +153,14 @@ def spatial_join_points_polygons_df(
     poly_id: str = "poly_id",
     wkt_col: str = "wkt",
     refine_cache_max: int = 4096,
+    index: str = "geohash",
 ) -> DataFrame:
     """PIP join against a LARGE polygon layer held as a DataFrame of
     (poly_id, wkt) — the beyond-broadcast path (reference motivation:
     ShapeCollection.cs:42-44 flags the missing R-tree for big layers).
+    ``index`` picks the cell backend ("geohash" / "s2" / "h3"): the
+    distributed cover stage runs that backend's planner per polygon and
+    the point side encodes with its UDF — results are index-invariant.
 
     Nothing about the layer ever crosses the driver:
 
@@ -180,20 +184,25 @@ def spatial_join_points_polygons_df(
     import numpy as np
     import pandas as pd
 
+    from spatial4n_spark.cellindex import cell_backend
     from spatial4n_spark.io.wkt import parse_wkt
     from spatial4n_spark.kernels.polygon import points_covered
 
+    backend = cell_backend(index)
     cover_schema = (
-        f"_cell string, {poly_id} string, _full boolean, _bminx double, "
+        f"_cell {backend.sql_type}, {poly_id} string, _full boolean, _bminx double, "
         "_bmaxx double, _bminy double, _bmaxy double, _wkt string"
     )
 
     def cover_gen(it):
+        from spatial4n_spark.cellindex import cell_backend as _cb
+
+        be_w = _cb(index)
         for pdf in it:
             rows = []
             for pid, w in zip(pdf[poly_id], pdf[wkt_col]):
                 shape = parse_wkt(w, geo)
-                fulls, bounds = cover_cells(shape, level, geo)
+                fulls, bounds = be_w.cover(shape, level, geo)
                 bb = shape_bbox(shape, geo)
                 for c in fulls:
                     rows.append(
@@ -213,7 +222,7 @@ def spatial_join_points_polygons_df(
                 )
 
     cover_df = layer.mapInPandas(cover_gen, cover_schema)
-    pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
+    pts = points.withColumn("_cell", backend.udf(level)(F.col(lat), F.col(lon)))
 
     bbox_ok = rect_contains_point(
         cover_df["_bminx"], cover_df["_bmaxx"], cover_df["_bminy"], cover_df["_bmaxy"],

@@ -139,12 +139,15 @@ def test_spatial_join_df_layer_equals_broadcast_path(spark, points):
     layer_df = spark.createDataFrame(
         [(pid, wkt) for pid, wkt, *_ in POLYGON_LAYER], "poly_id string, wkt string"
     )
-    got_df = spatial_join_points_polygons_df(points, layer_df, level=3)
-    got = {
-        (r["image_id"], r["poly_id"])
-        for r in got_df.select("image_id", "poly_id").collect()
-    }
-    assert got == want
+    for index, lv in (("geohash", 3), ("s2", 6), ("h3", 5)):
+        got_df = spatial_join_points_polygons_df(
+            points, layer_df, level=lv, index=index
+        )
+        got = {
+            (r["image_id"], r["poly_id"])
+            for r in got_df.select("image_id", "poly_id").collect()
+        }
+        assert got == want, index
 
 
 def test_spatial_join_df_layer_10k_features(spark, points, coords):
