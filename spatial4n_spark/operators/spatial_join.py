@@ -154,6 +154,7 @@ def spatial_join_points_polygons_df(
     wkt_col: str = "wkt",
     refine_cache_max: int = 4096,
     index: str = "geohash",
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """PIP join against a LARGE polygon layer held as a DataFrame of
     (poly_id, wkt) — the beyond-broadcast path (reference motivation:
@@ -171,7 +172,15 @@ def spatial_join_points_polygons_df(
     2. points equi-join the cover table on the cell key — both sides
        shuffle on ``_cell`` (the standard big-big spatial-join plan; AQE
        handles hot-cell skew). The bbox prefilter rides in the join
-       condition exactly as in the broadcast path;
+       condition exactly as in the broadcast path. ``salt_buckets > 1``
+       adds EXPLICIT salted repartitioning (the north rule's hot-cell
+       defusal, opt-in): the cover side replicates each row into every
+       salt bucket and each point hashes into one, so the join key
+       becomes (_cell, _salt) and a city-cell's points spread across
+       ``salt_buckets`` reducers instead of one straggler task. Results
+       are identical — each point still meets each of its cell's cover
+       rows exactly once (pytest-pinned; prefer AQE unless a known
+       mega-hot cell dominates the key histogram);
     3. exact refinement runs per task with state built from the MATCHED
        shapes only: boundary candidates carry their polygon's WKT, and a
        per-task LRU parses each distinct polygon once, then evaluates the
@@ -228,8 +237,31 @@ def spatial_join_points_polygons_df(
         cover_df["_bminx"], cover_df["_bmaxx"], cover_df["_bminy"], cover_df["_bmaxy"],
         pts[lon], pts[lat],
     )
-    cond = (pts["_cell"] == cover_df["_cell"]) & (cover_df["_full"] | bbox_ok)
-    cand = pts.join(cover_df, cond).drop(cover_df["_cell"])
+    if salt_buckets > 1:
+        # replicate the (small) cover side into every bucket; hash each
+        # point into one — xxhash64 over the coordinate pair is cheap,
+        # JVM-side, and independent of the cell so a hot cell's points
+        # spread uniformly
+        cover_df = cover_df.crossJoin(
+            points.sparkSession.range(salt_buckets).select(
+                F.col("id").cast("int").alias("_salt")
+            )
+        )
+        pts = pts.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt_buckets)).cast("int"),
+        )
+        cond = (
+            (pts["_cell"] == cover_df["_cell"])
+            & (pts["_salt"] == cover_df["_salt"])
+            & (cover_df["_full"] | bbox_ok)
+        )
+        cand = pts.join(cover_df, cond).drop(cover_df["_cell"]).drop(
+            cover_df["_salt"]
+        ).drop(pts["_salt"])
+    else:
+        cond = (pts["_cell"] == cover_df["_cell"]) & (cover_df["_full"] | bbox_ok)
+        cand = pts.join(cover_df, cond).drop(cover_df["_cell"])
 
     out_cols = [c for c in points.columns if c != "_cell"] + [poly_id]
     out_schema = ", ".join(

@@ -150,6 +150,41 @@ def test_spatial_join_df_layer_equals_broadcast_path(spark, points):
         assert got == want, index
 
 
+def test_spatial_join_df_layer_salted_equals_unsalted(spark, points):
+    """Explicit salted repartitioning (the north rule's hot-cell defusal)
+    changes only the shuffle key, never the rows: (cell, salt) join with
+    a bucket-replicated cover returns exactly the unsalted rows — checked
+    on a deliberately skewed workload (half the points stacked inside one
+    Paris-cell polygon)."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons_df
+    from spatial4n_spark.sources.polygons import POLYGON_LAYER
+
+    layer_df = spark.createDataFrame(
+        [(pid, wkt) for pid, wkt, *_ in POLYGON_LAYER], "poly_id string, wkt string"
+    )
+    # hot-cell workload: clone the points and pin the clones into Paris
+    hot = points.select(
+        F.concat(F.lit("hot_"), F.col("image_id")).alias("image_id"),
+        (F.lit(2.33) + F.col("lon") * 0).alias("lon"),
+        (F.lit(48.86) + F.col("lat") * 0).alias("lat"),
+    )
+    skewed = points.select("image_id", "lon", "lat").unionAll(hot)
+    want = {
+        (r["image_id"], r["poly_id"])
+        for r in spatial_join_points_polygons_df(skewed, layer_df, level=3)
+        .select("image_id", "poly_id").collect()
+    }
+    got = {
+        (r["image_id"], r["poly_id"])
+        for r in spatial_join_points_polygons_df(
+            skewed, layer_df, level=3, salt_buckets=8
+        ).select("image_id", "poly_id").collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_spatial_join_df_layer_10k_features(spark, points, coords):
     """A 10^4-feature synthetic layer through the partitioned-cover path:
     results match an independent numpy evaluation, and the plan builds the
