@@ -59,6 +59,28 @@ COMMENTS = {
         "bucket id) + exact cosine verify — NO CartesianProduct anywhere; the "
         "O(n^2) crossJoin of round 1 is gone."
     ),
+    "pip_join_s2": (
+        "Same join, S2 index (plans/s2cover.py cover; `index=\"s2\"`). The plan is "
+        "SHAPE-IDENTICAL to pip_join — one BroadcastHashJoin with the cell equi-key "
+        "plus the native bbox prefilter in its condition, fact side never shuffles — "
+        "but the join key is an int64 S2 cell instead of a geohash string: a bigint "
+        "`HashedRelationBroadcastMode` key hashes/compares cheaper than UTF8String, "
+        "and the broadcast rows are narrower. Candidate generation differs only "
+        "driver-side (4-ary Hilbert-cell BFS vs 32-ary geohash quadtree); results "
+        "are index-invariant (same oracle)."
+    ),
+    "pip_join_h3": (
+        "Same join, H3 hex index (plans/h3cover.py cover; `index=\"h3\"`). Again "
+        "SHAPE-IDENTICAL — one BroadcastHashJoin on an int64 hex cell + native bbox "
+        "prefilter; the hex cover is planned by direct uniform-level enumeration "
+        "(no tree), which only changes the driver-side candidate set. All three "
+        "backends compile to the same physical join."
+    ),
+    "h3_tile_stats": (
+        "Salted two-phase aggregation through the hex backend: identical plan to "
+        "tile_stats — partial HashAggregate on (cell, salt), exchange, final "
+        "HashAggregate on cell — with a bigint group key."
+    ),
 }
 
 
@@ -87,6 +109,9 @@ def main() -> int:
         "emb_cosine_topk": suite_text.q_emb_cosine_topk,
         "emb_ann": suite_text.q_emb_ann,
         "emb_dup_pairs": suite_text.q_emb_dup_pairs,
+        "pip_join_s2": suite.q_pip_join_s2,
+        "pip_join_h3": suite.q_pip_join_h3,
+        "h3_tile_stats": suite.q_h3_tile_stats,
     }
 
     out = [
