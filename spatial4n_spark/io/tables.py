@@ -66,3 +66,42 @@ def tiled_radius_query(
     return df.where(
         haversine_km(F.col(lon), F.col(lat), F.lit(qlon), F.lit(qlat)) <= F.lit(radius_km)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    buckets: int = 32,
+    level: int = 4,
+    lon: str = "lon",
+    lat: str = "lat",
+    cell_col: str = "cell",
+    index: str = "geohash",
+    mode: str = "overwrite",
+) -> None:
+    """Write a point table BUCKETED by its cell — the co-located-join
+    layout (the directory-partitioned ``write_tiled`` prunes scans; this
+    one removes the join/agg shuffle itself).
+
+    ``bucketBy(B, cell) + sortBy(cell)`` records a HashPartitioning in
+    the table metadata, so every later cell-keyed join between tables
+    bucketed the same way — and every groupBy(cell) aggregation — reads
+    pre-shuffled, pre-sorted buckets: ZERO Exchange on the bucketed
+    side(s) (plan-asserted in tests/test_tiled_tables.py). At 10^12
+    rows this converts each repeated spatial join from a full-table
+    shuffle into a bucket-local merge, the same role Iceberg's
+    bucket-transform hidden partitioning plays at design scale.
+
+    Data files land under ``path``; the table entry lives in the
+    session catalog (in-memory here, a metastore in production).
+    """
+    out = tile_assign(df, level, lon, lat, cell_col=cell_col, index=index)
+    (
+        out.write.bucketBy(buckets, cell_col)
+        .sortBy(cell_col)
+        .option("path", path)
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -16,6 +16,7 @@ from spatial4n_spark.io.tables import (
     write_tiled,
 )
 from spatial4n_spark.operators.spatial_join import choose_join_level, spatial_join_points_polygons
+from spatial4n_spark.operators.tiles import tile_assign
 from spatial4n_spark.suite import layer, pts_orders
 
 
@@ -57,3 +58,48 @@ def test_auto_join_level_matches_fixed(spark):
     a = {(r["o_orderkey"], r["poly_id"]) for r in auto.collect()}
     b = {(r["o_orderkey"], r["poly_id"]) for r in fixed.collect()}
     assert a == b
+
+
+def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
+    """Co-located joins: two tables bucketed by the same cell column join
+    and aggregate with ZERO shuffle Exchange — the storage-level answer
+    to repeated cell-keyed joins at design scale."""
+    import uuid
+
+    from spatial4n_spark.io.tables import write_bucketed
+
+    pts = pts_orders(spark, "/root/testdata/sf0.001")
+    sfx = uuid.uuid4().hex[:8]
+    ta, tb = f"bt_a_{sfx}", f"bt_b_{sfx}"
+    try:
+        write_bucketed(pts, ta, str(tmp_path / "a"), buckets=8, level=3)
+        write_bucketed(
+            pts.select("o_orderkey", "lon", "lat"),
+            tb, str(tmp_path / "b"), buckets=8, level=3,
+        )
+        a, b = spark.table(ta), spark.table(tb)
+
+        # the tiny test tables would auto-broadcast (also shuffle-free but
+        # not the thing under test); force the big-big plan
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        joined = a.join(b.select("cell", F.col("o_orderkey").alias("rhs_key")), "cell")
+        assert joined.count() > 0
+        jplan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in jplan, jplan
+        assert "Bucketed: true" in jplan and "SortMergeJoin" in jplan, jplan
+
+        agg = a.groupBy("cell").count()
+        aplan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in aplan, aplan
+        assert "Bucketed: true" in aplan, aplan
+        # parity: bucketed agg == direct agg on the source
+        want = dict(
+            tile_assign(pts, 3).groupBy("cell").count().collect()
+        )
+        got = dict(agg.collect())
+        assert got == {k: v for k, v in want.items()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
