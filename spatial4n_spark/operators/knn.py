@@ -551,8 +551,13 @@ def knn_join_cover_df(
 
     spark = points.sparkSession
     be = cell_backend(index)
-    pts = points.withColumn("_cellF", be.udf(level)(F.col(lat), F.col(lon)))
-    pts = pts.select(id_col, lon, lat, "_cellF").persist()
+    if be.has_hierarchy:
+        pts = points.withColumn("_cellF", be.udf(level)(F.col(lat), F.col(lon)))
+        pts = pts.select(id_col, lon, lat, "_cellF").persist()
+    else:
+        # h3: _coarse_cell re-encodes at each round's cover level, so a
+        # fine encode would be computed and never read
+        pts = points.select(id_col, lon, lat).persist()
     n_total = estimated_total if estimated_total is not None else pts.count()
     r_km, r_cap_km = _initial_cover_radius_km(n_total, k)
 
@@ -723,8 +728,11 @@ def knn_join_cover(
 
     spark = points.sparkSession
     be = cell_backend(index)
-    pts = points.withColumn("_cellF", be.udf(level)(F.col(lat), F.col(lon)))
-    pts = pts.select(id_col, lon, lat, "_cellF").persist()
+    if be.has_hierarchy:
+        pts = points.withColumn("_cellF", be.udf(level)(F.col(lat), F.col(lon)))
+        pts = pts.select(id_col, lon, lat, "_cellF").persist()
+    else:
+        pts = points.select(id_col, lon, lat).persist()
 
     n_total = estimated_total if estimated_total is not None else pts.count()
     r0, r_cap_km = _initial_cover_radius_km(n_total, k)

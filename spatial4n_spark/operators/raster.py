@@ -226,15 +226,21 @@ def _tile_chunk(
     Arrow zero-copy — at 16 chips/image the chip batch is 16x the image
     batch, so list-of-PyObject assembly here was the stage's hidden
     serial cost (measured ~5x on the construction step)."""
-    ids = chunk.column("image_id").to_pylist()
     ids_arr = chunk.column("image_id")
-    if isinstance(ids_arr, pa.ChunkedArray):
-        ids_arr = ids_arr.combine_chunks()
+    # the per-image python str list is only read by the PSNR/caption gate
+    # and the odd-size fallback — the benchmarked fast path never pays it
+    _ids_list: list | None = None
+
+    def ids():
+        nonlocal _ids_list
+        if _ids_list is None:
+            _ids_list = ids_arr.to_pylist()
+        return _ids_list
+
     bufs = chunk.column("bytes").to_pylist()
     w = chunk.column("w").to_numpy()
     h = chunk.column("h").to_numpy()
     fmts = chunk.column("fmt").to_pylist()
-    caps = chunk.column("caption").to_pylist()
     lon = chunk.column("lon").to_numpy()
     lat = chunk.column("lat").to_numpy()
 
@@ -259,7 +265,7 @@ def _tile_chunk(
     def emit_loop(k: int):
         """Per-image fallback (sizes not divisible by chip_px,
         or chip-bytes materialization)."""
-        iid, cell, img = ids[k], cells[k], decoded[k]
+        iid, cell, img = ids()[k], cells[k], decoded[k]
         hh, ww = img.shape[0], img.shape[1]
         for r0 in range(0, hh, chip_px):
             for c0 in range(0, ww, chip_px):
@@ -274,21 +280,22 @@ def _tile_chunk(
                 out_mean.append(float(chip.mean()))
                 out_bytes.append(chip.tobytes() if with_chip_bytes else b"")
 
-    keep = np.ones(len(ids), dtype=bool)
+    keep = np.ones(len(ids_arr), dtype=bool)
     sizes = np.stack([w, h], axis=1)
     groups = {}
     for wh in np.unique(sizes, axis=0):
         groups[tuple(wh)] = np.where((w == wh[0]) & (h == wh[1]))[0]
 
     if min_psnr_db is not None:
+        caps = chunk.column("caption").to_pylist()
         for (gw, gh), sel in groups.items():
             imgs = np.stack([decoded[k] for k in sel])
-            refs = _reference_pixels_batch([ids[k] for k in sel], int(gw), int(gh))
+            refs = _reference_pixels_batch([ids()[k] for k in sel], int(gw), int(gh))
             keep[sel] = _psnr_batch(imgs, refs) >= min_psnr_db
-        for k in range(len(ids)):
+        for k in range(len(ids())):
             if keep[k]:
                 expect = (
-                    f"caption for img{int(ids[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
+                    f"caption for img{int(ids()[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
                 )
                 keep[k] = caps[k] == expect
 

@@ -47,7 +47,7 @@ from spatial4n_spark.kernels.h3cell import (
 )
 from spatial4n_spark.kernels.polygon import shape_bbox
 from spatial4n_spark.plans.cover import _classify_cells, _cover_key
-from spatial4n_spark.relation import CONTAINS, DISJOINT, INTERSECTS
+from spatial4n_spark.relation import CONTAINS, DISJOINT
 
 EPS = 1e-9
 # hard candidate-enumeration guard (candidates, not result cells): the
@@ -60,50 +60,25 @@ def _lon_pages(min_x: float, max_x: float) -> list[tuple[float, float]]:
     """Shape-bbox lon extent -> non-wrapping pages within [-180, 180]."""
     if max_x - min_x >= 360.0:
         return [(-180.0, 180.0)]
+    # a bbox lying ENTIRELY beyond one seam (fully-unwrapped shape):
+    # shift whole; partial overflows are split below
+    if min_x > 180.0 and max_x > 180.0:
+        min_x, max_x = min_x - 360.0, max_x - 360.0
+    elif min_x < -180.0 and max_x < -180.0:
+        min_x, max_x = min_x + 360.0, max_x + 360.0
     if min_x > max_x:  # dateline-crossing bbox form
-        return [(min_x, 180.0), (-180.0, max_x)]
-    pages = []
-    if max_x > 180.0:  # unwrapped east page
-        pages.append((min_x, 180.0))
-        pages.append((-180.0, max_x - 360.0))
+        pages = [(min_x, 180.0), (-180.0, max_x)]
+    elif max_x > 180.0:  # unwrapped east page
+        pages = [(min_x, 180.0), (-180.0, max_x - 360.0)]
     elif min_x < -180.0:  # unwrapped west page
-        pages.append((min_x + 360.0, 180.0))
-        pages.append((-180.0, max_x))
+        pages = [(min_x + 360.0, 180.0), (-180.0, max_x)]
     else:
-        pages.append((min_x, max_x))
-    return pages
-
-
-def h3_cell_bbox_pieces(cell: int, level: int):
-    """Tight bbox of one hex as 1+ non-wrapping rect pieces
-    [(min_x, max_x, min_y, max_y)], padded outward by EPS, clipped to
-    [-180, 180], with degenerate mirror strips across the seam — the
-    classification geometry (planner-side only, never cross-engine)."""
-    from spatial4n_spark.kernels.h3cell import h3_cell_bbox
-
-    mnx, mxx, mny, mxy = h3_cell_bbox(np.asarray([cell], dtype=np.int64), level)
-    return _bbox_pieces(float(mnx[0]), float(mxx[0]), float(mny[0]), float(mxy[0]))
-
-
-def _bbox_pieces(mnx: float, mxx: float, mny: float, mxy: float):
-    y0 = max(mny - EPS, -90.0)
-    y1 = min(mxy + EPS, 90.0)
-    out = [(max(mnx - EPS, -180.0), min(mxx + EPS, 180.0), y0, y1)]
-    # lon -180 and +180 are the same meridian (see module docstring)
-    lo, hi = out[0][0], out[0][1]
-    if hi >= 180.0 - EPS:
-        out.append((-180.0, -180.0 + 2 * EPS, y0, y1))
-    if lo <= -180.0 + EPS:
-        out.append((180.0 - 2 * EPS, 180.0, y0, y1))
-    return out
-
-
-def _combine(piece_cls) -> int:
-    if all(c == DISJOINT for c in piece_cls):
-        return DISJOINT
-    if all(c == CONTAINS for c in piece_cls):
-        return CONTAINS
-    return INTERSECTS
+        pages = [(min_x, max_x)]
+    # every page must be a forward interval inside the world — an
+    # inverted page would turn the per-row column counts negative and
+    # crash np.repeat with an opaque error far from the cause
+    pages = [(max(lo, -180.0), min(hi, 180.0)) for lo, hi in pages]
+    return [(lo, hi) for lo, hi in pages if lo <= hi]
 
 
 _H3_COVER_CACHE: dict = {}

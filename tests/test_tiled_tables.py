@@ -81,6 +81,7 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
 
         # the tiny test tables would auto-broadcast (also shuffle-free but
         # not the thing under test); force the big-big plan
+        prior_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
         joined = a.join(b.select("cell", F.col("o_orderkey").alias("rhs_key")), "cell")
@@ -100,6 +101,6 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
         got = dict(agg.collect())
         assert got == {k: v for k, v in want.items()}
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bcast)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
