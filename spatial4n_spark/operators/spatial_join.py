@@ -292,3 +292,62 @@ def spatial_join_points_polygons_df(
             yield pdf.loc[keep, out_cols]
 
     return cand.mapInPandas(refine, out_schema)
+
+
+def spatial_join_polygons(
+    spark,
+    layer_a: list[tuple[str, str]],
+    layer_b: list[tuple[str, str]],
+    level: int = 3,
+    geo: bool = True,
+    index: str = "geohash",
+    keep_disjoint: bool = False,
+) -> DataFrame:
+    """Polygon-layer x polygon-layer spatial join: every (a, b) pair whose
+    shapes are NOT disjoint, with the exact 4-valued relation.
+
+    ``layer_a`` / ``layer_b``: [(id, wkt)]. The all-pairs relate matrix
+    (q_layer_relate_matrix) crossJoins — fine for conformance on 11
+    shapes, quadratic at layer scale. This operator generates candidate
+    pairs from SHARED COVER CELLS instead: each shape's cover contains
+    every cell any of its points encodes to, so two intersecting shapes
+    necessarily share a cover cell (the same soundness argument as the
+    point-side join); an equi-join of the two cover tables on the cell
+    key + a distinct therefore yields a candidate superset, and the
+    exact relate UDF runs once per candidate pair, not per pair of the
+    full cross product. DISJOINT candidates (bbox-touching but not
+    intersecting) are filtered after refinement unless ``keep_disjoint``.
+
+    Returns (id_a, id_b, rel). Relation names follow kernels.relate
+    (CONTAINS/WITHIN/INTERSECTS; equal shapes -> CONTAINS, the
+    reference's covers-first mapping, NtsGeometry.cs:366-369).
+    """
+    from spatial4n_spark.cellindex import cell_backend
+    from spatial4n_spark.functions.udfs import relate_wkt_udf
+    from spatial4n_spark.io.wkt import parse_wkt
+
+    backend = cell_backend(index)
+
+    def cover_table(layer, id_name):
+        rows = []
+        for pid, w in layer:
+            fulls, bounds = backend.cover(parse_wkt(w, geo), level, geo)
+            rows.extend((c, pid, w) for c in fulls + bounds)
+        return spark.createDataFrame(
+            rows, f"_cell {backend.sql_type}, {id_name} string, _wkt_{id_name} string"
+        )
+
+    ca = cover_table(layer_a, "id_a")
+    cb = cover_table(layer_b, "id_b")
+    pairs = (
+        ca.join(cb, "_cell")
+        .select("id_a", "id_b", "_wkt_id_a", "_wkt_id_b")
+        .distinct()
+    )
+    rel = relate_wkt_udf(geo=geo)
+    out = pairs.withColumn("rel", rel(F.col("_wkt_id_a"), F.col("_wkt_id_b"))).select(
+        "id_a", "id_b", "rel"
+    )
+    if not keep_disjoint:
+        out = out.where(F.col("rel") != "DISJOINT")
+    return out

@@ -748,6 +748,32 @@ def q_layer_relate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_poly_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-layer x polygon-layer spatial join (the scalable twin of
+    layer_relate_matrix): candidate pairs from SHARED COVER CELLS + one
+    exact relate per candidate — no crossJoin anywhere, so a 10^5-feature
+    layer pair joins through a cell equi-join instead of 10^10 relate
+    calls. Oracle = the pinned reference-semantics relate matrix
+    (sources/relate_expected.py) filtered to non-disjoint pairs."""
+    from spatial4n_spark.operators.spatial_join import spatial_join_polygons
+    from spatial4n_spark.sources.polygons import POLYGON_LAYER
+
+    wkts = [(pid, wkt) for pid, wkt, _ in POLYGON_LAYER]
+    return spatial_join_polygons(spark, wkts, wkts, level=3)
+
+
+def sql_poly_pair_join() -> str:
+    from spatial4n_spark.sources.relate_expected import LAYER_RELATE_EXPECTED
+
+    values = ",\n".join(
+        f"('{a}', '{b}', '{r}')" for a, b, r in LAYER_RELATE_EXPECTED
+    )
+    return f"""SELECT id_a, id_b, rel
+FROM (VALUES
+{values}) AS t(id_a, id_b, rel)
+WHERE rel <> 'DISJOINT'"""
+
+
 # buffered-polygon layer: a polygon with holes (hole shrink), a dateline
 # multipolygon (page logic), and a plain polygon — GetBuffered contract
 POLY_BUFFER_SPECS = [("base_poly", 3.0), ("holed", 2.0), ("fiji_style", 1.5)]
@@ -1296,6 +1322,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "point_on_bearing": q_point_on_bearing,
     "event_tiles": q_event_tiles,
     "layer_relate_matrix": q_layer_relate_matrix,
+    "poly_pair_join": q_poly_pair_join,
     "circle_rect_relate": q_circle_rect_relate,
     "wkt_codec": q_wkt_codec,
     "group_bbox": q_group_bbox,
@@ -1349,6 +1376,7 @@ def spatial_oracles() -> dict[str, str]:
                 "event_tiles": sql_event_tiles(),
                 "group_bbox": sql_group_bbox(),
                 "layer_relate_matrix": sql_layer_relate_matrix(),
+                "poly_pair_join": sql_poly_pair_join(),
                 "circle_rect_relate": sql_circle_rect_relate(),
                 "wkt_codec": sql_wkt_codec(),
                 "poly_buffer_join": sql_poly_buffer_join(),

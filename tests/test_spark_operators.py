@@ -484,3 +484,26 @@ def test_knn_covered_radius_expr_never_exceeds_enumeration(spark):
     # strand them at ~0 km and force every pole query to brute force
     pole = [r["r"] for r in got if r["_qlat"] == 89.9 and r["_rings"] == 256]
     assert pole and pole[0] > 1000.0
+
+
+def test_spatial_join_polygons_equals_matrix(spark):
+    """The cover-cell polygon pair join returns exactly the crossJoin
+    relate matrix's non-disjoint pairs, and its candidate set is a strict
+    subset of the cross product (the point of the operator)."""
+    from spatial4n_spark.operators.spatial_join import spatial_join_polygons
+    from spatial4n_spark.sources.polygons import POLYGON_LAYER
+    from spatial4n_spark.sources.relate_expected import LAYER_RELATE_EXPECTED
+
+    wkts = [(pid, wkt) for pid, wkt, _ in POLYGON_LAYER]
+    got = {
+        (r["id_a"], r["id_b"], r["rel"])
+        for r in spatial_join_polygons(spark, wkts, wkts, level=3).collect()
+    }
+    want = {(a, b, r) for a, b, r in LAYER_RELATE_EXPECTED if r != "DISJOINT"}
+    assert got == want
+
+    # pruning: candidates (incl. disjoint bbox-touch pairs) < full 11x11
+    cands = spatial_join_polygons(
+        spark, wkts, wkts, level=3, keep_disjoint=True
+    ).count()
+    assert len(want) <= cands < len(wkts) ** 2
