@@ -351,3 +351,64 @@ def spatial_join_polygons(
     if not keep_disjoint:
         out = out.where(F.col("rel") != "DISJOINT")
     return out
+
+
+def spatial_join_polygons_df(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    level: int = 3,
+    geo: bool = True,
+    index: str = "geohash",
+    keep_disjoint: bool = False,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    wkt_col: str = "wkt",
+) -> DataFrame:
+    """``spatial_join_polygons`` with BOTH layers as DataFrames of
+    (id, wkt) — the beyond-driver form: covers are planned DISTRIBUTED
+    (one ``mapInPandas`` stage per layer runs the cover planner per
+    polygon), candidate pairs come from the cell equi-join, and the
+    exact relate refines each distinct pair. Nothing about either layer
+    crosses the driver, so two 10^5-feature layers join through a
+    shuffle-by-cell instead of a 10^10-pair cross product."""
+    from spatial4n_spark.cellindex import cell_backend
+    from spatial4n_spark.functions.udfs import relate_wkt_udf
+
+    backend = cell_backend(index)
+
+    def cover_stage(layer: DataFrame, out_id: str) -> DataFrame:
+        schema = f"_cell {backend.sql_type}, {out_id} string, _wkt_{out_id} string"
+        id_src = layer.columns[0]  # contract: first column is the id
+
+        def gen(it):
+            import pandas as pd
+
+            from spatial4n_spark.cellindex import cell_backend as _cb
+            from spatial4n_spark.io.wkt import parse_wkt
+
+            be_w = _cb(index)
+            for pdf in it:
+                rows = []
+                for pid, w in zip(pdf[id_src], pdf[wkt_col]):
+                    fulls, bounds = be_w.cover(parse_wkt(w, geo), level, geo)
+                    rows.extend((c, pid, w) for c in fulls + bounds)
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["_cell", out_id, f"_wkt_{out_id}"]
+                    )
+
+        return layer.mapInPandas(gen, schema)
+
+    pairs = (
+        cover_stage(layer_a, id_a)
+        .join(cover_stage(layer_b, id_b), "_cell")
+        .select(id_a, id_b, f"_wkt_{id_a}", f"_wkt_{id_b}")
+        .distinct()
+    )
+    rel = relate_wkt_udf(geo=geo)
+    out = pairs.withColumn(
+        "rel", rel(F.col(f"_wkt_{id_a}"), F.col(f"_wkt_{id_b}"))
+    ).select(id_a, id_b, "rel")
+    if not keep_disjoint:
+        out = out.where(F.col("rel") != "DISJOINT")
+    return out

@@ -507,3 +507,28 @@ def test_spatial_join_polygons_equals_matrix(spark):
         spark, wkts, wkts, level=3, keep_disjoint=True
     ).count()
     assert len(want) <= cands < len(wkts) ** 2
+
+
+def test_spatial_join_polygons_df_equals_list_path(spark):
+    """The DataFrame pair join (covers planned distributed, both layers
+    stay off the driver) equals the list path on every backend."""
+    from spatial4n_spark.operators.spatial_join import (
+        spatial_join_polygons,
+        spatial_join_polygons_df,
+    )
+    from spatial4n_spark.sources.polygons import POLYGON_LAYER
+
+    wkts = [(pid, wkt) for pid, wkt, _ in POLYGON_LAYER]
+    want = {
+        (r["id_a"], r["id_b"], r["rel"])
+        for r in spatial_join_polygons(spark, wkts, wkts, level=3).collect()
+    }
+    layer_df = spark.createDataFrame(wkts, "poly_id string, wkt string")
+    for index, lv in (("geohash", 3), ("s2", 6), ("h3", 5)):
+        got = {
+            (r["id_a"], r["id_b"], r["rel"])
+            for r in spatial_join_polygons_df(
+                layer_df, layer_df, level=lv, index=index
+            ).collect()
+        }
+        assert got == want, index
