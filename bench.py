@@ -147,6 +147,8 @@ def main() -> int:
     rates: dict[str, float] = {}
     rows_out: dict[str, int] = {}
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    import gc
+
     for name in names:
         fn = queries[name]
         # best-of-N: the sandbox VM suffers multi-x hypervisor CPU steal
@@ -160,6 +162,18 @@ def main() -> int:
         times[name] = round(best, 3)
         if input_rows.get(name):
             rates[name] = round(input_rows[name] / best, 1)
+        # cross-query isolation: the kNN/LSH/minhash queries localCheckpoint
+        # intermediate frames; their RDD blocks are only released once the
+        # driver-side references are GC'd and the ContextCleaner runs. Over
+        # a 44-query suite that debt compounds into a measured ~2x slowdown
+        # of mid-suite queries (storage-memory pressure) that standalone
+        # runs don't show. Drop the references and ask both runtimes to
+        # collect so each query is measured against a clean executor heap.
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from spatial4n_spark.similarity import (
     _query_bucket,
     _topk_ranked,
-    bucket_col,
-    centroid_col,
+    arrow_buckets_udf,
+    arrow_centroid_udf,
     hyperplanes,
     ivf_centroids,
     ivf_probe_order,
@@ -51,14 +51,21 @@ def write_emb_index(
 ) -> None:
     """One-pass index build: centroid + per-table buckets, partitioned write.
 
-    All assignment math is JVM-side array expressions over the single
-    scan; the only shuffle is the partitioned write's file routing.
+    All assignment math runs in two vectorized Arrow passes over the
+    single scan (sequential-fold order, bit-identical to the JVM array
+    expressions — see similarity._seq_dots_np); the only shuffle is the
+    partitioned write's file routing.
     """
     centroids = centroids or ivf_centroids(dim=dim)
-    out = emb.withColumn(PARTITION_COL, centroid_col(F.col("embedding"), centroids))
+    tables = [hyperplanes(n_planes, dim, seed=t * 1000) for t in range(n_tables)]
+    cent_udf = arrow_centroid_udf(centroids)
+    bks_udf = arrow_buckets_udf(tables)
+    out = emb.withColumn(PARTITION_COL, cent_udf(F.col("embedding"))).withColumn(
+        "bks", bks_udf(F.col("embedding"))
+    )
     for t in range(n_tables):
-        planes = hyperplanes(n_planes, dim, seed=t * 1000)
-        out = out.withColumn(f"bucket_t{t}", bucket_col(F.col("embedding"), planes))
+        out = out.withColumn(f"bucket_t{t}", F.col("bks")[t])
+    out = out.drop("bks")
     out.write.partitionBy(PARTITION_COL).mode(mode).parquet(path)
 
 

@@ -1,9 +1,13 @@
 """Embedding similarity search operators (training-data pipeline).
 
-The embedding column is ``array<float>``; all math happens JVM-side in
-higher-order array expressions (zip_with/aggregate) after an exact
-float->double cast — no Python UDFs, no shuffle except the final top-k
-window over bounded candidate sets.
+The embedding column is ``array<float>``; scoring math happens JVM-side
+in higher-order array expressions (zip_with/aggregate) after an exact
+float->double cast, while the hot bucket/centroid assignment scans run
+as ONE vectorized Arrow pass (``arrow_buckets_udf`` /
+``arrow_centroid_udf`` — sequential-fold order, bit-identical to the
+array expressions, ~10x the interpreted HOF fold throughput). No
+per-row Python anywhere; no shuffle except the final top-k window over
+bounded candidate sets.
 
 - cosine_topk     brute-force exact top-k vs a constant query vector
                   (the correctness baseline; O(n) scan, map-side)
@@ -23,6 +27,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -123,9 +129,107 @@ def bucket_col(emb_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _seq_dots_np(e, tables: list[list[list[float]]]):
+    """numpy twin of ``_dot`` for a (n, dim) float64 batch: accumulate
+    left-to-right per plane (acc = 0.0 + e0*p0 + e1*p1 + ...) so every
+    per-row double is BIT-IDENTICAL to the JVM fold and to the oracle
+    SQL's mirrored fold. Returns (n, total_planes) dots, tables
+    concatenated in order."""
+    n = e.shape[0]
+    planes = [p for t in tables for p in t]
+    out = np.empty((n, len(planes)), dtype=np.float64)
+    for j, plane in enumerate(planes):
+        acc = np.zeros(n, dtype=np.float64)
+        for i, p in enumerate(plane):
+            acc = acc + e[:, i] * p
+        out[:, j] = acc
+    return out
+
+
+def _stack_emb(s):
+    """pd.Series of float arrays -> (n, dim) float64 (exact upcast)."""
+    if len(s) == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(s.to_numpy()).astype(np.float64)
+
+
+def arrow_buckets_udf(tables: list[list[list[float]]]):
+    """One Arrow pass computing every LSH table's sign bucket — the
+    vectorized twin of ``bucket_col`` (bit-identical by the sequential
+    fold in ``_seq_dots_np``). Interpreted HOF folds cost ~60ns/element;
+    this replaces n_tables*n_planes folds with one numpy matmul-shaped
+    loop. Returns array<long> of len(tables) buckets per row."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    widths = [len(t) for t in tables]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _f(emb: pd.Series) -> pd.Series:
+        e = _stack_emb(emb)
+        if e.shape[0] == 0:
+            return pd.Series([], dtype=object)
+        d = _seq_dots_np(e, tables)
+        cols = []
+        off = 0
+        for w in widths:
+            bits = (d[:, off : off + w] > 0.0).astype(np.int64)
+            cols.append(bits @ (np.int64(1) << np.arange(w, dtype=np.int64)))
+            off += w
+        arr = np.stack(cols, axis=1)
+        return pd.Series(list(arr))
+
+    return _f
+
+
+def arrow_ann_match_udf(qvec: list[float], n_planes: int, n_tables: int):
+    """Vectorized twin of ann_topk's scan filter: true iff the row shares
+    the query's bucket in ANY table (same buckets as ``bucket_col`` by
+    the sequential fold)."""
+    from pyspark.sql.types import BooleanType
+
+    tables = [hyperplanes(n_planes, len(qvec), seed=t * 1000) for t in range(n_tables)]
+    qbs = [_query_bucket(qvec, t) for t in tables]
+
+    @F.pandas_udf(BooleanType())
+    def _f(emb: pd.Series) -> pd.Series:
+        e = _stack_emb(emb)
+        if e.shape[0] == 0:
+            return pd.Series([], dtype=bool)
+        d = _seq_dots_np(e, tables)
+        m = np.zeros(e.shape[0], dtype=bool)
+        off = 0
+        for t, planes in enumerate(tables):
+            w = len(planes)
+            bits = (d[:, off : off + w] > 0.0).astype(np.int64)
+            bk = bits @ (np.int64(1) << np.arange(w, dtype=np.int64))
+            m |= bk == qbs[t]
+            off += w
+        return pd.Series(m)
+
+    return _f
+
+
+def arrow_centroid_udf(centroids: list[list[float]]):
+    """Vectorized twin of ``centroid_col``: argmax-dot with first-index
+    tie-break (np.argmax picks the first maximum — identical to the
+    'first index equal to greatest' CASE chain)."""
+    from pyspark.sql.types import IntegerType
+
+    @F.pandas_udf(IntegerType())
+    def _f(emb: pd.Series) -> pd.Series:
+        e = _stack_emb(emb)
+        if e.shape[0] == 0:
+            return pd.Series([], dtype="int32")
+        d = _seq_dots_np(e, [centroids])
+        return pd.Series(np.argmax(d, axis=1).astype(np.int32))
+
+    return _f
+
+
 def lsh_buckets(emb: DataFrame, planes: list[list[float]] | None = None) -> DataFrame:
     planes = planes or hyperplanes()
-    return emb.select("vec_id", bucket_col(F.col("embedding"), planes).alias("bucket"))
+    udf = arrow_buckets_udf([planes])
+    return emb.select("vec_id", udf(F.col("embedding"))[0].alias("bucket"))
 
 
 def ivf_centroids(n_centroids: int = 16, dim: int = 64) -> list[list[float]]:
@@ -180,7 +284,8 @@ def centroid_col(emb_col: Column, centroids: list[list[float]]) -> Column:
 
 def ivf_assign(emb: DataFrame, centroids: list[list[float]] | None = None) -> DataFrame:
     centroids = centroids or ivf_centroids()
-    return emb.select("vec_id", centroid_col(F.col("embedding"), centroids).alias("centroid_id"))
+    udf = arrow_centroid_udf(centroids)
+    return emb.select("vec_id", udf(F.col("embedding")).alias("centroid_id"))
 
 
 def ivf_probe_order(qvec: list[float], centroids: list[list[float]]) -> list[int]:
@@ -209,10 +314,69 @@ def ivf_topk(
     centroids = centroids or ivf_centroids()
     probe = ivf_probe_order(qvec, centroids)[:nprobe]
 
-    cand = emb.where(
-        centroid_col(F.col("embedding"), centroids).isin([int(j) for j in probe])
-    )
+    udf = arrow_centroid_udf(centroids)
+    cand = emb.where(udf(F.col("embedding")).isin([int(j) for j in probe]))
     return _topk_ranked(with_cosine(cand, qvec), k)
+
+
+_PAIR_SCORE_SCHEMA = "vec_id long, neighbor_id long, cos double"
+
+
+def _bucket_pair_scores(b: DataFrame, bucket_name: str) -> DataFrame:
+    """All intra-bucket pair cosines for ONE LSH table, scored INSIDE the
+    bucket group (``applyInPandas``): each vector crosses the shuffle
+    once (~0.5 KB) instead of once per candidate pair (the previous
+    scoring join shipped BOTH vectors per pair — ~1 KB x |pairs| of
+    shuffle at 19% candidate fraction, the operator's whole cost). The
+    Gram accumulation adds the dim terms in index order, so every cosine
+    is bit-identical to the ``_dot`` fold and the oracle SQL fold; the
+    norm product uses the same per-vector ``nrm`` operand the join path
+    used. Row-block chunking bounds peak memory at O(block x m) per
+    bucket, not O(m^2) — at design scale the plane count is sized so
+    buckets stay task-sized (see write_emb_index's partitioned layout).
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        e = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        out_a, out_b, out_c = [], [], []
+        block = 2048
+        for s in range(0, m, block):
+            eb = e[s : s + block]
+            g = np.zeros((eb.shape[0], m), dtype=np.float64)
+            for d in range(e.shape[1]):
+                g = g + eb[:, d][:, None] * e[:, d][None, :]
+            cos = g / (nrm[s : s + block][:, None] * nrm[None, :])
+            keep = np.ones_like(cos, dtype=bool)
+            rows = np.arange(s, s + eb.shape[0])
+            keep[rows - s, rows] = False  # drop self-pairs
+            bi, bj = np.nonzero(keep)
+            out_a.append(ids[bi + s])
+            out_b.append(ids[bj])
+            out_c.append(cos[bi, bj])
+        return pd.DataFrame(
+            {
+                "vec_id": np.concatenate(out_a),
+                "neighbor_id": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return (
+        b.select("vec_id", "e", "nrm", F.col(bucket_name).alias("bk"))
+        .groupBy("bk")
+        .applyInPandas(score, _PAIR_SCORE_SCHEMA)
+    )
 
 
 def lsh_dup_pairs(
@@ -235,35 +399,36 @@ def lsh_dup_pairs(
     Output: (vec_a, vec_b, cos) with vec_a < vec_b, cos >= threshold,
     restricted to LSH candidates (approximate recall, exact precision).
     """
-    b = emb.select("vec_id", _emb_double(F.col("embedding")).alias("e")).withColumn(
-        "nrm", F.sqrt(_norm2(F.col("e")))
+    tables = [hyperplanes(n_planes, dim, seed=t * 1000) for t in range(n_tables)]
+    bks = arrow_buckets_udf(tables)
+    b = (
+        emb.select("vec_id", _emb_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", F.sqrt(_norm2(F.col("e"))))
+        .withColumn("bks", bks(F.col("e")))
     )
     for t in range(n_tables):
-        planes = hyperplanes(n_planes, dim, seed=t * 1000)
-        b = b.withColumn(f"b{t}", bucket_col(F.col("e"), planes))
+        b = b.withColumn(f"b{t}", F.col("bks")[t])
+    b = b.drop("bks")
     # one pass computes every table's bucket; materialized so the
     # per-table self-joins + scoring joins reuse it instead of
-    # recomputing the HOF folds (at design scale: write_emb_index)
+    # recomputing the folds (at design scale: write_emb_index)
     b = b.localCheckpoint(eager=False)
-    cand = None
+    # score INSIDE each table's buckets (see _bucket_pair_scores); a pair
+    # sharing several buckets gets the SAME bit-exact cosine in each, so
+    # deduping on the pair key after the union is safe
+    scored = None
     for t in range(n_tables):
-        a_side = b.select(F.col("vec_id").alias("vec_a"), F.col(f"b{t}").alias("bk"))
-        b_side = b.select(F.col("vec_id").alias("vec_b"), F.col(f"b{t}").alias("bk"))
-        pairs_t = a_side.join(b_side, "bk").where(F.col("vec_a") < F.col("vec_b")).select(
-            "vec_a", "vec_b"
-        )
-        cand = pairs_t if cand is None else cand.unionAll(pairs_t)
-    cand = cand.distinct()
-    ea = b.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    eb = b.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
-    verified = cand.join(ea, "vec_a").join(eb, "vec_b")
-    # norm precomputed per vector above — value bit-identical to the
-    # per-pair sqrt(norm) recomputation (same fold, same operands)
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        pairs_t = _bucket_pair_scores(b, f"b{t}")
+        scored = pairs_t if scored is None else scored.unionAll(pairs_t)
     return (
-        verified.withColumn("cos", cos)
+        scored.where(F.col("vec_id") < F.col("neighbor_id"))
         .where(F.col("cos") >= F.lit(threshold))
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+        .dropDuplicates(["vec_id", "neighbor_id"])
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            F.round("cos", 4).alias("cos"),
+        )
     )
 
 
@@ -286,41 +451,31 @@ def lsh_knn_pairs(
     """
     # per-vector norm computed ONCE here (bit-identical to per-pair
     # recomputation — same fold, same operands — at 1/3 the HOF work)
-    b = emb.select(
-        "vec_id",
-        _emb_double(F.col("embedding")).alias("e"),
-    ).withColumn("nrm", F.sqrt(_norm2(F.col("e"))))
+    tables = [hyperplanes(n_planes, dim, seed=t * 1000) for t in range(n_tables)]
+    bks = arrow_buckets_udf(tables)
+    b = (
+        emb.select("vec_id", _emb_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", F.sqrt(_norm2(F.col("e"))))
+        .withColumn("bks", bks(F.col("e")))
+    )
     for t in range(n_tables):
-        planes = hyperplanes(n_planes, dim, seed=t * 1000)
-        b = b.withColumn(f"b{t}", bucket_col(F.col("e"), planes))
+        b = b.withColumn(f"b{t}", F.col("bks")[t])
+    b = b.drop("bks")
     # materialize the bucketed frame once: it feeds n_tables self-joins +
     # two scoring joins, and each reference would otherwise recompute the
-    # interpreted HOF bucket folds (at design scale: write_emb_index)
+    # bucket pass (at design scale: write_emb_index)
     b = b.localCheckpoint(eager=False)
-    cand = None
+    # score INSIDE each table's buckets (one vector per shuffle row, not
+    # one per candidate pair); a pair sharing several buckets gets the
+    # SAME bit-exact cosine in each, so the pair-key dedup below is safe
+    scored = None
     for t in range(n_tables):
-        a_side = b.select(F.col("vec_id"), F.col(f"b{t}").alias("bk"))
-        n_side = b.select(F.col("vec_id").alias("neighbor_id"), F.col(f"b{t}").alias("bk"))
-        pairs_t = (
-            a_side.join(n_side, "bk")
-            .where(F.col("vec_id") != F.col("neighbor_id"))
-            .select("vec_id", "neighbor_id")
-        )
-        cand = pairs_t if cand is None else cand.unionAll(pairs_t)
-    cand = cand.distinct()
-    ea = b.select(F.col("vec_id"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
-    eb = b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
-    )
-    scored = cand.join(ea, "vec_id").join(eb, "neighbor_id")
-    # JVM-side fold: measured equal-or-faster than a vectorized Arrow UDF
-    # here — the UDF's numpy win is cancelled by shipping ~1KB of vector
-    # payload per candidate pair through the Arrow boundary
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        pairs_t = _bucket_pair_scores(b, f"b{t}")
+        scored = pairs_t if scored is None else scored.unionAll(pairs_t)
+    scored = scored.dropDuplicates(["vec_id", "neighbor_id"])
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "rank")
     )
@@ -354,10 +509,6 @@ def ann_topk(
     of 10^12 rows; candidate fraction ~= 1-(1-2^-m)^L for random data
     (here m=4, L=8 -> ~19% measured, recall@10 ~0.7).
     """
-    match = F.lit(False)
-    for t in range(n_tables):
-        planes = hyperplanes(n_planes, len(qvec), seed=t * 1000)
-        qb = _query_bucket(qvec, planes)
-        match = match | (bucket_col(F.col("embedding"), planes) == F.lit(qb))
-    cand = emb.where(match)
+    match = arrow_ann_match_udf(qvec, n_planes, n_tables)
+    cand = emb.where(match(F.col("embedding")))
     return _topk_ranked(with_cosine(cand, qvec), k)

@@ -136,6 +136,52 @@ def test_ann_recall_vs_exact(spark, emb):
     assert cosines == sorted(cosines, reverse=True)
 
 
+def test_arrow_kernels_bit_equal_expression_twins(spark, emb):
+    """The vectorized Arrow kernels (one numpy pass, sequential-fold
+    accumulation) must be BIT-identical to the documented JVM array
+    expressions they replaced — same bucket for every table, same
+    centroid argmax (first-max tie-break), same ANN match set — on the
+    full real embeddings table. This is what keeps the DuckDB oracles
+    valid without re-derivation."""
+    tables = [S.hyperplanes(4, 64, seed=t * 1000) for t in range(8)]
+    df = emb.withColumn("bks", S.arrow_buckets_udf(tables)(F.col("embedding")))
+    for t, planes in enumerate(tables):
+        df = df.withColumn(f"x{t}", S.bucket_col(F.col("embedding"), planes))
+    bad = df.where(
+        " OR ".join(f"bks[{t}] != x{t}" for t in range(len(tables)))
+    ).count()
+    assert bad == 0
+
+    # default 16-plane table (lsh_buckets' configuration)
+    p16 = S.hyperplanes()
+    df16 = emb.select(
+        S.arrow_buckets_udf([p16])(F.col("embedding"))[0].alias("a"),
+        S.bucket_col(F.col("embedding"), p16).alias("x"),
+    )
+    assert df16.where("a != x").count() == 0
+
+    # centroid argmax, formula AND fitted centroids (fitted = arbitrary
+    # doubles, exercises tie-break + float paths off the lattice)
+    for cents in (S.ivf_centroids(), S.fit_ivf_centroids(emb, n_centroids=8, iters=3, sample=400)):
+        dc = emb.select(
+            S.arrow_centroid_udf(cents)(F.col("embedding")).alias("a"),
+            S.centroid_col(F.col("embedding"), cents).alias("x"),
+        )
+        assert dc.where("a != x").count() == 0
+
+    # ANN match column == the OR-of-bucket-equality expression
+    q = S.query_vector()
+    match_expr = F.lit(False)
+    for t, planes in enumerate(tables):
+        qb = S._query_bucket(q, planes)
+        match_expr = match_expr | (S.bucket_col(F.col("embedding"), planes) == F.lit(qb))
+    dm = emb.select(
+        S.arrow_ann_match_udf(q, 4, 8)(F.col("embedding")).alias("a"),
+        match_expr.alias("x"),
+    )
+    assert dm.where("a != x").count() == 0
+
+
 def test_lsh_bucket_determinism_and_spread(spark, emb):
     out = S.lsh_buckets(emb).toPandas()
     assert out["bucket"].between(0, 2 ** 16 - 1).all()
