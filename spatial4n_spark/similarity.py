@@ -322,8 +322,14 @@ def ivf_topk(
 _PAIR_SCORE_SCHEMA = "vec_id long, neighbor_id long, cos double"
 
 
-def _bucket_pair_scores(b: DataFrame, bucket_name: str) -> DataFrame:
-    """All intra-bucket pair cosines for ONE LSH table, scored INSIDE the
+def _bucket_pair_scores(
+    b: DataFrame,
+    bucket_name: str,
+    threshold: float | None = None,
+    topk: int | None = None,
+    ordered_only: bool = False,
+) -> DataFrame:
+    """Intra-bucket pair cosines for ONE LSH table, scored INSIDE the
     bucket group (``applyInPandas``): each vector crosses the shuffle
     once (~0.5 KB) instead of once per candidate pair (the previous
     scoring join shipped BOTH vectors per pair — ~1 KB x |pairs| of
@@ -331,9 +337,23 @@ def _bucket_pair_scores(b: DataFrame, bucket_name: str) -> DataFrame:
     Gram accumulation adds the dim terms in index order, so every cosine
     is bit-identical to the ``_dot`` fold and the oracle SQL fold; the
     norm product uses the same per-vector ``nrm`` operand the join path
-    used. Row-block chunking bounds peak memory at O(block x m) per
-    bucket, not O(m^2) — at design scale the plane count is sized so
-    buckets stay task-sized (see write_emb_index's partitioned layout).
+    used. Row-block chunking bounds the cos matrix at O(block x m).
+
+    The downstream filters are pushed INTO the kernel so a bucket's
+    OUTPUT is bounded too, not just its working set:
+
+    - ``threshold``: keep only cos >= threshold (valid: the outer
+      filter is identical).
+    - ``ordered_only``: keep only vec_id < neighbor_id (valid when the
+      caller wants unordered pairs: cos is symmetric — same fold inputs
+      in either orientation of the Gram block).
+    - ``topk``: per vec_id keep its k best neighbors within this bucket
+      under the total order (cos desc, neighbor_id asc) — the SAME
+      order the global window uses, so the global top-k is preserved:
+      any pair in the global top-k of vec v beats all but <= k-1 other
+      candidates globally, hence beats all but <= k-1 within every
+      bucket that contains it, hence survives that bucket's cut.
+      Output <= m x k rows per bucket instead of m^2.
     """
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -360,6 +380,21 @@ def _bucket_pair_scores(b: DataFrame, bucket_name: str) -> DataFrame:
             keep = np.ones_like(cos, dtype=bool)
             rows = np.arange(s, s + eb.shape[0])
             keep[rows - s, rows] = False  # drop self-pairs
+            if ordered_only:
+                keep &= ids[s : s + eb.shape[0], None] < ids[None, :]
+            if threshold is not None:
+                keep &= cos >= threshold
+            if topk is not None and m - 1 > topk:
+                # rank neighbors per row by (cos desc, neighbor_id asc);
+                # argsort the composite order lexicographically
+                order = np.lexsort((ids[None, :].repeat(eb.shape[0], 0), -cos), axis=1)
+                ranked_keep = np.zeros_like(keep)
+                # walk the order, counting only surviving candidates
+                surv = np.take_along_axis(keep, order, axis=1)
+                csum = np.cumsum(surv, axis=1)
+                within = surv & (csum <= topk)
+                np.put_along_axis(ranked_keep, order, within, axis=1)
+                keep = ranked_keep
             bi, bj = np.nonzero(keep)
             out_a.append(ids[bi + s])
             out_b.append(ids[bj])
@@ -413,17 +448,17 @@ def lsh_dup_pairs(
     # per-table self-joins + scoring joins reuse it instead of
     # recomputing the folds (at design scale: write_emb_index)
     b = b.localCheckpoint(eager=False)
-    # score INSIDE each table's buckets (see _bucket_pair_scores); a pair
-    # sharing several buckets gets the SAME bit-exact cosine in each, so
+    # score INSIDE each table's buckets with the threshold and the
+    # a<b orientation pushed into the kernel (see _bucket_pair_scores),
+    # so each bucket emits only final-result rows; a pair sharing
+    # several buckets gets the SAME bit-exact cosine in each, so
     # deduping on the pair key after the union is safe
     scored = None
     for t in range(n_tables):
-        pairs_t = _bucket_pair_scores(b, f"b{t}")
+        pairs_t = _bucket_pair_scores(b, f"b{t}", threshold=threshold, ordered_only=True)
         scored = pairs_t if scored is None else scored.unionAll(pairs_t)
     return (
-        scored.where(F.col("vec_id") < F.col("neighbor_id"))
-        .where(F.col("cos") >= F.lit(threshold))
-        .dropDuplicates(["vec_id", "neighbor_id"])
+        scored.dropDuplicates(["vec_id", "neighbor_id"])
         .select(
             F.col("vec_id").alias("vec_a"),
             F.col("neighbor_id").alias("vec_b"),
@@ -466,11 +501,14 @@ def lsh_knn_pairs(
     # bucket pass (at design scale: write_emb_index)
     b = b.localCheckpoint(eager=False)
     # score INSIDE each table's buckets (one vector per shuffle row, not
-    # one per candidate pair); a pair sharing several buckets gets the
-    # SAME bit-exact cosine in each, so the pair-key dedup below is safe
+    # one per candidate pair) with the per-vector top-k pushed into the
+    # kernel — each bucket emits <= m*k rows, and the global top-k is
+    # preserved because the kernel cuts under the SAME total order the
+    # window below uses; a pair sharing several buckets gets the SAME
+    # bit-exact cosine in each, so the pair-key dedup below is safe
     scored = None
     for t in range(n_tables):
-        pairs_t = _bucket_pair_scores(b, f"b{t}")
+        pairs_t = _bucket_pair_scores(b, f"b{t}", topk=k)
         scored = pairs_t if scored is None else scored.unionAll(pairs_t)
     scored = scored.dropDuplicates(["vec_id", "neighbor_id"])
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())

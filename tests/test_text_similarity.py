@@ -182,6 +182,68 @@ def test_arrow_kernels_bit_equal_expression_twins(spark, emb):
     assert dm.where("a != x").count() == 0
 
 
+def test_bucket_pair_scores_pushdown_equals_post_filter(spark, emb):
+    """The in-kernel filters (threshold / a<b orientation / per-vector
+    top-k under (cos desc, neighbor_id asc)) must select EXACTLY the
+    rows a post-filter of the unfiltered kernel output selects — the
+    pushdown may only bound each bucket's output, never change it."""
+    planes = S.hyperplanes(4, 64, seed=0)
+    b = (
+        emb.select("vec_id", S._emb_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", F.sqrt(S._norm2(F.col("e"))))
+        .withColumn("b0", S.arrow_buckets_udf([planes])(F.col("e"))[0])
+    )
+    full = S._bucket_pair_scores(b, "b0").toPandas()
+
+    # threshold + orientation (threshold = the data's median cos, so the
+    # filter provably keeps some rows and drops some rows)
+    thr = float(full["cos"].median())
+    got = S._bucket_pair_scores(b, "b0", threshold=thr, ordered_only=True).toPandas()
+    want = full[(full["cos"] >= thr) & (full["vec_id"] < full["neighbor_id"])]
+    key = lambda d: sorted(map(tuple, d[["vec_id", "neighbor_id", "cos"]].to_numpy()))
+    assert key(got) == key(want)
+    assert len(want) > 0  # non-vacuous
+
+    # per-vector top-k: same total order as the global window
+    k = 3
+    got_k = S._bucket_pair_scores(b, "b0", topk=k).toPandas()
+    want_k = (
+        full.sort_values(["vec_id", "cos", "neighbor_id"], ascending=[True, False, True])
+        .groupby("vec_id")
+        .head(k)
+    )
+    assert key(got_k) == key(want_k)
+    assert len(want_k) < len(full)  # the cut actually removed rows
+
+    # end-to-end: lsh_knn_pairs WITH the in-kernel top-k cut must equal
+    # the same pipeline recomputed WITHOUT it (full bucket scores ->
+    # pair dedup -> global top-k in pandas)
+    tables = [S.hyperplanes(4, 64, seed=t * 1000) for t in range(8)]
+    ball = (
+        emb.select("vec_id", S._emb_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", F.sqrt(S._norm2(F.col("e"))))
+        .withColumn("bks", S.arrow_buckets_udf(tables)(F.col("e")))
+    )
+    for t in range(8):
+        ball = ball.withColumn(f"b{t}", F.col("bks")[t])
+    ball = ball.drop("bks")
+    import pandas as pd
+
+    full_all = pd.concat(
+        [S._bucket_pair_scores(ball, f"b{t}").toPandas() for t in range(8)]
+    ).drop_duplicates(["vec_id", "neighbor_id"])
+    want_knn = (
+        full_all.sort_values(["vec_id", "cos", "neighbor_id"], ascending=[True, False, True])
+        .groupby("vec_id")
+        .head(5)
+    )
+    want_knn["rank"] = want_knn.groupby("vec_id").cumcount() + 1
+    got_knn = S.lsh_knn_pairs(emb, k=5).toPandas()
+    kk = lambda d: sorted(map(tuple, d[["vec_id", "neighbor_id", "rank"]].to_numpy()))
+    assert kk(got_knn) == kk(want_knn)
+    assert len(got_knn) > 0
+
+
 def test_lsh_bucket_determinism_and_spread(spark, emb):
     out = S.lsh_buckets(emb).toPandas()
     assert out["bucket"].between(0, 2 ** 16 - 1).all()
