@@ -78,6 +78,8 @@ def main() -> int:
         "radius_join_s2": n_orders,
         "s2_cell_assign": n_orders,
         "s2_tile_stats": n_lineitem,
+        "radius_join_clustered": n_orders,
+        "pip_join_clustered": n_orders,
     }
 
     queries = dict(E.queries())
@@ -118,6 +120,10 @@ def main() -> int:
         # third cell-index backend (hex grid, int64 cells)
         "h3_cell_assign", "h3_tile_stats", "pip_join_h3", "radius_join_h3",
         "image_h3_tiles",
+        # Hilbert-range-clustered storage probes (manifest file pruning
+        # + pushed row-group ranges; the one-time clustered write caches
+        # under /tmp like the ANN index build)
+        "radius_join_clustered", "pip_join_clustered",
     ]
     names = [n for n in (only or default_names) if n in queries]
 

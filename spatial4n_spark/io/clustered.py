@@ -1,0 +1,298 @@
+"""Hilbert-range-clustered table layout — file-level spatial pruning
+via an Iceberg-style stats manifest.
+
+The third storage layout, completing the scan-pruning ladder:
+
+- ``io.tables.write_tiled``  — directory partitions (PartitionFilters).
+  Coarse: at 10^12 rows a useful cell level explodes into millions of
+  tiny partition directories (the small-files problem).
+- ``io.tables.write_bucketed`` — hash buckets (shuffle-free joins).
+  Removes the join Exchange but prunes nothing: a hash bucket mixes
+  the whole world.
+- ``write_clustered`` (this module) — rows SORTED by their fine S2
+  Hilbert cell id before the write, plus a per-file min/max stats
+  manifest read at planning time.  The Hilbert curve is the point: it
+  maps 2-D locality to 1-D id locality, so any spatial cover becomes a
+  handful of CONTIGUOUS int64 id ranges (prefix property: a level-lv
+  cell's level-L descendants are exactly ``[id << 2(L-lv),
+  (id+1) << 2(L-lv))``).  Pruning then happens twice, from one sort:
+
+  1. **file level** — the manifest (the Iceberg manifest-file analog:
+     per-data-file column bounds) is intersected with the query ranges
+     on the driver; files whose [min,max] misses every range are never
+     listed in the scan.  This is what Iceberg calls scan planning with
+     column stats, reproduced on plain parquet.
+  2. **row-group level** — the residual ``cell BETWEEN lo AND hi``
+     disjunction is pushed to the parquet reader (PushedFilters), so
+     kept files still skip row groups outside the ranges — for free,
+     because the sort made row-group min/max tight.
+
+Range widening (``max_ranges`` coalescing) only ever ADDS candidate
+ids; every consumer applies the exact geometric predicate afterwards,
+so pruning can be arbitrarily coarse without affecting results.
+
+Reference parity note: the reference has no storage layer — this is
+engine-side design the north rule asks for (Iceberg tables, partition/
+shuffle/skew handled explicitly); the geometry refined against is the
+same Spatial4n kernel semantics as every other path
+(SpatialRelation.cs, ShapeCollection.cs).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spatial4n_spark.cellindex import cell_backend
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.kernels.distance import km_to_deg
+from spatial4n_spark.kernels.polygon import Circle
+
+CELL_COL = "cell_r"
+MANIFEST = "_cluster_manifest.json"
+
+
+# ---------------------------------------------------------------------------
+# write path
+# ---------------------------------------------------------------------------
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    level: int = 14,
+    lon: str = "lon",
+    lat: str = "lat",
+    files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` range-clustered by its level-``level`` S2 cell id.
+
+    ``repartitionByRange`` gives each output file a disjoint id range
+    (range partitioner on the sort key), ``sortWithinPartitions`` makes
+    every parquet row group's min/max tight inside the file, and the
+    manifest records the per-file bounds for driver-side pruning.
+    ``files`` plays the role executor count * target file size plays at
+    design scale; the layout is identical either way.
+    """
+    be = cell_backend("s2")  # int64 Hilbert ids with the prefix property
+    out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+    (
+        out.repartitionByRange(files, F.col(CELL_COL))
+        .sortWithinPartitions(CELL_COL)
+        .write.mode(mode)
+        .parquet(path)
+    )
+    _write_manifest(path, level)
+
+
+def _write_manifest(path: str, level: int) -> None:
+    """Per-file [min,max] of the cell column from the parquet footers —
+    the Iceberg manifest analog, built once at write time."""
+    import pyarrow.parquet as pq
+
+    entries = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[CELL_COL]
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:  # empty file part
+                continue
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            continue  # file with no rows carries no bounds and never matches
+        entries.append(
+            {"file": name, "min": int(lo), "max": int(hi), "rows": md.num_rows}
+        )
+    man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(man, f)
+
+
+def load_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# cover -> id ranges
+# ---------------------------------------------------------------------------
+
+
+def cover_ranges(
+    shape,
+    cluster_level: int,
+    cover_level: int | None = None,
+    max_cells: int = 4096,
+    max_ranges: int = 64,
+) -> list[tuple[int, int]]:
+    """The shape's S2 cover as coalesced id ranges at ``cluster_level``.
+
+    A uniform-level cover (full + boundary cells alike — both are
+    candidates) maps through the prefix property to one range per cell;
+    Hilbert locality makes most of them adjacent, so coalescing
+    typically collapses thousands of cells into a few dozen runs. If
+    more than ``max_ranges`` runs survive, the SMALLEST inter-run gaps
+    are swallowed first — widening (extra candidate ids), never
+    narrowing, so exact refinement downstream is unaffected.
+    """
+    lv = cover_level if cover_level is not None else _auto_cover_level(shape, cluster_level)
+    lv = max(0, min(int(lv), cluster_level))
+    be = cell_backend("s2")
+    while True:
+        try:
+            fulls, bounds = be.cover(shape, lv, geo=True, max_cells=max_cells)
+            break
+        except Exception:
+            # the auto level over-resolved an elongated shape (e.g. a
+            # thin full-longitude band) — coarsen until the cover fits;
+            # coarser only widens candidates, never drops them
+            if lv == 0:
+                raise
+            lv -= 1
+    cells = sorted({int(c) for c in list(fulls) + list(bounds)})
+    if not cells:
+        return []
+    shift = 2 * (cluster_level - lv)
+    merged: list[list[int]] = []
+    for c in cells:
+        lo, hi = c << shift, ((c + 1) << shift) - 1
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        # swallow the smallest gap between consecutive runs
+        gi = min(
+            range(len(merged) - 1),
+            key=lambda i: merged[i + 1][0] - merged[i][1],
+        )
+        merged[gi][1] = merged[gi + 1][1]
+        del merged[gi + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def _auto_cover_level(shape, cluster_level: int) -> int:
+    """Cover level sized so ~4 cells span the shape's bbox — fine enough
+    to prune, coarse enough that the cover stays tiny."""
+    try:
+        from spatial4n_spark.kernels.polygon import shape_bbox
+
+        b = shape_bbox(shape, geo=True)
+        lon_extent = (b.max_x - b.min_x) % 360.0 if b.crosses_dateline else b.max_x - b.min_x
+        lat_extent = b.max_y - b.min_y
+        # near a pole the lon extent degenerates to 360 while the shape
+        # stays compact — size by the lat extent there (the cover retry
+        # loop coarsens if this over-resolves an elongated band)
+        extent = lat_extent if lon_extent >= 180.0 else max(lon_extent, lat_extent)
+    except Exception:
+        extent = 360.0
+    extent = max(float(extent), 1e-9)
+    lv = int(math.ceil(math.log2(90.0 * 4.0 / extent))) if extent < 360.0 else 0
+    return max(0, min(lv, cluster_level, 12))
+
+
+# ---------------------------------------------------------------------------
+# read path
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PruneStats:
+    files_total: int
+    files_kept: int
+    rows_total: int
+    rows_kept_files: int
+    n_ranges: int
+
+
+def read_pruned(
+    spark: SparkSession, path: str, ranges: list[tuple[int, int]]
+) -> tuple[DataFrame, PruneStats]:
+    """Manifest-pruned scan: only files whose [min,max] intersects a
+    query range are listed; the range disjunction is then applied as a
+    pushed-down filter so kept files skip row groups too."""
+    man = load_manifest(path)
+    files = man["files"]
+    keep = [
+        e
+        for e in files
+        if any(not (hi < e["min"] or lo > e["max"]) for lo, hi in ranges)
+    ]
+    stats = PruneStats(
+        files_total=len(files),
+        files_kept=len(keep),
+        rows_total=sum(e["rows"] for e in files),
+        rows_kept_files=sum(e["rows"] for e in keep),
+        n_ranges=len(ranges),
+    )
+    if not keep or not ranges:
+        empty = spark.createDataFrame([], spark.read.parquet(path).schema)
+        return empty, stats
+    df = spark.read.parquet(*[os.path.join(path, e["file"]) for e in keep])
+    cond = None
+    for lo, hi in ranges:
+        c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return df.where(cond), stats
+
+
+def clustered_radius_query(
+    spark: SparkSession,
+    path: str,
+    qlon: float,
+    qlat: float,
+    radius_km: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    with_stats: bool = False,
+):
+    """Radius query over a clustered table: manifest file pruning +
+    pushed row-group ranges, then the SAME exact haversine predicate as
+    the unclustered radius join — the layout changes what is read,
+    never what is returned."""
+    man = load_manifest(path)
+    circle = Circle(float(qlon), float(qlat), float(km_to_deg(radius_km)), geo=True)
+    ranges = cover_ranges(circle, man["level"])
+    df, stats = read_pruned(spark, path, ranges)
+    out = df.where(
+        haversine_km(F.col(lon), F.col(lat), F.lit(float(qlon)), F.lit(float(qlat)))
+        <= F.lit(float(radius_km))
+    ).drop(CELL_COL)
+    return (out, stats) if with_stats else out
+
+
+def clustered_candidates(
+    spark: SparkSession,
+    path: str,
+    shapes: list,
+    with_stats: bool = False,
+):
+    """Manifest-pruned candidate scan for a set of shapes (e.g. a polygon
+    layer): one union-of-covers range set, one pruned scan. Callers run
+    their exact join/refine on the result; pruning is conservative by
+    construction."""
+    man = load_manifest(path)
+    all_ranges: list[tuple[int, int]] = []
+    for s in shapes:
+        all_ranges.extend(cover_ranges(s, man["level"]))
+    all_ranges.sort()
+    merged: list[list[int]] = []
+    for lo, hi in all_ranges:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    ranges = [(lo, hi) for lo, hi in merged]
+    df, stats = read_pruned(spark, path, ranges)
+    out = df.drop(CELL_COL)
+    return (out, stats) if with_stats else out

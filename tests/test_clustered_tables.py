@@ -1,0 +1,148 @@
+"""Hilbert-range-clustered storage (io/clustered.py): manifest file
+pruning + pushed row-group ranges must change what is READ, never what
+is RETURNED."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.io import clustered as C
+from spatial4n_spark.kernels.polygon import Circle, Rect
+from spatial4n_spark.kernels.s2cell import s2_encode, s2_parent
+from spatial4n_spark.operators.spatial_join import spatial_join_points_polygons
+from spatial4n_spark.suite import RADIUS_CENTERS, layer, pts_orders
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("clustered"))
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=14, files=16)
+    return path, pts
+
+
+def test_manifest_bounds_match_files(spark, clustered):
+    path, _ = clustered
+    man = C.load_manifest(path)
+    assert man["level"] == 14 and man["cell_col"] == C.CELL_COL
+    assert len(man["files"]) > 1  # multiple files or there is nothing to prune
+    for e in man["files"]:
+        got = (
+            spark.read.parquet(os.path.join(path, e["file"]))
+            .agg(
+                F.min(C.CELL_COL).alias("lo"),
+                F.max(C.CELL_COL).alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .collect()[0]
+        )
+        assert (got["lo"], got["hi"], got["n"]) == (e["min"], e["max"], e["rows"])
+    # range clustering: file id ranges are disjoint (repartitionByRange)
+    spans = sorted((e["min"], e["max"]) for e in man["files"])
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_clustered_radius_bit_equals_brute_and_prunes(spark, clustered):
+    path, pts = clustered
+    pruned_somewhere = False
+    for qid, qlon, qlat, r in RADIUS_CENTERS:
+        out, st = C.clustered_radius_query(spark, path, qlon, qlat, r, with_stats=True)
+        got = sorted(row[0] for row in out.select("o_orderkey").collect())
+        want = sorted(
+            row[0]
+            for row in pts.where(
+                haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
+                <= F.lit(r)
+            )
+            .select("o_orderkey")
+            .collect()
+        )
+        assert got == want, qid
+        assert st.files_kept <= st.files_total
+        pruned_somewhere = pruned_somewhere or st.files_kept < st.files_total
+        assert C.CELL_COL not in out.columns
+    assert pruned_somewhere  # at least the city-scale circles must prune
+
+
+def test_pip_join_over_pruned_candidates_bit_equal(spark, clustered):
+    path, pts = clustered
+    shapes = [s for _, s in layer()]
+    cand, st = C.clustered_candidates(spark, path, shapes, with_stats=True)
+    full = sorted(
+        map(
+            tuple,
+            spatial_join_points_polygons(pts, layer(), level=3, index="s2")
+            .select("o_orderkey", "poly_id")
+            .collect(),
+        )
+    )
+    via = sorted(
+        map(
+            tuple,
+            spatial_join_points_polygons(cand, layer(), level=3, index="s2")
+            .select("o_orderkey", "poly_id")
+            .collect(),
+        )
+    )
+    assert via == full and len(full) > 0
+    assert st.files_kept <= st.files_total and st.rows_kept_files <= st.rows_total
+
+
+def test_cover_ranges_sound_and_exact_without_coalescing():
+    """Soundness: every point of the shape has its fine cell inside the
+    ranges. Exactness (max_ranges=inf): fine-cell membership in ranges
+    == ancestor membership in the cover cell set."""
+    L = 14
+    circle = Circle(2.3125, 48.875, 2.0, geo=True)
+    ranges = C.cover_ranges(circle, L, max_ranges=10**9)
+    lv = C._auto_cover_level(circle, L)
+    from spatial4n_spark.cellindex import cell_backend
+
+    fulls, bounds = cell_backend("s2").cover(circle, lv, geo=True)
+    cells = {int(c) for c in list(fulls) + list(bounds)}
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(48.875 - 2.5, 48.875 + 2.5, 4000)
+    lon = rng.uniform(2.3125 - 3.5, 2.3125 + 3.5, 4000)
+    fine = s2_encode(lat, lon, L)
+    anc = s2_parent(fine, L - lv)
+    lo = np.array([a for a, _ in ranges])
+    hi = np.array([b for _, b in ranges])
+    in_ranges = ((fine[:, None] >= lo[None, :]) & (fine[:, None] <= hi[None, :])).any(1)
+    in_cover = np.isin(anc, np.fromiter(cells, dtype=np.int64))
+    assert (in_ranges == in_cover).all()
+    # soundness on points INSIDE the circle specifically
+    inside = (lon - 2.3125) ** 2 + (lat - 48.875) ** 2 <= 2.0**2
+    assert in_ranges[inside].all()
+
+
+def test_cover_ranges_coalescing_only_widens():
+    L = 14
+    rect = Rect(-30.0, 40.0, -20.0, 35.0)
+    exact = C.cover_ranges(rect, L, max_ranges=10**9)
+    capped = C.cover_ranges(rect, L, max_ranges=4)
+    assert len(capped) <= 4 <= len(exact)
+    # every exact range is contained in some capped range
+    for lo, hi in exact:
+        assert any(clo <= lo and hi <= chi for clo, chi in capped)
+
+
+def test_range_filter_pushed_to_parquet(spark, clustered):
+    path, _ = clustered
+    out = C.clustered_radius_query(spark, path, 2.3125, 48.875, 150.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    # the range disjunction on the cluster column reaches the scan
+    assert C.CELL_COL in plan.split("PushedFilters")[1][:2000]
+
+
+def test_no_matching_files_returns_empty_with_schema(spark, clustered):
+    path, pts = clustered
+    df, st = C.read_pruned(spark, path, [(2**62, 2**62 + 1)])
+    assert df.count() == 0 and st.files_kept == 0
+    assert set(df.columns) == set(pts.columns) | {C.CELL_COL}
+    df2, st2 = C.read_pruned(spark, path, [])
+    assert df2.count() == 0 and st2.n_ranges == 0
