@@ -81,6 +81,19 @@ COMMENTS = {
         "tile_stats — partial HashAggregate on (cell, salt), exchange, final "
         "HashAggregate on cell — with a bigint group key."
     ),
+    "radius_join_clustered": (
+        "Radius query over the Hilbert-range-clustered layout (io/clustered.py). "
+        "Wanted shape: a parquet scan listing ONLY manifest-surviving files, with "
+        "the cell-range BETWEEN disjunction in PushedFilters (row-group skipping "
+        "inside kept files) and the exact haversine as native codegen on top. No "
+        "joins, no shuffles — the pruning happened at plan time."
+    ),
+    "pip_join_clustered": (
+        "PIP join over the pruned clustered scan: same ONE BroadcastHashJoin as "
+        "pip_join, but the fact-side scan starts from manifest-surviving files "
+        "with pushed cell ranges — storage pruning composes with the join plan "
+        "unchanged."
+    ),
 }
 
 
@@ -112,6 +125,8 @@ def main() -> int:
         "pip_join_s2": suite.q_pip_join_s2,
         "pip_join_h3": suite.q_pip_join_h3,
         "h3_tile_stats": suite.q_h3_tile_stats,
+        "radius_join_clustered": suite.q_radius_join_clustered,
+        "pip_join_clustered": suite.q_pip_join_clustered,
     }
 
     out = [
