@@ -97,6 +97,36 @@ def main() -> int:
         {"level": args.level, "salt_buckets": 8},
     )
 
+    # clustered storage layout of the image locations (sort-by-S2-id +
+    # Iceberg-style stats manifest, io/clustered.py) — the layout later
+    # queries scan-prune against; rebuilt only when the images change
+    from spatial4n_spark.io.clustered import (
+        MANIFEST,
+        clustered_radius_query,
+        write_clustered,
+    )
+
+    clu_dir = os.path.join(args.ckpt, "clustered_images")
+    fp_clu = fingerprint("clustered", fp_images, 14, args.partitions)
+    clu_marker = os.path.join(clu_dir, "_FP")
+    clu_ok = os.path.exists(os.path.join(clu_dir, MANIFEST))
+    if clu_ok:
+        try:
+            with open(clu_marker) as f:
+                clu_ok = f.read() == fp_clu
+        except OSError:
+            clu_ok = False
+    if not clu_ok:
+        write_clustered(
+            images.select("image_id", "lon", "lat"),
+            clu_dir,
+            level=14,
+            files=args.partitions,
+        )
+        with open(clu_marker, "w") as f:
+            f.write(fp_clu)
+    radius_hits = clustered_radius_query(spark, clu_dir, 2.3125, 48.875, 150.0).count()
+
     gate_fail = decode.where(
         (F.col("psnr_db") < 40.0) | ~F.col("caption_ok")
     ).count()
@@ -107,6 +137,7 @@ def main() -> int:
         "mosaic_cells": tiles.count(),
         "pip_matches": pip.count(),
         "stat_cells": stats.count(),
+        "clustered_radius_hits": radius_hits,
         "lineage_rows": metrics.count(),
         "stages_committed": sorted(os.listdir(args.ckpt)),
     }))
