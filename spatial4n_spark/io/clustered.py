@@ -123,6 +123,71 @@ def load_manifest(path: str) -> dict:
         return json.load(f)
 
 
+def append_clustered(
+    df: DataFrame,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    files: int = 4,
+) -> None:
+    """Append a batch (e.g. one streaming micro-batch) to a clustered
+    table WITHOUT rewriting it — the Iceberg append analog.
+
+    The new rows are sorted among themselves and land in fresh files;
+    the manifest is rebuilt from all footers, so every per-file bound
+    stays TRUE and queries stay exactly correct immediately. What
+    degrades is locality: each appended file spans its batch's own id
+    range, so over many appends a query range intersects more files
+    (files_kept creeps up). ``compact_clustered`` restores the
+    one-sorted-run layout; this split — cheap true-stats appends, a
+    periodic rewrite for locality — is exactly how log-structured
+    table formats behave at design scale.
+    """
+    man = load_manifest(path)
+    level = int(man["level"])
+    be = cell_backend("s2")
+    out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+    (
+        out.repartitionByRange(files, F.col(CELL_COL))
+        .sortWithinPartitions(CELL_COL)
+        .write.mode("append")
+        .parquet(path)
+    )
+    _write_manifest(path, level)
+
+
+def compact_clustered(
+    spark: SparkSession,
+    path: str,
+    files: int = 16,
+) -> None:
+    """Rewrite the table as one globally range-clustered run (the
+    Iceberg rewrite-data-files / sort-compaction analog): reads the
+    current files, re-sorts by the existing cell column (no re-encode),
+    writes to a fresh directory, then atomically swaps it in. Run this
+    after enough appends that the manifest shows overlapping file
+    ranges; queries before/after return identical rows."""
+    import shutil
+    import tempfile
+
+    man = load_manifest(path)
+    level = int(man["level"])
+    cur = spark.read.parquet(path)
+    tmp = tempfile.mkdtemp(prefix="_compact_", dir=os.path.dirname(path.rstrip("/")))
+    (
+        cur.repartitionByRange(files, F.col(CELL_COL))
+        .sortWithinPartitions(CELL_COL)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    _write_manifest(tmp, level)
+    old = path.rstrip("/") + "_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path.rstrip("/"), old)
+    os.rename(tmp, path.rstrip("/"))
+    shutil.rmtree(old, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # cover -> id ranges
 # ---------------------------------------------------------------------------

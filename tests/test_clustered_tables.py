@@ -139,6 +139,116 @@ def test_range_filter_pushed_to_parquet(spark, clustered):
     assert C.CELL_COL in plan.split("PushedFilters")[1][:2000]
 
 
+def test_append_keeps_exactness_compaction_restores_locality(
+    spark, sf_dir, tmp_path
+):
+    """Appends must keep every query bit-correct immediately (per-file
+    stats stay true); what they cost is locality (more files kept per
+    query), which compaction restores."""
+    path = str(tmp_path / "clu")
+    pts = pts_orders(spark, sf_dir)
+    base = pts.where(F.col("o_orderkey") % 4 == 0)
+    C.write_clustered(base, path, level=14, files=8)
+
+    # three out-of-order appended batches (worst case for locality:
+    # each batch spans the whole world)
+    for m in (1, 2, 3):
+        C.append_clustered(pts.where(F.col("o_orderkey") % 4 == m), path, files=2)
+
+    qlon, qlat, r = 2.3125, 48.875, 150.0
+    want = sorted(
+        row[0]
+        for row in pts.where(
+            haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
+            <= F.lit(r)
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    out_a, st_a = C.clustered_radius_query(spark, path, qlon, qlat, r, with_stats=True)
+    got_a = sorted(row[0] for row in out_a.select("o_orderkey").collect())
+    assert got_a == want  # correct right after appends
+    man_a = C.load_manifest(path)
+    assert sum(e["rows"] for e in man_a["files"]) == pts.count()
+
+    C.compact_clustered(spark, path, files=8)
+    out_c, st_c = C.clustered_radius_query(spark, path, qlon, qlat, r, with_stats=True)
+    got_c = sorted(row[0] for row in out_c.select("o_orderkey").collect())
+    assert got_c == want  # compaction changes layout, never results
+    man_c = C.load_manifest(path)
+    assert sum(e["rows"] for e in man_c["files"]) == pts.count()
+    # locality restored: the compacted run keeps no more files than the
+    # appended layout did, and its file ranges are disjoint again
+    assert st_c.files_kept <= st_a.files_kept
+    spans = sorted((e["min"], e["max"]) for e in man_c["files"])
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    # the appended layout genuinely overlapped (the thing compaction fixes)
+    spans_a = sorted((e["min"], e["max"]) for e in man_a["files"])
+    assert any(spans_a[i][1] >= spans_a[i + 1][0] for i in range(len(spans_a) - 1))
+
+
+def test_stream_ingest_into_clustered_equals_batch(spark, sf_dir, tmp_path):
+    """foreachBatch ingest (streaming/clustered_sink.py): after the
+    availableNow run over multiple micro-batches, the clustered table
+    holds exactly the input rows and answers radius queries identically
+    to a batch filter; a second run of the same stream (fresh streaming
+    checkpoint, same table) is deduped by the batch ledger."""
+    from spatial4n_spark.streaming.clustered_sink import stream_to_clustered
+
+    pts = pts_orders(spark, sf_dir)
+    src = str(tmp_path / "src")
+    # several input files -> several micro-batches via maxFilesPerTrigger
+    pts.repartition(3).write.parquet(src)
+
+    table = str(tmp_path / "table")
+    C.write_clustered(pts.limit(0), table, level=14, files=1)
+
+    stream = (
+        spark.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_to_clustered(stream, table, str(tmp_path / "ckpt1"), files_per_batch=2)
+    q.awaitTermination(300)
+
+    man = C.load_manifest(table)
+    assert sum(e["rows"] for e in man["files"]) == pts.count()
+    qlon, qlat, r = 2.3125, 48.875, 150.0
+    want = sorted(
+        row[0]
+        for row in pts.where(
+            haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
+            <= F.lit(r)
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    got = sorted(
+        row[0]
+        for row in C.clustered_radius_query(spark, table, qlon, qlat, r)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want
+
+    # replayed batches (same ids, fresh checkpoint) must not duplicate
+    stream2 = (
+        spark.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = stream_to_clustered(stream2, table, str(tmp_path / "ckpt2"), files_per_batch=2)
+    q2.awaitTermination(300)
+    man2 = C.load_manifest(table)
+    assert sum(e["rows"] for e in man2["files"]) == pts.count()
+
+    # compaction of the ingested table keeps the same rows
+    C.compact_clustered(spark, table, files=4)
+    got_c = sorted(
+        row[0]
+        for row in C.clustered_radius_query(spark, table, qlon, qlat, r)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got_c == want
+
+
 def test_no_matching_files_returns_empty_with_schema(spark, clustered):
     path, pts = clustered
     df, st = C.read_pruned(spark, path, [(2**62, 2**62 + 1)])
