@@ -99,32 +99,24 @@ def main() -> int:
 
     # clustered storage layout of the image locations (sort-by-S2-id +
     # Iceberg-style stats manifest, io/clustered.py) — the layout later
-    # queries scan-prune against; rebuilt only when the images change
+    # queries scan-prune against; rebuilt only when the images change.
+    # Lives BESIDE the snapshot store (its root holds only
+    # <stage>/snap_<fp> dirs), gated by the shared build-once cache.
+    from spatial4n_spark.io.buildonce import ensure_built
     from spatial4n_spark.io.clustered import (
         MANIFEST,
         clustered_radius_query,
         write_clustered,
     )
 
-    clu_dir = os.path.join(args.ckpt, "clustered_images")
-    fp_clu = fingerprint("clustered", fp_images, 14, args.partitions)
-    clu_marker = os.path.join(clu_dir, "_FP")
-    clu_ok = os.path.exists(os.path.join(clu_dir, MANIFEST))
-    if clu_ok:
-        try:
-            with open(clu_marker) as f:
-                clu_ok = f.read() == fp_clu
-        except OSError:
-            clu_ok = False
-    if not clu_ok:
-        write_clustered(
-            images.select("image_id", "lon", "lat"),
-            clu_dir,
-            level=14,
-            files=args.partitions,
-        )
-        with open(clu_marker, "w") as f:
-            f.write(fp_clu)
+    clu_dir = ensure_built(
+        args.ckpt.rstrip("/") + "_clustered_images",
+        fingerprint("clustered", fp_images, 14, args.partitions),
+        lambda p: write_clustered(
+            images.select("image_id", "lon", "lat"), p, level=14, files=args.partitions
+        ),
+        ready_file=MANIFEST,
+    )
     radius_hits = clustered_radius_query(spark, clu_dir, 2.3125, 48.875, 150.0).count()
 
     gate_fail = decode.where(

@@ -90,15 +90,17 @@ def write_clustered(
     _write_manifest(path, level)
 
 
-def _write_manifest(path: str, level: int) -> None:
+def _data_files(path: str) -> list[str]:
+    return sorted(n for n in os.listdir(path) if n.endswith(".parquet"))
+
+
+def _file_stats(path: str, names: list[str]) -> list[dict]:
     """Per-file [min,max] of the cell column from the parquet footers —
-    the Iceberg manifest analog, built once at write time."""
+    the Iceberg manifest-entry analog."""
     import pyarrow.parquet as pq
 
     entries = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
+    for name in sorted(names):
         md = pq.ParquetFile(os.path.join(path, name)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[CELL_COL]
         lo = hi = None
@@ -113,6 +115,16 @@ def _write_manifest(path: str, level: int) -> None:
         entries.append(
             {"file": name, "min": int(lo), "max": int(hi), "rows": md.num_rows}
         )
+    return entries
+
+
+def _write_manifest(path: str, level: int, entries: list[dict] | None = None) -> None:
+    """Commit the manifest. The manifest is the table's source of truth:
+    readers (and compaction) touch ONLY files it lists, so a data file
+    not yet (or no longer) in the manifest is an invisible orphan, never
+    a correctness hazard."""
+    if entries is None:
+        entries = _file_stats(path, _data_files(path))
     man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(man, f)
@@ -134,17 +146,21 @@ def append_clustered(
     table WITHOUT rewriting it — the Iceberg append analog.
 
     The new rows are sorted among themselves and land in fresh files;
-    the manifest is rebuilt from all footers, so every per-file bound
-    stays TRUE and queries stay exactly correct immediately. What
-    degrades is locality: each appended file spans its batch's own id
-    range, so over many appends a query range intersects more files
-    (files_kept creeps up). ``compact_clustered`` restores the
-    one-sorted-run layout; this split — cheap true-stats appends, a
-    periodic rewrite for locality — is exactly how log-structured
-    table formats behave at design scale.
+    the manifest gains the new files' TRUE bounds, so queries stay
+    exactly correct immediately. What degrades is locality: each
+    appended file spans its batch's own id range, so over many appends
+    a query range intersects more files (files_kept creeps up).
+    ``compact_clustered`` restores the one-sorted-run layout; this
+    split — cheap true-stats appends, a periodic rewrite for locality —
+    is exactly how log-structured table formats behave at design scale.
+
+    Crash ordering: data files land first, the manifest commit is the
+    LAST step — a crash in between leaves unreferenced orphan files
+    (swept by the next compaction), never a wrong manifest.
     """
     man = load_manifest(path)
     level = int(man["level"])
+    pre = set(_data_files(path))
     be = cell_backend("s2")
     out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
     (
@@ -153,7 +169,8 @@ def append_clustered(
         .write.mode("append")
         .parquet(path)
     )
-    _write_manifest(path, level)
+    new = [n for n in _data_files(path) if n not in pre]
+    _write_manifest(path, level, man["files"] + _file_stats(path, new))
 
 
 def compact_clustered(
@@ -162,35 +179,55 @@ def compact_clustered(
     files: int = 16,
 ) -> None:
     """Rewrite the table as one globally range-clustered run (the
-    Iceberg rewrite-data-files / sort-compaction analog): reads the
-    current files, re-sorts by the existing cell column (no re-encode),
-    writes to a fresh directory, then atomically swaps it in. Run this
-    after enough appends that the manifest shows overlapping file
-    ranges; queries before/after return identical rows."""
-    import shutil
-    import tempfile
+    Iceberg rewrite-data-files / sort-compaction analog), in place and
+    crash-safe at every step:
 
+    1. read ONLY the manifest-listed files, re-sort by the existing
+       cell column (no re-encode), write the run as NEW files into the
+       same directory (a crash here leaves orphans, not damage —
+       readers never see unlisted files);
+    2. commit the manifest pointing at the new files only (the atomic
+       cut-over: one file write);
+    3. sweep every data file the committed manifest does not list —
+       the superseded run plus any orphans earlier crashes left.
+
+    A query at any crash point returns exactly the same rows; the only
+    recoverable waste is orphaned disk, reclaimed by the next
+    compaction's sweep."""
     man = load_manifest(path)
     level = int(man["level"])
-    cur = spark.read.parquet(path)
-    tmp = tempfile.mkdtemp(prefix="_compact_", dir=os.path.dirname(path.rstrip("/")))
-    (
-        cur.repartitionByRange(files, F.col(CELL_COL))
-        .sortWithinPartitions(CELL_COL)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    _write_manifest(tmp, level)
-    old = path.rstrip("/") + "_old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path.rstrip("/"), old)
-    os.rename(tmp, path.rstrip("/"))
-    shutil.rmtree(old, ignore_errors=True)
+    listed = [e["file"] for e in man["files"]]
+    if listed:
+        cur = spark.read.parquet(*[os.path.join(path, n) for n in listed])
+        pre = set(_data_files(path))
+        (
+            cur.repartitionByRange(files, F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.mode("append")
+            .parquet(path)
+        )
+        new = [n for n in _data_files(path) if n not in pre]
+        _write_manifest(path, level, _file_stats(path, new))
+    keep = {e["file"] for e in load_manifest(path)["files"]}
+    for n in _data_files(path):
+        if n not in keep:
+            os.remove(os.path.join(path, n))
 
 
 # ---------------------------------------------------------------------------
 # cover -> id ranges
 # ---------------------------------------------------------------------------
+
+
+def _merge_ranges(ranges) -> list[list[int]]:
+    """Sort and coalesce adjacent/overlapping [lo, hi] id ranges."""
+    merged: list[list[int]] = []
+    for lo, hi in sorted(ranges):
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return merged
 
 
 def cover_ranges(
@@ -217,10 +254,13 @@ def cover_ranges(
         try:
             fulls, bounds = be.cover(shape, lv, geo=True, max_cells=max_cells)
             break
-        except Exception:
-            # the auto level over-resolved an elongated shape (e.g. a
-            # thin full-longitude band) — coarsen until the cover fits;
-            # coarser only widens candidates, never drops them
+        except ValueError:
+            # the cover planner signals over-resolution (max_cells
+            # exceeded) with ValueError: the auto level over-resolved an
+            # elongated shape (e.g. a thin full-longitude band) —
+            # coarsen until the cover fits; coarser only widens
+            # candidates, never drops them. Any other exception is a
+            # real bug and propagates untouched.
             if lv == 0:
                 raise
             lv -= 1
@@ -228,13 +268,9 @@ def cover_ranges(
     if not cells:
         return []
     shift = 2 * (cluster_level - lv)
-    merged: list[list[int]] = []
-    for c in cells:
-        lo, hi = c << shift, ((c + 1) << shift) - 1
-        if merged and lo <= merged[-1][1] + 1:
-            merged[-1][1] = max(merged[-1][1], hi)
-        else:
-            merged.append([lo, hi])
+    merged = _merge_ranges(
+        (c << shift, ((c + 1) << shift) - 1) for c in cells
+    )
     while len(merged) > max_ranges:
         # swallow the smallest gap between consecutive runs
         gi = min(
@@ -350,14 +386,7 @@ def clustered_candidates(
     all_ranges: list[tuple[int, int]] = []
     for s in shapes:
         all_ranges.extend(cover_ranges(s, man["level"]))
-    all_ranges.sort()
-    merged: list[list[int]] = []
-    for lo, hi in all_ranges:
-        if merged and lo <= merged[-1][1] + 1:
-            merged[-1][1] = max(merged[-1][1], hi)
-        else:
-            merged.append([lo, hi])
-    ranges = [(lo, hi) for lo, hi in merged]
+    ranges = [(lo, hi) for lo, hi in _merge_ranges(all_ranges)]
     df, stats = read_pruned(spark, path, ranges)
     out = df.drop(CELL_COL)
     return (out, stats) if with_stats else out

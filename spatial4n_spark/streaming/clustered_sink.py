@@ -8,12 +8,17 @@ log-structured ingest loop of an Iceberg-style table reproduced on
 plain parquet.
 
 Delivery semantics: foreachBatch replays a batch after a failure, so a
-bare append sink is at-least-once. A batch-id ledger (`_BATCHES`) makes
-the replay path idempotent for the common restart case: a batch id
-already in the ledger is skipped. The ledger append is not atomic with
-the data write — a crash in the window between them would duplicate one
-batch on replay; a production table format closes that window with an
-atomic metadata commit (the thing Iceberg snapshots actually buy).
+bare append sink is at-least-once. A batch ledger (`_BATCHES`) makes
+the replay path idempotent for the common restart case: an entry
+already in the ledger is skipped. Entries are keyed by
+(checkpoint, batch_id), NOT bare batch_id — Spark numbers every
+stream's batches from 0, so a bare-id ledger would silently swallow a
+SECOND stream ingesting different data into the same table. The ledger
+append is not atomic with the data write — a crash in the window
+between them would duplicate one batch on replay; a production table
+format closes that window with an atomic metadata commit (the thing
+Iceberg snapshots actually buy). Compaction leaves the ledger in place
+(it sweeps only data files), so idempotency survives compactions.
 """
 
 from __future__ import annotations
@@ -25,10 +30,10 @@ from pyspark.sql import DataFrame
 BATCH_LEDGER = "_BATCHES"
 
 
-def _seen_batches(path: str) -> set[int]:
+def _seen_batches(path: str) -> set[str]:
     try:
         with open(os.path.join(path, BATCH_LEDGER)) as f:
-            return {int(x) for x in f.read().split() if x}
+            return {x for x in f.read().split() if x}
     except OSError:
         return set()
 
@@ -47,12 +52,17 @@ def stream_to_clustered(
     carries the cluster level). Returns the StreamingQuery."""
     from spatial4n_spark.io.clustered import append_clustered
 
+    import hashlib
+
+    ck = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in _seen_batches(path):
+        key = f"{ck}:{batch_id}"
+        if key in _seen_batches(path):
             return
         append_clustered(batch_df, path, lon=lon, lat=lat, files=files_per_batch)
         with open(os.path.join(path, BATCH_LEDGER), "a") as f:
-            f.write(f"{batch_id}\n")
+            f.write(f"{key}\n")
 
     return (
         stream.writeStream.foreachBatch(_sink)

@@ -416,9 +416,8 @@ _CLUSTERED_CACHE: dict[str, str] = {}
 
 def _clustered_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once path of the range-clustered orders table for this sf
-    tier. Keyed by (source path, mtime, layout params); the directory
-    name omits the mtime so a regenerated tier rebuilds IN PLACE (same
-    no-orphan scheme as the ANN index cache in suite_text)."""
+    tier (io.buildonce rebuild-in-place cache, keyed by source mtime +
+    layout params)."""
     import hashlib
     import os
     import tempfile
@@ -426,31 +425,22 @@ def _clustered_path(spark: SparkSession, sf_dir: str) -> str:
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
     key = f"{src}:{os.path.getmtime(src)}:{CLUSTER_LEVEL}:{CLUSTER_FILES}"
     if key not in _CLUSTERED_CACHE:
+        from spatial4n_spark.io.buildonce import ensure_built
+        from spatial4n_spark.io.clustered import MANIFEST, write_clustered
+
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_clustered",
             hashlib.md5(f"{src}:{CLUSTER_LEVEL}:{CLUSTER_FILES}".encode()).hexdigest()[:16],
         )
-        from spatial4n_spark.io.clustered import MANIFEST, write_clustered
-
-        marker = os.path.join(path, "_SOURCE_KEY")
-        fresh = os.path.exists(os.path.join(path, MANIFEST))
-        if fresh:
-            try:
-                with open(marker) as f:
-                    fresh = f.read() == key
-            except OSError:
-                fresh = False
-        if not fresh:
-            import shutil
-
-            shutil.rmtree(path, ignore_errors=True)
-            write_clustered(
-                pts_orders(spark, sf_dir), path, level=CLUSTER_LEVEL, files=CLUSTER_FILES
-            )
-            with open(marker, "w") as f:
-                f.write(key)
-        _CLUSTERED_CACHE[key] = path
+        _CLUSTERED_CACHE[key] = ensure_built(
+            path,
+            key,
+            lambda p: write_clustered(
+                pts_orders(spark, sf_dir), p, level=CLUSTER_LEVEL, files=CLUSTER_FILES
+            ),
+            ready_file=MANIFEST,
+        )
     return _CLUSTERED_CACHE[key]
 
 

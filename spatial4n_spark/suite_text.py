@@ -520,37 +520,27 @@ def _emb_index_path(spark: SparkSession, sf_dir: str) -> str:
         # directory name depends on the SOURCE PATH + params only (not the
         # mtime): a regenerated tier rebuilds IN PLACE instead of leaking
         # one full-size orphaned index copy per regeneration; the mtime key
-        # lives in a marker file that gates the rebuild
+        # lives in the io.buildonce marker that gates the rebuild
+        from spatial4n_spark.io.ann_index import write_emb_index
+        from spatial4n_spark.io.buildonce import ensure_built
+
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_emb_index",
             hashlib.md5(f"{src}:{ANN_PLANES}:{ANN_TABLES}".encode()).hexdigest()[:16],
         )
-        marker = os.path.join(path, "_SOURCE_KEY")
-        fresh = os.path.exists(os.path.join(path, "_SUCCESS"))
-        if fresh:
-            try:
-                with open(marker) as f:
-                    fresh = f.read() == key
-            except OSError:
-                fresh = False
-        if not fresh:
-            import shutil
-
-            from spatial4n_spark.io.ann_index import write_emb_index
-
-            shutil.rmtree(path, ignore_errors=True)
-            write_emb_index(
+        _INDEX_CACHE[key] = ensure_built(
+            path,
+            key,
+            lambda p: write_emb_index(
                 _emb(spark, sf_dir),
-                path,
+                p,
                 centroids=IVF_CENTROIDS,
                 dim=DIM,
                 n_planes=ANN_PLANES,
                 n_tables=ANN_TABLES,
-            )
-            with open(marker, "w") as f:
-                f.write(key)
-        _INDEX_CACHE[key] = path
+            ),
+        )
     return _INDEX_CACHE[key]
 
 

@@ -229,14 +229,35 @@ def test_stream_ingest_into_clustered_equals_batch(spark, sf_dir, tmp_path):
     )
     assert got == want
 
-    # replayed batches (same ids, fresh checkpoint) must not duplicate
+    # REPLAY of the same stream (same checkpoint path whose progress was
+    # lost — Spark re-delivers batches 0..n) must be deduped by the
+    # (checkpoint, batch_id) ledger
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt1"))
     stream2 = (
         spark.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q2 = stream_to_clustered(stream2, table, str(tmp_path / "ckpt2"), files_per_batch=2)
+    q2 = stream_to_clustered(stream2, table, str(tmp_path / "ckpt1"), files_per_batch=2)
     q2.awaitTermination(300)
     man2 = C.load_manifest(table)
     assert sum(e["rows"] for e in man2["files"]) == pts.count()
+
+    # a genuinely NEW stream (different checkpoint) into the same table
+    # is new data and must append, not be swallowed by the ledger
+    extra = str(tmp_path / "extra")
+    # distinct keys, placed far from every query circle so the radius
+    # assertions below stay valid
+    pts.limit(50).select(
+        (F.col("o_orderkey") + F.lit(10**9)).alias("o_orderkey"),
+        F.lit(0.0).alias("lon"),
+        F.lit(-89.0).alias("lat"),
+    ).write.parquet(extra)
+    stream3 = spark.readStream.schema(pts.schema).parquet(extra)
+    q3 = stream_to_clustered(stream3, table, str(tmp_path / "ckpt3"), files_per_batch=1)
+    q3.awaitTermination(300)
+    man3 = C.load_manifest(table)
+    assert sum(e["rows"] for e in man3["files"]) == pts.count() + 50
 
     # compaction of the ingested table keeps the same rows
     C.compact_clustered(spark, table, files=4)
