@@ -80,6 +80,7 @@ def main() -> int:
         "s2_tile_stats": n_lineitem,
         "radius_join_clustered": n_orders,
         "pip_join_clustered": n_orders,
+        "knn_clustered": n_orders,
     }
 
     queries = dict(E.queries())
@@ -123,7 +124,7 @@ def main() -> int:
         # Hilbert-range-clustered storage probes (manifest file pruning
         # + pushed row-group ranges; the one-time clustered write caches
         # under /tmp like the ANN index build)
-        "radius_join_clustered", "pip_join_clustered",
+        "radius_join_clustered", "pip_join_clustered", "knn_clustered",
     ]
     names = [n for n in (only or default_names) if n in queries]
 

@@ -372,6 +372,73 @@ def clustered_radius_query(
     return (out, stats) if with_stats else out
 
 
+def clustered_knn(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple],
+    k: int,
+    id_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_rounds: int = 10,
+):
+    """Exact kNN over the clustered table (small-query-list surface,
+    like knn_join's driver-list path): per round a query circle of
+    radius R is covered, the cover's id ranges prune the scan (manifest
+    files + pushed row groups), exact haversine ranks the candidates,
+    and the answer is accepted when the k-th distance <= R — sound
+    because cover_ranges is a superset of the ball(R) membership, so
+    all true neighbors within R were candidates. Otherwise R doubles;
+    the cap radius covers the globe, making the last round a (pruned)
+    full scan.
+
+    Returns (query_id, <id_col>, dist_km, rank), ties on <id_col> —
+    the same contract as operators.knn.knn_join."""
+    from pyspark.sql import Window
+
+    from spatial4n_spark.functions.native import haversine_km
+    from spatial4n_spark.operators.knn import _initial_cover_radius_km
+
+    man = load_manifest(path)
+    level = int(man["level"])
+    n_total = sum(e["rows"] for e in man["files"])
+    r0, r_cap = _initial_cover_radius_km(n_total, k)
+    id_dt = spark.read.parquet(path).schema[id_col].dataType.simpleString()
+
+    parts = []
+    for qid, qlon, qlat in queries:
+        r = r0
+        for _ in range(max_rounds):
+            circle = Circle(float(qlon), float(qlat), float(km_to_deg(r)), geo=True)
+            ranges = cover_ranges(circle, level)
+            cand, _ = read_pruned(spark, path, ranges)
+            top = (
+                cand.withColumn(
+                    "dist_km",
+                    haversine_km(
+                        F.col(lon), F.col(lat), F.lit(float(qlon)), F.lit(float(qlat))
+                    ),
+                )
+                .orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
+                .limit(k)
+                .collect()
+            )
+            if (len(top) >= k and top[k - 1]["dist_km"] <= r) or r >= r_cap:
+                break
+            r = min(r * 2.0, r_cap)
+        parts.extend(
+            (str(qid), row[id_col], float(row["dist_km"]), i + 1)
+            for i, row in enumerate(top)
+        )
+    out = spark.createDataFrame(
+        parts, f"query_id string, {id_col} {id_dt}, dist_km double, rank int"
+    )
+    # rebuild rank deterministically (defensive: limit+collect preserved
+    # the sort, but the window makes the contract explicit)
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
+    return out.withColumn("rank", F.row_number().over(w))
+
+
 def clustered_candidates(
     spark: SparkSession,
     path: str,

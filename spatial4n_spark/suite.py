@@ -475,6 +475,20 @@ def q_pip_join_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "poly_id")
 
 
+def q_knn_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN probing the clustered layout: each round's query circle
+    becomes cover id ranges (manifest file pruning + pushed row groups),
+    accepted when the k-th distance fits the covered radius — the third
+    query family on the storage artifact (PIP, radius, kNN). Oracle =
+    the brute-force kNN SQL; results are layout-invariant."""
+    from spatial4n_spark.io.clustered import clustered_knn
+
+    path = _clustered_path(spark, sf_dir)
+    queries = [(qid, qlon, qlat) for qid, qlon, qlat, _ in RADIUS_CENTERS]
+    out = clustered_knn(spark, path, queries, k=KNN_K, id_col="o_orderkey")
+    return out.select("query_id", "o_orderkey", "rank")
+
+
 def sql_radius_join() -> str:
     parts = []
     for qid, qlon, qlat, r_km in RADIUS_CENTERS:
@@ -1381,6 +1395,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "radius_join_s2": q_radius_join_s2,
     "radius_join_clustered": q_radius_join_clustered,
     "pip_join_clustered": q_pip_join_clustered,
+    "knn_clustered": q_knn_clustered,
     "knn": q_knn,
     "knn_df": q_knn_df,
     "knn_s2": q_knn_s2,
@@ -1439,6 +1454,7 @@ def spatial_oracles() -> dict[str, str]:
                 "radius_join_s2": sql_radius_join(),
                 "radius_join_clustered": sql_radius_join(),
                 "pip_join_clustered": sql_pip_join(),
+                "knn_clustered": sql_knn(),
                 "radius_join_h3": sql_radius_join(),
                 "knn": sql_knn(),
                 "rect_relate": sql_rect_relate(),
