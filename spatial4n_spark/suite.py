@@ -475,6 +475,23 @@ def q_pip_join_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "poly_id")
 
 
+def q_radius_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The radius join through the DataFrame-native surface: query
+    circles as rows, covers planned DISTRIBUTED in mapInPandas, cell
+    equi-join + the same exact haversine — a 10^6-circle geofence batch
+    plans identically, nothing per-query on the driver. Oracle =
+    sql_radius_join verbatim (results surface-invariant)."""
+    from spatial4n_spark.operators.distance_join import radius_join_df
+
+    qdf = spark.createDataFrame(
+        RADIUS_CENTERS, "query_id string, qlon double, qlat double, radius_km double"
+    )
+    out = radius_join_df(
+        pts_orders(spark, sf_dir), qdf, level=3, with_distance=False
+    )
+    return out.select("query_id", "o_orderkey")
+
+
 def q_knn_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN probing the clustered layout: each round's query circle
     becomes cover id ranges (manifest file pruning + pushed row groups),
@@ -1396,6 +1413,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "radius_join_clustered": q_radius_join_clustered,
     "pip_join_clustered": q_pip_join_clustered,
     "knn_clustered": q_knn_clustered,
+    "radius_join_df": q_radius_join_df,
     "knn": q_knn,
     "knn_df": q_knn_df,
     "knn_s2": q_knn_s2,
@@ -1455,6 +1473,7 @@ def spatial_oracles() -> dict[str, str]:
                 "radius_join_clustered": sql_radius_join(),
                 "pip_join_clustered": sql_pip_join(),
                 "knn_clustered": sql_knn(),
+                "radius_join_df": sql_radius_join(),
                 "radius_join_h3": sql_radius_join(),
                 "knn": sql_knn(),
                 "rect_relate": sql_rect_relate(),

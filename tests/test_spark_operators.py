@@ -103,6 +103,50 @@ def test_radius_join_matches_bruteforce(spark, points, coords):
     assert got == want
 
 
+@pytest.mark.parametrize("index", ["geohash", "s2", "h3"])
+def test_radius_join_df_equals_list_path(spark, points, index):
+    """The DataFrame-native radius join (queries as rows, covers planned
+    distributed in mapInPandas) must return exactly the list path's
+    rows — incl. the dateline and pole circles — on every backend."""
+    from spatial4n_spark.operators.distance_join import radius_join_df
+
+    queries = [
+        ("paris", 2.35, 48.85, 50.0),
+        ("dateline", 179.5, -10.0, 300.0),
+        ("pole", 0.0, 89.0, 200.0),
+    ]
+    want = sorted(
+        map(
+            tuple,
+            radius_join(points, queries, level=2, index=index)
+            .select("query_id", "image_id")
+            .collect(),
+        )
+    )
+    qdf = spark.createDataFrame(
+        queries, "query_id string, qlon double, qlat double, radius_km double"
+    )
+    got = sorted(
+        map(
+            tuple,
+            radius_join_df(points, qdf, level=2, index=index)
+            .select("query_id", "image_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # non-broadcast path (the big-query-set plan) returns the same rows
+    got_shuffle = sorted(
+        map(
+            tuple,
+            radius_join_df(points, qdf, level=2, index=index, broadcast_cover=False)
+            .select("query_id", "image_id")
+            .collect(),
+        )
+    )
+    assert got_shuffle == want
+
+
 def test_knn_matches_bruteforce(spark, points, coords):
     ids, lon, lat = coords
     queries = [("q_paris", 2.35, 48.85), ("q_dl", 179.9, -5.0), ("q_sparse", -120.0, -55.0)]
