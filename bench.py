@@ -81,6 +81,7 @@ def main() -> int:
         "radius_join_clustered": n_orders,
         "pip_join_clustered": n_orders,
         "knn_clustered": n_orders,
+        "radius_join_df": n_orders,
     }
 
     queries = dict(E.queries())
@@ -125,6 +126,8 @@ def main() -> int:
         # + pushed row-group ranges; the one-time clustered write caches
         # under /tmp like the ANN index build)
         "radius_join_clustered", "pip_join_clustered", "knn_clustered",
+        # DataFrame-native query surfaces (nothing per-query on the driver)
+        "radius_join_df",
     ]
     names = [n for n in (only or default_names) if n in queries]
 
