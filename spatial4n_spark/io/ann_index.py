@@ -69,6 +69,33 @@ def write_emb_index(
     out.write.partitionBy(PARTITION_COL).mode(mode).parquet(path)
 
 
+def append_emb_index(
+    emb: DataFrame,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> None:
+    """Incremental index maintenance: assign the new vectors with the
+    SAME centroids/hyperplanes the index was built with and append them
+    into the partitioned layout (new files under the matching
+    ``centroid_id=...`` directories). Probes see the new vectors
+    immediately — partition pruning and the stored-bucket filters don't
+    care which write created a file. The centroids must be the build's
+    (IVF lists are only as good as a fixed assignment); pass the same
+    ``centroids`` the build used or the default formula set."""
+    write_emb_index(
+        emb,
+        path,
+        centroids=centroids,
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        mode="append",
+    )
+
+
 def read_emb_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

@@ -12,3 +12,10 @@ from spatial4n_spark.streaming.image_stream import (  # noqa: F401
     streaming_image_chips,
     streaming_image_mosaics,
 )
+from spatial4n_spark.streaming.dedup_stream import (  # noqa: F401
+    streaming_distinct_docs,
+    streaming_dup_counts,
+)
+from spatial4n_spark.streaming.clustered_sink import (  # noqa: F401
+    stream_to_clustered,
+)

@@ -348,6 +348,30 @@ def test_emb_index_pruning_and_equivalence(spark, emb, tmp_path_factory):
     assert "bucket_t0" in ann_plan and "PushedFilters" in ann_plan
 
 
+def test_emb_index_append_equals_full_build(spark, emb, tmp_path_factory):
+    """Incremental maintenance: build on half the vectors, append the
+    other half — every probe must return exactly what a full build
+    returns (same centroids/hyperplanes, so assignment is identical)."""
+    from spatial4n_spark.io import ann_index as AI
+
+    base = str(tmp_path_factory.mktemp("annidx_inc") / "emb_index")
+    full = str(tmp_path_factory.mktemp("annidx_full") / "emb_index")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    AI.write_emb_index(first, base)
+    AI.append_emb_index(second, base)
+    AI.write_emb_index(emb, full)
+
+    q = S.query_vector()
+    for probe in (
+        lambda p: AI.ivf_topk_indexed(spark, p, q, k=10, nprobe=4),
+        lambda p: AI.ann_topk_indexed(spark, p, q, k=10),
+    ):
+        got = sorted(map(tuple, probe(base).collect()))
+        want = sorted(map(tuple, probe(full).collect()))
+        assert got == want and len(want) == 10
+
+
 def test_lsh_knn_recall_vs_exact(spark, emb):
     """lsh_knn_pairs recall@3 vs the exact O(n^2) baseline, and exact
     precision: every returned neighbor rank is correctly ordered."""
