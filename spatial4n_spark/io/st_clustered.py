@@ -1,0 +1,165 @@
+"""Spatio-temporal layout: time partitions x Hilbert spatial clustering.
+
+The production shape of a 10^12-row geotagged event/image table: daily
+partition DIRECTORIES (Iceberg's hidden day-transform partitioning —
+pure directory pruning, no footer reads for the time axis) with rows
+Hilbert-range-clustered WITHIN each day (io.clustered's sort + stats
+manifest — file/row-group pruning for the spatial axis). A typical
+"last week, around Paris" query then prunes along both axes before a
+single data byte is read: days by name, files by manifest bounds, row
+groups by the pushed cell ranges.
+
+The manifest records (day, file, min_cell, max_cell, rows); the data
+files land under ``path/_day=YYYY-MM-DD/``. Readers use basePath so the
+day partition column stays available to the residual time filter (exact
+timestamps still filter rows within boundary days).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from spatial4n_spark.cellindex import cell_backend
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.io.clustered import CELL_COL, _file_stats, cover_ranges
+from spatial4n_spark.kernels.distance import km_to_deg
+from spatial4n_spark.kernels.polygon import Circle
+
+DAY_COL = "_day"
+MANIFEST = "_st_manifest.json"
+
+
+def write_st_clustered(
+    df: DataFrame,
+    path: str,
+    level: int = 14,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` partitioned by event day and range-clustered by the
+    level-``level`` S2 cell id within each day."""
+    be = cell_backend("s2")
+    out = (
+        df.withColumn(DAY_COL, F.date_format(F.col(ts), "yyyy-MM-dd"))
+        .withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+    )
+    (
+        out.repartitionByRange(files, F.col(DAY_COL), F.col(CELL_COL))
+        .sortWithinPartitions(DAY_COL, CELL_COL)
+        .write.partitionBy(DAY_COL)
+        .mode(mode)
+        .parquet(path)
+    )
+    entries = []
+    for dname in sorted(os.listdir(path)):
+        if not dname.startswith(f"{DAY_COL}="):
+            continue
+        day = dname.split("=", 1)[1]
+        rels = [
+            os.path.join(dname, f)
+            for f in sorted(os.listdir(os.path.join(path, dname)))
+            if f.endswith(".parquet")
+        ]
+        for e in _file_stats(path, rels):
+            e["day"] = day
+            entries.append(e)
+    man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(man, f)
+
+
+def load_st_manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as f:
+        return json.load(f)
+
+
+@dataclass(frozen=True)
+class STPruneStats:
+    files_total: int
+    files_kept: int
+    rows_total: int
+    rows_kept_files: int
+    days_total: int
+    days_kept: int
+    n_ranges: int
+
+
+def read_st_pruned(
+    spark: SparkSession,
+    path: str,
+    ranges: list[tuple[int, int]],
+    day_lo: str,
+    day_hi: str,
+) -> tuple[DataFrame, STPruneStats]:
+    """Both pruning axes at plan time: days by name (the directory-
+    partition analog), files by manifest cell bounds; the residual cell
+    disjunction is pushed to the parquet reader."""
+    man = load_st_manifest(path)
+    files = man["files"]
+    keep = [
+        e
+        for e in files
+        if day_lo <= e["day"] <= day_hi
+        and any(not (hi < e["min"] or lo > e["max"]) for lo, hi in ranges)
+    ]
+    stats = STPruneStats(
+        files_total=len(files),
+        files_kept=len(keep),
+        rows_total=sum(e["rows"] for e in files),
+        rows_kept_files=sum(e["rows"] for e in keep),
+        days_total=len({e["day"] for e in files}),
+        days_kept=len({e["day"] for e in keep}),
+        n_ranges=len(ranges),
+    )
+    if not keep or not ranges:
+        empty = spark.createDataFrame(
+            [], spark.read.option("basePath", path).parquet(path).schema
+        )
+        return empty, stats
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, e["file"]) for e in keep]
+    )
+    cond = None
+    for lo, hi in ranges:
+        c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return df.where(cond), stats
+
+
+def st_radius_query(
+    spark: SparkSession,
+    path: str,
+    qlon: float,
+    qlat: float,
+    radius_km: float,
+    t0,
+    t1,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    with_stats: bool = False,
+):
+    """'This circle, this time window': day + manifest + row-group
+    pruning, then the exact timestamp and haversine predicates — layout
+    changes what is read, never what is returned."""
+    man = load_st_manifest(path)
+    circle = Circle(float(qlon), float(qlat), float(km_to_deg(radius_km)), geo=True)
+    ranges = cover_ranges(circle, man["level"])
+    day_lo, day_hi = str(t0)[:10], str(t1)[:10]
+    df, stats = read_st_pruned(spark, path, ranges, day_lo, day_hi)
+    out = (
+        df.where((F.col(ts) >= F.lit(t0)) & (F.col(ts) <= F.lit(t1)))
+        .where(
+            haversine_km(F.col(lon), F.col(lat), F.lit(float(qlon)), F.lit(float(qlat)))
+            <= F.lit(float(radius_km))
+        )
+        .drop(CELL_COL, DAY_COL)
+    )
+    return (out, stats) if with_stats else out

@@ -297,6 +297,63 @@ def test_clustered_knn_equals_ring_knn(spark, clustered):
     assert got == want and len(got) == 4 * 5
 
 
+def test_st_clustered_time_and_space_pruning(spark, sf_dir, tmp_path):
+    """Spatio-temporal layout (io/st_clustered.py): day-partition +
+    manifest pruning must compose — a 2-of-8-day Paris query keeps only
+    matching days AND only spatially-relevant files, and returns exactly
+    the brute-force rows."""
+    from spatial4n_spark.io import st_clustered as ST
+
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200)  # 2024-01-01 00:00:00 UTC
+            + (F.col("o_orderkey") % 8) * 86400
+            + F.col("o_orderkey") % 977
+        ),
+    )
+    path = str(tmp_path / "st")
+    ST.write_st_clustered(pts, path, level=14, files=32)
+    man = ST.load_st_manifest(path)
+    assert {e["day"] for e in man["files"]} == {
+        f"2024-01-0{d}" for d in range(1, 9)
+    }
+    assert sum(e["rows"] for e in man["files"]) == pts.count()
+
+    t0, t1 = "2024-01-02 00:00:00", "2024-01-03 23:59:59"
+    qlon, qlat, r = 10.0, 88.0, 600.0  # the polar gate circle: dense enough at sf0.001
+    out, st = ST.st_radius_query(spark, path, qlon, qlat, r, t0, t1, with_stats=True)
+    got = sorted(row[0] for row in out.select("o_orderkey").collect())
+    want = sorted(
+        row[0]
+        for row in pts.where(
+            (F.col("ts") >= F.lit(t0))
+            & (F.col("ts") <= F.lit(t1))
+            & (
+                haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
+                <= F.lit(r)
+            )
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+    assert st.days_kept <= 2 < st.days_total  # time axis pruned
+    # space axis pruned too: fewer files than the kept days contain
+    day_files = [e for e in man["files"] if "2024-01-02" <= e["day"] <= "2024-01-03"]
+    assert st.files_kept < len(day_files)
+    # the cell-range disjunction reaches the parquet reader
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and C.CELL_COL in plan.split("PushedFilters")[1][:2000]
+
+    # an out-of-range window prunes everything and returns empty
+    empty, st0 = ST.st_radius_query(
+        spark, path, qlon, qlat, r, "2030-01-01 00:00:00", "2030-01-02 00:00:00",
+        with_stats=True,
+    )
+    assert st0.files_kept == 0 and empty.count() == 0
+
+
 def test_no_matching_files_returns_empty_with_schema(spark, clustered):
     path, pts = clustered
     df, st = C.read_pruned(spark, path, [(2**62, 2**62 + 1)])
