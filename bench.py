@@ -82,6 +82,7 @@ def main() -> int:
         "pip_join_clustered": n_orders,
         "knn_clustered": n_orders,
         "radius_join_df": n_orders,
+        "st_radius_join": n_orders,
     }
 
     queries = dict(E.queries())
@@ -126,6 +127,7 @@ def main() -> int:
         # + pushed row-group ranges; the one-time clustered write caches
         # under /tmp like the ANN index build)
         "radius_join_clustered", "pip_join_clustered", "knn_clustered",
+        "st_radius_join",
         # DataFrame-native query surfaces (nothing per-query on the driver)
         "radius_join_df",
     ]

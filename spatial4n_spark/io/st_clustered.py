@@ -154,8 +154,10 @@ def st_radius_query(
     ranges = cover_ranges(circle, man["level"])
     day_lo, day_hi = str(t0)[:10], str(t1)[:10]
     df, stats = read_st_pruned(spark, path, ranges, day_lo, day_hi)
+    ts_type = df.schema[ts].dataType
+    lo, hi = F.lit(t0).cast(ts_type), F.lit(t1).cast(ts_type)
     out = (
-        df.where((F.col(ts) >= F.lit(t0)) & (F.col(ts) <= F.lit(t1)))
+        df.where((F.col(ts) >= lo) & (F.col(ts) <= hi))
         .where(
             haversine_km(F.col(lon), F.col(lat), F.lit(float(qlon)), F.lit(float(qlat)))
             <= F.lit(float(radius_km))

@@ -475,6 +475,91 @@ def q_pip_join_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "poly_id")
 
 
+# spatio-temporal layout gate: deterministic NTZ event time (8 days of
+# 2024-01, sub-day offset < 977 s so day membership is integer-clean in
+# both engines), 2-day query window
+ST_EPOCH = "2024-01-01 00:00:00"
+ST_T0, ST_T1 = "2024-01-02 00:00:00", "2024-01-03 23:59:59"
+_ST_CACHE: dict[str, str] = {}
+
+
+def _pts_orders_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders points with a deterministic TIMESTAMP_NTZ event time (naive
+    value — no session-timezone dependence, same convention as
+    q_event_tiles)."""
+    sec = "(o_orderkey % 8) * 86400 + o_orderkey % 977"
+    return pts_orders(spark, sf_dir).withColumn(
+        "ts",
+        F.expr(
+            f"timestampadd(SECOND, CAST({sec} AS BIGINT), "
+            f"TIMESTAMP_NTZ'{ST_EPOCH}')"
+        ),
+    )
+
+
+def _st_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    key = f"{src}:{os.path.getmtime(src)}:st:{CLUSTER_LEVEL}:32"
+    if key not in _ST_CACHE:
+        from spatial4n_spark.io.buildonce import ensure_built
+        from spatial4n_spark.io.st_clustered import MANIFEST, write_st_clustered
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spatial4n_stclustered",
+            hashlib.md5(f"{src}:st:{CLUSTER_LEVEL}:32".encode()).hexdigest()[:16],
+        )
+        _ST_CACHE[key] = ensure_built(
+            path,
+            key,
+            lambda p: write_st_clustered(
+                _pts_orders_ts(spark, sf_dir), p, level=CLUSTER_LEVEL, files=32
+            ),
+            ready_file=MANIFEST,
+        )
+    return _ST_CACHE[key]
+
+
+def q_st_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'This circle, this 2-day window' over the spatio-temporal layout:
+    day directories prune the time axis by NAME, the manifest prunes
+    files by cell bounds, pushed ranges prune row groups — then exact
+    timestamp + haversine predicates. Oracle recomputes the same rows
+    with the time window as integer second arithmetic (the NTZ derive
+    is a monotone bijection of it)."""
+    from spatial4n_spark.io.st_clustered import st_radius_query
+
+    path = _st_path(spark, sf_dir)
+    out = None
+    for qid, qlon, qlat, r_km in RADIUS_CENTERS:
+        part = st_radius_query(spark, path, qlon, qlat, r_km, ST_T0, ST_T1).select(
+            F.lit(qid).alias("query_id"), "o_orderkey"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def sql_st_radius_join() -> str:
+    # ts in [T0, T1] <=> derived seconds offset in [86400, 259199]
+    # (sub-day offset < 977 keeps day membership integer-exact)
+    sec = "(o_orderkey % 8) * 86400 + (o_orderkey % 977)"
+    parts = []
+    for qid, qlon, qlat, r_km in RADIUS_CENTERS:
+        pred = (
+            O.haversine_km_native_sql("lon", "lat", O.dlit(qlon), O.dlit(qlat))
+            + f" <= {O.dlit(r_km)}"
+        )
+        parts.append(
+            f"SELECT '{qid}' AS query_id, o_orderkey FROM pts "
+            f"WHERE {sec} BETWEEN 86400 AND 259199 AND {pred}"
+        )
+    return f"WITH {ORDERS_PTS_CTE}\n" + "\nUNION ALL\n".join(parts)
+
+
 def q_radius_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The radius join through the DataFrame-native surface: query
     circles as rows, covers planned DISTRIBUTED in mapInPandas, cell
@@ -1414,6 +1499,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "pip_join_clustered": q_pip_join_clustered,
     "knn_clustered": q_knn_clustered,
     "radius_join_df": q_radius_join_df,
+    "st_radius_join": q_st_radius_join,
     "knn": q_knn,
     "knn_df": q_knn_df,
     "knn_s2": q_knn_s2,
@@ -1474,6 +1560,7 @@ def spatial_oracles() -> dict[str, str]:
                 "pip_join_clustered": sql_pip_join(),
                 "knn_clustered": sql_knn(),
                 "radius_join_df": sql_radius_join(),
+                "st_radius_join": sql_st_radius_join(),
                 "radius_join_h3": sql_radius_join(),
                 "knn": sql_knn(),
                 "rect_relate": sql_rect_relate(),
