@@ -80,6 +80,101 @@ def load_st_manifest(path: str) -> dict:
         return json.load(f)
 
 
+def _st_data_files(path: str) -> list[str]:
+    """Relative paths of all day-partition data files."""
+    rels = []
+    for dname in sorted(os.listdir(path)):
+        if not dname.startswith(f"{DAY_COL}="):
+            continue
+        for f in sorted(os.listdir(os.path.join(path, dname))):
+            if f.endswith(".parquet"):
+                rels.append(os.path.join(dname, f))
+    return rels
+
+
+def _commit_st_manifest(path: str, level: int, entries: list[dict]) -> None:
+    man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(man, f)
+
+
+def _day_of(rel: str) -> str:
+    return rel.split("=", 1)[1].split(os.sep, 1)[0]
+
+
+def append_st_clustered(
+    df: DataFrame,
+    path: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    files: int = 4,
+) -> None:
+    """Append a batch into the day-partitioned layout: new files land in
+    their day directories with TRUE stats joining the manifest (data
+    first, manifest commit last — same crash contract as the flat
+    layout's append). Only the touched days' locality degrades;
+    ``compact_st_clustered`` restores one day at a time."""
+    man = load_st_manifest(path)
+    level = int(man["level"])
+    be = cell_backend("s2")
+    out = (
+        df.withColumn(DAY_COL, F.date_format(F.col(ts), "yyyy-MM-dd"))
+        .withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+    )
+    pre = set(_st_data_files(path))
+    (
+        out.repartitionByRange(files, F.col(DAY_COL), F.col(CELL_COL))
+        .sortWithinPartitions(DAY_COL, CELL_COL)
+        .write.partitionBy(DAY_COL)
+        .mode("append")
+        .parquet(path)
+    )
+    new = [r for r in _st_data_files(path) if r not in pre]
+    added = _file_stats(path, new)
+    for e in added:
+        e["day"] = _day_of(e["file"])
+    _commit_st_manifest(path, level, man["files"] + added)
+
+
+def compact_st_clustered(
+    spark: SparkSession,
+    path: str,
+    day: str,
+    files: int = 4,
+) -> None:
+    """Sort-compact ONE day partition (the realistic loop: only recently
+    appended days fragment). Same crash-safe ordering as the flat
+    layout: new sorted run appended into the day directory, manifest cut
+    over in one write, then unlisted files in that directory swept."""
+    man = load_st_manifest(path)
+    level = int(man["level"])
+    mine = [e for e in man["files"] if e["day"] == day]
+    others = [e for e in man["files"] if e["day"] != day]
+    if mine:
+        cur = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, e["file"]) for e in mine]
+        )
+        pre = set(_st_data_files(path))
+        (
+            cur.repartitionByRange(files, F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.partitionBy(DAY_COL)
+            .mode("append")
+            .parquet(path)
+        )
+        new = [r for r in _st_data_files(path) if r not in pre]
+        added = _file_stats(path, new)
+        for e in added:
+            e["day"] = _day_of(e["file"])
+        _commit_st_manifest(path, level, others + added)
+    keep = {e["file"] for e in load_st_manifest(path)["files"]}
+    ddir = f"{DAY_COL}={day}"
+    for rel in _st_data_files(path):
+        if rel.startswith(ddir) and rel not in keep:
+            os.remove(os.path.join(path, rel))
+
+
 @dataclass(frozen=True)
 class STPruneStats:
     files_total: int

@@ -94,6 +94,13 @@ COMMENTS = {
         "with pushed cell ranges — storage pruning composes with the join plan "
         "unchanged."
     ),
+    "st_radius_join": (
+        "Spatio-temporal query: the scan lists ONLY files inside the query's day "
+        "directories AND the manifest's surviving cell bounds (both axes pruned "
+        "at plan time, driver-side); the pushed cell-range disjunction skips row "
+        "groups inside kept files, and the exact timestamp + haversine filters "
+        "run as native codegen. No joins, no shuffles."
+    ),
 }
 
 
@@ -127,6 +134,7 @@ def main() -> int:
         "h3_tile_stats": suite.q_h3_tile_stats,
         "radius_join_clustered": suite.q_radius_join_clustered,
         "pip_join_clustered": suite.q_pip_join_clustered,
+        "st_radius_join": suite.q_st_radius_join,
     }
 
     out = [
