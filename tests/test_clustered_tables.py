@@ -354,6 +354,68 @@ def test_st_clustered_time_and_space_pruning(spark, sf_dir, tmp_path):
     assert st0.files_kept == 0 and empty.count() == 0
 
 
+def test_st_append_and_per_day_compaction(spark, sf_dir, tmp_path):
+    """ST lifecycle: appends keep every (window, circle) query exactly
+    correct; compacting ONE day restores that day's locality and leaves
+    the other days' files untouched."""
+    from spatial4n_spark.io import st_clustered as ST
+
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("o_orderkey") % 2) * 86400
+            + F.col("o_orderkey") % 977
+        ),
+    )
+    path = str(tmp_path / "st")
+    base = pts.where(F.col("o_orderkey") % 3 == 0)
+    ST.write_st_clustered(base, path, level=14, files=8)
+    for m in (1, 2):
+        ST.append_st_clustered(pts.where(F.col("o_orderkey") % 3 == m), path, files=2)
+
+    t0, t1 = "2024-01-02 00:00:00", "2024-01-02 23:59:59"
+    qlon, qlat, r = 10.0, 88.0, 600.0
+
+    def rows():
+        out = ST.st_radius_query(spark, path, qlon, qlat, r, t0, t1)
+        return sorted(row[0] for row in out.select("o_orderkey").collect())
+
+    want = sorted(
+        row[0]
+        for row in pts.where(
+            (F.col("ts") >= F.lit(t0))
+            & (F.col("ts") <= F.lit(t1))
+            & (
+                haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
+                <= F.lit(r)
+            )
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert rows() == want and len(want) > 0  # correct right after appends
+    man_a = ST.load_st_manifest(path)
+    day2_before = [e for e in man_a["files"] if e["day"] == "2024-01-02"]
+    day1_before = [e for e in man_a["files"] if e["day"] == "2024-01-01"]
+    assert sum(e["rows"] for e in man_a["files"]) == pts.count()
+
+    ST.compact_st_clustered(spark, path, "2024-01-02", files=4)
+    assert rows() == want  # compaction never changes results
+    man_c = ST.load_st_manifest(path)
+    day2_after = [e for e in man_c["files"] if e["day"] == "2024-01-02"]
+    day1_after = [e for e in man_c["files"] if e["day"] == "2024-01-01"]
+    assert sum(e["rows"] for e in man_c["files"]) == pts.count()
+    assert len(day2_after) < len(day2_before)  # fragmentation removed
+    # the compacted day is one disjoint sorted run again
+    spans = sorted((e["min"], e["max"]) for e in day2_after)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    # the untouched day's files are exactly as before
+    assert sorted(e["file"] for e in day1_after) == sorted(
+        e["file"] for e in day1_before
+    )
+
+
 def test_no_matching_files_returns_empty_with_schema(spark, clustered):
     path, pts = clustered
     df, st = C.read_pruned(spark, path, [(2**62, 2**62 + 1)])
