@@ -408,7 +408,17 @@ def clustered_knn(
     parts = []
     for qid, qlon, qlat in queries:
         r = r0
-        for _ in range(max_rounds):
+        for round_i in range(max_rounds):
+            if round_i == max_rounds - 1:
+                # last permitted round: probe at the cap radius (a
+                # 180-degree circle covers the globe, so the pruned scan
+                # degenerates to the full table and acceptance is
+                # unconditional — the brute-force fallback the ring kNN
+                # paths use, expressed through the same cover machinery).
+                # Without this, a sparse-region query could exhaust its
+                # rounds and silently emit the last cover's k best
+                # instead of the true k nearest.
+                r = r_cap
             circle = Circle(float(qlon), float(qlat), float(km_to_deg(r)), geo=True)
             ranges = cover_ranges(circle, level)
             cand, _ = read_pruned(spark, path, ranges)

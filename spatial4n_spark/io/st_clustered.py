@@ -44,7 +44,17 @@ def write_st_clustered(
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` partitioned by event day and range-clustered by the
-    level-``level`` S2 cell id within each day."""
+    level-``level`` S2 cell id within each day.
+
+    Overwrite-only: a directory-listing manifest rebuild under append
+    would resurrect crash-orphaned files (rows a retried append already
+    re-delivered) into the manifest — ``append_st_clustered`` is the
+    append path, extending the PRIOR manifest by exactly the new files.
+    """
+    if mode != "overwrite":
+        raise ValueError(
+            "write_st_clustered is overwrite-only; use append_st_clustered"
+        )
     be = cell_backend("s2")
     out = (
         df.withColumn(DAY_COL, F.date_format(F.col(ts), "yyyy-MM-dd"))
@@ -57,22 +67,8 @@ def write_st_clustered(
         .mode(mode)
         .parquet(path)
     )
-    entries = []
-    for dname in sorted(os.listdir(path)):
-        if not dname.startswith(f"{DAY_COL}="):
-            continue
-        day = dname.split("=", 1)[1]
-        rels = [
-            os.path.join(dname, f)
-            for f in sorted(os.listdir(os.path.join(path, dname)))
-            if f.endswith(".parquet")
-        ]
-        for e in _file_stats(path, rels):
-            e["day"] = day
-            entries.append(e)
-    man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(man, f)
+    entries = _day_tagged_stats(path, _st_data_files(path))
+    _commit_st_manifest(path, level, entries)
 
 
 def load_st_manifest(path: str) -> dict:
@@ -100,6 +96,15 @@ def _commit_st_manifest(path: str, level: int, entries: list[dict]) -> None:
 
 def _day_of(rel: str) -> str:
     return rel.split("=", 1)[1].split(os.sep, 1)[0]
+
+
+def _day_tagged_stats(path: str, rels: list[str]) -> list[dict]:
+    """Manifest entries for the given relative files, tagged with their
+    day partition (the one write/append/compact tail)."""
+    entries = _file_stats(path, rels)
+    for e in entries:
+        e["day"] = _day_of(e["file"])
+    return entries
 
 
 def append_st_clustered(
@@ -131,10 +136,7 @@ def append_st_clustered(
         .parquet(path)
     )
     new = [r for r in _st_data_files(path) if r not in pre]
-    added = _file_stats(path, new)
-    for e in added:
-        e["day"] = _day_of(e["file"])
-    _commit_st_manifest(path, level, man["files"] + added)
+    _commit_st_manifest(path, level, man["files"] + _day_tagged_stats(path, new))
 
 
 def compact_st_clustered(
@@ -164,10 +166,7 @@ def compact_st_clustered(
             .parquet(path)
         )
         new = [r for r in _st_data_files(path) if r not in pre]
-        added = _file_stats(path, new)
-        for e in added:
-            e["day"] = _day_of(e["file"])
-        _commit_st_manifest(path, level, others + added)
+        _commit_st_manifest(path, level, others + _day_tagged_stats(path, new))
     keep = {e["file"] for e in load_st_manifest(path)["files"]}
     ddir = f"{DAY_COL}={day}"
     for rel in _st_data_files(path):
@@ -214,10 +213,18 @@ def read_st_pruned(
         n_ranges=len(ranges),
     )
     if not keep or not ranges:
-        empty = spark.createDataFrame(
-            [], spark.read.option("basePath", path).parquet(path).schema
-        )
-        return empty, stats
+        # schema from ONE manifest-listed file (no full partition
+        # discovery just to return zero rows); an entirely empty table
+        # has no files to derive from — fall back to the full read then
+        if files:
+            schema = (
+                spark.read.option("basePath", path)
+                .parquet(os.path.join(path, files[0]["file"]))
+                .schema
+            )
+        else:
+            schema = spark.read.option("basePath", path).parquet(path).schema
+        return spark.createDataFrame([], schema), stats
     df = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, e["file"]) for e in keep]
     )

@@ -32,11 +32,19 @@ def streaming_distinct_docs(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Emit each distinct content hash's FIRST record; state bounded by
-    the watermark horizon."""
+    the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the operator whose state store
+    actually EVICTS keys older than the watermark when the event-time
+    column is not part of the key set (plain ``dropDuplicates`` on a
+    non-time key keeps every key forever — unbounded state at ingest
+    scale); its semantics are exactly the documented contract: a
+    re-occurrence farther apart than the horizon counts as new content.
+    """
     return (
         stream.withColumn("text_md5", F.md5(F.col(text)))
         .withWatermark(ts, watermark)
-        .dropDuplicates(["text_md5"])
+        .dropDuplicatesWithinWatermark(["text_md5"])
         .select(key, "text_md5", ts)
     )
 
