@@ -94,3 +94,66 @@ def test_rect_contains_point_consistent_with_relate(r, px, py):
         assert rel in (CONTAINS,)
     else:
         assert rel == DISJOINT
+
+
+# --- clustered-storage cover ranges (io/clustered.py) ---------------------
+
+from spatial4n_spark.io.clustered import _merge_ranges, cover_ranges
+from spatial4n_spark.kernels.polygon import Circle as _CircleCR
+from spatial4n_spark.kernels.s2cell import s2_encode as _s2_encode_cr
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.floats(-179.9, 179.9),
+    st.floats(-85.0, 85.0),
+    st.floats(0.05, 30.0),
+    st.integers(0, 2**32 - 1),
+)
+def test_cover_ranges_sound_for_random_circles(qlon, qlat, r_deg, seed):
+    """Soundness under random circles: every point inside the circle
+    (euclidean-deg inside implies geo inside, since angular <= euclidean
+    in degrees) has its fine cell inside the ranges — range coalescing
+    and the retry-coarsen loop may only WIDEN the candidate set."""
+    import numpy as np
+
+    L = 14
+    circle = _CircleCR(float(qlon), float(qlat), float(r_deg), geo=True)
+    ranges = cover_ranges(circle, L, max_ranges=16)
+    assert ranges == sorted(ranges)
+    assert all(lo <= hi for lo, hi in ranges)
+
+    rng = np.random.default_rng(seed)
+    # sample inside the circle (euclidean in degrees => inside geo circle)
+    t = rng.uniform(0.0, 2 * np.pi, 256)
+    rad = np.sqrt(rng.uniform(0.0, 1.0, 256)) * r_deg * 0.999
+    lon = ((qlon + rad * np.cos(t) + 180.0) % 360.0) - 180.0
+    lat = np.clip(qlat + rad * np.sin(t), -89.999, 89.999)
+    # only keep true euclidean-inside samples (lon wrap/lat clip distort)
+    inside = ((lon - qlon) ** 2 + (lat - qlat) ** 2) <= r_deg**2
+    if not inside.any():
+        return
+    fine = _s2_encode_cr(lat[inside], lon[inside], L)
+    lo = np.array([a for a, _ in ranges], dtype=np.int64)
+    hi = np.array([b for _, b in ranges], dtype=np.int64)
+    in_ranges = ((fine[:, None] >= lo[None, :]) & (fine[:, None] <= hi[None, :])).any(1)
+    assert in_ranges.all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 1000), st.integers(0, 200)), max_size=20))
+def test_merge_ranges_preserves_membership(pairs):
+    ranges = [(lo, lo + w) for lo, w in pairs]
+    merged = _merge_ranges(ranges)
+    # sorted, disjoint, non-adjacent
+    assert all(
+        merged[i][1] + 1 < merged[i + 1][0] for i in range(len(merged) - 1)
+    )
+    # membership is exactly preserved
+    member = set()
+    for lo, hi in ranges:
+        member.update(range(lo, hi + 1))
+    merged_member = set()
+    for lo, hi in merged:
+        merged_member.update(range(lo, hi + 1))
+    assert merged_member == member
