@@ -70,3 +70,39 @@ def stream_to_clustered(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_to_st_clustered(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    files_per_batch: int = 2,
+):
+    """The same ingest loop into the spatio-temporal layout: each
+    micro-batch's rows land in their day directories (io.st_clustered's
+    append), with the identical (checkpoint, batch_id) ledger semantics.
+    The table must exist (write_st_clustered, possibly on an empty
+    frame). Returns the StreamingQuery."""
+    import hashlib
+
+    from spatial4n_spark.io.st_clustered import append_st_clustered
+
+    ck = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        key = f"{ck}:{batch_id}"
+        if key in _seen_batches(path):
+            return
+        append_st_clustered(batch_df, path, lon=lon, lat=lat, ts=ts, files=files_per_batch)
+        with open(os.path.join(path, BATCH_LEDGER), "a") as f:
+            f.write(f"{key}\n")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

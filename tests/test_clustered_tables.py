@@ -354,6 +354,71 @@ def test_st_clustered_time_and_space_pruning(spark, sf_dir, tmp_path):
     assert st0.files_kept == 0 and empty.count() == 0
 
 
+def test_stream_ingest_into_st_clustered(spark, sf_dir, tmp_path):
+    """foreachBatch ingest into the spatio-temporal layout: after the
+    availableNow run the table answers (window, circle) queries exactly;
+    a replay of the same checkpoint is ledger-deduped."""
+    from spatial4n_spark.io import st_clustered as ST
+    from spatial4n_spark.streaming.clustered_sink import stream_to_st_clustered
+
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("o_orderkey") % 2) * 86400
+            + F.col("o_orderkey") % 977
+        ),
+    )
+    src = str(tmp_path / "src")
+    pts.repartition(3).write.parquet(src)
+    table = str(tmp_path / "table")
+    ST.write_st_clustered(pts.limit(0), table, level=14, files=1)
+
+    stream = (
+        spark.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_to_st_clustered(stream, table, str(tmp_path / "ck"), files_per_batch=2)
+    q.awaitTermination(300)
+    man = ST.load_st_manifest(table)
+    assert sum(e["rows"] for e in man["files"]) == pts.count()
+    assert {e["day"] for e in man["files"]} == {"2024-01-01", "2024-01-02"}
+
+    t0, t1 = "2024-01-02 00:00:00", "2024-01-02 23:59:59"
+    qlon, qlat, r = 10.0, 88.0, 600.0
+    got = sorted(
+        row[0]
+        for row in ST.st_radius_query(spark, table, qlon, qlat, r, t0, t1)
+        .select("o_orderkey")
+        .collect()
+    )
+    want = sorted(
+        row[0]
+        for row in pts.where(
+            (F.col("ts") >= F.lit(t0))
+            & (F.col("ts") <= F.lit(t1))
+            & (
+                haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
+                <= F.lit(r)
+            )
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert got == want and len(want) > 0
+
+    # replay with progress lost: same checkpoint path, ledger dedups
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ck"))
+    stream2 = (
+        spark.readStream.schema(pts.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = stream_to_st_clustered(stream2, table, str(tmp_path / "ck"), files_per_batch=2)
+    q2.awaitTermination(300)
+    man2 = ST.load_st_manifest(table)
+    assert sum(e["rows"] for e in man2["files"]) == pts.count()
+
+
 def test_st_append_and_per_day_compaction(spark, sf_dir, tmp_path):
     """ST lifecycle: appends keep every (window, circle) query exactly
     correct; compacting ONE day restores that day's locality and leaves
