@@ -34,6 +34,14 @@ def main() -> int:
         "where scan I/O, not plan overhead, dominates the comparison",
     )
     ap.add_argument("--files", type=int, default=64)
+    ap.add_argument(
+        "--layout",
+        choices=["flat", "st"],
+        default="flat",
+        help="st: day-partitioned + per-day clustering (io/st_clustered); "
+        "queries then carry a 2-of-16-day window, so the comparison shows "
+        "BOTH pruning axes composed against the same full-scan predicate",
+    )
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default="")
@@ -77,29 +85,57 @@ def main() -> int:
         base = tempfile.mkdtemp(prefix="clustered_cap_base_")
         pts.write.mode("overwrite").parquet(base)
         pts = spark.read.parquet(base)
+    if args.layout == "st":
+        # deterministic 16-day event time; queries get a 2-day window so
+        # the comparison exercises BOTH pruning axes composed
+        pts = pts.withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1704067200) + (F.col("pid") % 16) * 86400 + F.col("pid") % 977
+            ),
+        )
+        if args.mult > 1:  # rematerialize with the ts column present
+            base2 = tempfile.mkdtemp(prefix="clustered_cap_base_")
+            pts.write.mode("overwrite").parquet(base2)
+            pts = spark.read.parquet(base2)
     n_total = pts.count()
 
-    path = tempfile.mkdtemp(prefix="clustered_cap_")
     t0 = time.time()
-    C.write_clustered(pts, path, level=14, files=args.files)
+    path = tempfile.mkdtemp(prefix="clustered_cap_")
+    if args.layout == "st":
+        from spatial4n_spark.io import st_clustered as STC
+
+        STC.write_st_clustered(pts, path, level=14, files=args.files)
+    else:
+        C.write_clustered(pts, path, level=14, files=args.files)
     build_s = time.time() - t0
 
+    T0, T1 = "2024-01-02 00:00:00", "2024-01-03 23:59:59"
     queries = {}
     for qid, qlon, qlat, r_km in RADIUS_CENTERS:
         full_t, clu_t = [], []
         n_full = n_clu = -1
         st = None
+        space_pred = (
+            haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
+            <= F.lit(r_km)
+        )
         for _ in range(args.reps):
             t0 = time.time()
-            n_full = pts.where(
-                haversine_km(F.col("lon"), F.col("lat"), F.lit(qlon), F.lit(qlat))
-                <= F.lit(r_km)
-            ).count()
+            full = pts.where(space_pred)
+            if args.layout == "st":
+                full = full.where((F.col("ts") >= F.lit(T0)) & (F.col("ts") <= F.lit(T1)))
+            n_full = full.count()
             full_t.append(time.time() - t0)
             t0 = time.time()
-            out, st = C.clustered_radius_query(
-                spark, path, qlon, qlat, r_km, with_stats=True
-            )
+            if args.layout == "st":
+                out, st = STC.st_radius_query(
+                    spark, path, qlon, qlat, r_km, T0, T1, with_stats=True
+                )
+            else:
+                out, st = C.clustered_radius_query(
+                    spark, path, qlon, qlat, r_km, with_stats=True
+                )
             n_clu = out.count()
             clu_t.append(time.time() - t0)
             assert n_clu == n_full, (qid, n_clu, n_full)
@@ -113,9 +149,13 @@ def main() -> int:
             "rows_in_kept_files": st.rows_kept_files,
             "scan_fraction": round(st.rows_kept_files / max(st.rows_total, 1), 4),
         }
+        if args.layout == "st":
+            queries[qid]["days_kept"] = st.days_kept
+            queries[qid]["days_total"] = st.days_total
 
     result = {
-        "metric": "clustered-vs-fullscan radius query",
+        "metric": f"{args.layout}-clustered-vs-fullscan radius query",
+        "layout": args.layout,
         "sf": args.sf,
         "rows": n_total,
         "files": args.files,
