@@ -40,6 +40,7 @@ same Spatial4n kernel semantics as every other path
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import os
@@ -54,6 +55,45 @@ from spatial4n_spark.kernels.polygon import Circle
 
 CELL_COL = "cell_r"
 MANIFEST = "_cluster_manifest.json"
+LOCKFILE = "_cluster.lock"
+
+
+@contextlib.contextmanager
+def table_lock(path: str, lockfile: str = LOCKFILE):
+    """Single-writer mutual exclusion for manifest read-modify-write.
+
+    Appends and compactions update the manifest as read + extend +
+    commit; two concurrent writers would race that sequence, one
+    append's entries would vanish from the manifest, and the next
+    compaction's sweep would then delete the unlisted (but real) data
+    files. This lock makes the single-writer invariant ENFORCED, not
+    just documented: O_CREAT|O_EXCL is atomic on POSIX local/NFS
+    filesystems, so exactly one writer holds the table at a time and a
+    concurrent writer fails fast with a clear error instead of
+    corrupting the manifest. (The Iceberg analog is the catalog's
+    atomic snapshot CAS; on object stores you'd swap this for a
+    conditional-PUT or a DynamoDB/catalog lock — the invariant is the
+    same.) A crash while holding the lock leaves the lockfile behind;
+    the error message names it so an operator can verify no writer is
+    alive and remove it.
+    """
+    lock = os.path.join(path, lockfile)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"clustered table at {path} is locked by another writer "
+            f"({lock} exists); tables are single-writer — serialize "
+            "appends/compactions, or remove the stale lockfile if its "
+            "writer crashed"
+        ) from None
+    try:
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +118,15 @@ def write_clustered(
     manifest records the per-file bounds for driver-side pruning.
     ``files`` plays the role executor count * target file size plays at
     design scale; the layout is identical either way.
+
+    Overwrite-only: the initial-write manifest is rebuilt from a full
+    directory listing, which under append would resurrect
+    crash-orphaned files (rows a retried append already re-delivered)
+    into the manifest — ``append_clustered`` is the append path,
+    extending the PRIOR manifest by exactly the new files.
     """
+    if mode != "overwrite":
+        raise ValueError("write_clustered is overwrite-only; use append_clustered")
     be = cell_backend("s2")  # int64 Hilbert ids with the prefix property
     out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
     (
@@ -126,8 +174,22 @@ def _write_manifest(path: str, level: int, entries: list[dict] | None = None) ->
     if entries is None:
         entries = _file_stats(path, _data_files(path))
     man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(man, f)
+    _atomic_json_write(os.path.join(path, MANIFEST), man)
+
+
+def _atomic_json_write(target: str, obj: dict) -> None:
+    """Genuinely atomic commit: write a temp file in the SAME directory
+    (so the rename can't cross filesystems), fsync, then os.replace()
+    over the target. A crash at any point leaves either the old
+    manifest or the new one — never a truncated half-write, which a
+    plain open('w') + dump would produce and which corrupts the table's
+    source of truth for every reader and for compaction's sweep."""
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, target)
 
 
 def load_manifest(path: str) -> dict:
@@ -156,21 +218,24 @@ def append_clustered(
 
     Crash ordering: data files land first, the manifest commit is the
     LAST step — a crash in between leaves unreferenced orphan files
-    (swept by the next compaction), never a wrong manifest.
+    (swept by the next compaction), never a wrong manifest. The whole
+    read-extend-commit sequence holds ``table_lock`` so a concurrent
+    appender/compactor errors instead of racing the manifest.
     """
-    man = load_manifest(path)
-    level = int(man["level"])
-    pre = set(_data_files(path))
-    be = cell_backend("s2")
-    out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
-    (
-        out.repartitionByRange(files, F.col(CELL_COL))
-        .sortWithinPartitions(CELL_COL)
-        .write.mode("append")
-        .parquet(path)
-    )
-    new = [n for n in _data_files(path) if n not in pre]
-    _write_manifest(path, level, man["files"] + _file_stats(path, new))
+    with table_lock(path):
+        man = load_manifest(path)
+        level = int(man["level"])
+        pre = set(_data_files(path))
+        be = cell_backend("s2")
+        out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+        (
+            out.repartitionByRange(files, F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.mode("append")
+            .parquet(path)
+        )
+        new = [n for n in _data_files(path) if n not in pre]
+        _write_manifest(path, level, man["files"] + _file_stats(path, new))
 
 
 def compact_clustered(
@@ -193,25 +258,27 @@ def compact_clustered(
 
     A query at any crash point returns exactly the same rows; the only
     recoverable waste is orphaned disk, reclaimed by the next
-    compaction's sweep."""
-    man = load_manifest(path)
-    level = int(man["level"])
-    listed = [e["file"] for e in man["files"]]
-    if listed:
-        cur = spark.read.parquet(*[os.path.join(path, n) for n in listed])
-        pre = set(_data_files(path))
-        (
-            cur.repartitionByRange(files, F.col(CELL_COL))
-            .sortWithinPartitions(CELL_COL)
-            .write.mode("append")
-            .parquet(path)
-        )
-        new = [n for n in _data_files(path) if n not in pre]
-        _write_manifest(path, level, _file_stats(path, new))
-    keep = {e["file"] for e in load_manifest(path)["files"]}
-    for n in _data_files(path):
-        if n not in keep:
-            os.remove(os.path.join(path, n))
+    compaction's sweep. Holds ``table_lock`` end to end (same
+    single-writer invariant as append)."""
+    with table_lock(path):
+        man = load_manifest(path)
+        level = int(man["level"])
+        listed = [e["file"] for e in man["files"]]
+        if listed:
+            cur = spark.read.parquet(*[os.path.join(path, n) for n in listed])
+            pre = set(_data_files(path))
+            (
+                cur.repartitionByRange(files, F.col(CELL_COL))
+                .sortWithinPartitions(CELL_COL)
+                .write.mode("append")
+                .parquet(path)
+            )
+            new = [n for n in _data_files(path) if n not in pre]
+            _write_manifest(path, level, _file_stats(path, new))
+        keep = {e["file"] for e in load_manifest(path)["files"]}
+        for n in _data_files(path):
+            if n not in keep:
+                os.remove(os.path.join(path, n))
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from spatial4n_spark.cellindex import cell_backend
 from spatial4n_spark.functions.native import haversine_km
-from spatial4n_spark.io.clustered import CELL_COL, _file_stats, cover_ranges
+from spatial4n_spark.io.clustered import (
+    CELL_COL,
+    _atomic_json_write,
+    _file_stats,
+    cover_ranges,
+    table_lock,
+)
 from spatial4n_spark.kernels.distance import km_to_deg
 from spatial4n_spark.kernels.polygon import Circle
 
@@ -55,6 +61,7 @@ def write_st_clustered(
         raise ValueError(
             "write_st_clustered is overwrite-only; use append_st_clustered"
         )
+    _require_wallclock_ts(df, ts)
     be = cell_backend("s2")
     out = (
         df.withColumn(DAY_COL, F.date_format(F.col(ts), "yyyy-MM-dd"))
@@ -90,8 +97,31 @@ def _st_data_files(path: str) -> list[str]:
 
 def _commit_st_manifest(path: str, level: int, entries: list[dict]) -> None:
     man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
-    with open(os.path.join(path, MANIFEST), "w") as f:
-        json.dump(man, f)
+    # temp-file + os.replace: the commit really is atomic (a crash
+    # leaves old manifest or new, never a truncated half-write)
+    _atomic_json_write(os.path.join(path, MANIFEST), man)
+
+
+def _require_wallclock_ts(df: DataFrame, ts: str) -> None:
+    """Day partitions are derived with date_format and pruned with
+    str(t0)[:10] — both WALL-CLOCK operations. For a tz-aware TIMESTAMP
+    column date_format renders in the session timezone, so a reader in
+    a different session timezone than the writer would silently drop
+    boundary-day rows. Rather than let that happen, require a
+    session-timezone-independent type: TIMESTAMP_NTZ, DATE, or string.
+    Callers with instant timestamps pick the zone explicitly first,
+    e.g. ``F.convert_timezone(F.lit('UTC'), ts).cast('timestamp_ntz')``.
+    """
+    from pyspark.sql.types import TimestampType
+
+    if isinstance(df.schema[ts].dataType, TimestampType):
+        raise ValueError(
+            f"st_clustered requires a session-timezone-independent {ts!r} "
+            "column (TIMESTAMP_NTZ, DATE, or string); got tz-aware "
+            "TIMESTAMP, whose day boundary depends on the session "
+            "timezone — convert explicitly, e.g. "
+            "to_utc_timestamp(ts, <zone>).cast('timestamp_ntz')"
+        )
 
 
 def _day_of(rel: str) -> str:
@@ -119,24 +149,28 @@ def append_st_clustered(
     their day directories with TRUE stats joining the manifest (data
     first, manifest commit last — same crash contract as the flat
     layout's append). Only the touched days' locality degrades;
-    ``compact_st_clustered`` restores one day at a time."""
-    man = load_st_manifest(path)
-    level = int(man["level"])
-    be = cell_backend("s2")
-    out = (
-        df.withColumn(DAY_COL, F.date_format(F.col(ts), "yyyy-MM-dd"))
-        .withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
-    )
-    pre = set(_st_data_files(path))
-    (
-        out.repartitionByRange(files, F.col(DAY_COL), F.col(CELL_COL))
-        .sortWithinPartitions(DAY_COL, CELL_COL)
-        .write.partitionBy(DAY_COL)
-        .mode("append")
-        .parquet(path)
-    )
-    new = [r for r in _st_data_files(path) if r not in pre]
-    _commit_st_manifest(path, level, man["files"] + _day_tagged_stats(path, new))
+    ``compact_st_clustered`` restores one day at a time. Holds
+    ``table_lock`` so concurrent writers error instead of racing the
+    manifest read-extend-commit."""
+    _require_wallclock_ts(df, ts)
+    with table_lock(path, MANIFEST + ".lock"):
+        man = load_st_manifest(path)
+        level = int(man["level"])
+        be = cell_backend("s2")
+        out = (
+            df.withColumn(DAY_COL, F.date_format(F.col(ts), "yyyy-MM-dd"))
+            .withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+        )
+        pre = set(_st_data_files(path))
+        (
+            out.repartitionByRange(files, F.col(DAY_COL), F.col(CELL_COL))
+            .sortWithinPartitions(DAY_COL, CELL_COL)
+            .write.partitionBy(DAY_COL)
+            .mode("append")
+            .parquet(path)
+        )
+        new = [r for r in _st_data_files(path) if r not in pre]
+        _commit_st_manifest(path, level, man["files"] + _day_tagged_stats(path, new))
 
 
 def compact_st_clustered(
@@ -148,30 +182,32 @@ def compact_st_clustered(
     """Sort-compact ONE day partition (the realistic loop: only recently
     appended days fragment). Same crash-safe ordering as the flat
     layout: new sorted run appended into the day directory, manifest cut
-    over in one write, then unlisted files in that directory swept."""
-    man = load_st_manifest(path)
-    level = int(man["level"])
-    mine = [e for e in man["files"] if e["day"] == day]
-    others = [e for e in man["files"] if e["day"] != day]
-    if mine:
-        cur = spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, e["file"]) for e in mine]
-        )
-        pre = set(_st_data_files(path))
-        (
-            cur.repartitionByRange(files, F.col(CELL_COL))
-            .sortWithinPartitions(CELL_COL)
-            .write.partitionBy(DAY_COL)
-            .mode("append")
-            .parquet(path)
-        )
-        new = [r for r in _st_data_files(path) if r not in pre]
-        _commit_st_manifest(path, level, others + _day_tagged_stats(path, new))
-    keep = {e["file"] for e in load_st_manifest(path)["files"]}
-    ddir = f"{DAY_COL}={day}"
-    for rel in _st_data_files(path):
-        if rel.startswith(ddir) and rel not in keep:
-            os.remove(os.path.join(path, rel))
+    over in one write, then unlisted files in that directory swept.
+    Holds ``table_lock`` end to end (single-writer invariant)."""
+    with table_lock(path, MANIFEST + ".lock"):
+        man = load_st_manifest(path)
+        level = int(man["level"])
+        mine = [e for e in man["files"] if e["day"] == day]
+        others = [e for e in man["files"] if e["day"] != day]
+        if mine:
+            cur = spark.read.option("basePath", path).parquet(
+                *[os.path.join(path, e["file"]) for e in mine]
+            )
+            pre = set(_st_data_files(path))
+            (
+                cur.repartitionByRange(files, F.col(CELL_COL))
+                .sortWithinPartitions(CELL_COL)
+                .write.partitionBy(DAY_COL)
+                .mode("append")
+                .parquet(path)
+            )
+            new = [r for r in _st_data_files(path) if r not in pre]
+            _commit_st_manifest(path, level, others + _day_tagged_stats(path, new))
+        keep = {e["file"] for e in load_st_manifest(path)["files"]}
+        ddir = f"{DAY_COL}={day}"
+        for rel in _st_data_files(path):
+            if rel.startswith(ddir) and rel not in keep:
+                os.remove(os.path.join(path, rel))
 
 
 @dataclass(frozen=True)

@@ -310,7 +310,7 @@ def test_st_clustered_time_and_space_pruning(spark, sf_dir, tmp_path):
             F.lit(1704067200)  # 2024-01-01 00:00:00 UTC
             + (F.col("o_orderkey") % 8) * 86400
             + F.col("o_orderkey") % 977
-        ),
+        ).cast("timestamp_ntz"),
     )
     path = str(tmp_path / "st")
     ST.write_st_clustered(pts, path, level=14, files=32)
@@ -367,7 +367,7 @@ def test_stream_ingest_into_st_clustered(spark, sf_dir, tmp_path):
             F.lit(1704067200)
             + (F.col("o_orderkey") % 2) * 86400
             + F.col("o_orderkey") % 977
-        ),
+        ).cast("timestamp_ntz"),
     )
     src = str(tmp_path / "src")
     pts.repartition(3).write.parquet(src)
@@ -431,7 +431,7 @@ def test_st_append_and_per_day_compaction(spark, sf_dir, tmp_path):
             F.lit(1704067200)
             + (F.col("o_orderkey") % 2) * 86400
             + F.col("o_orderkey") % 977
-        ),
+        ).cast("timestamp_ntz"),
     )
     path = str(tmp_path / "st")
     base = pts.where(F.col("o_orderkey") % 3 == 0)
@@ -488,3 +488,45 @@ def test_no_matching_files_returns_empty_with_schema(spark, clustered):
     assert set(df.columns) == set(pts.columns) | {C.CELL_COL}
     df2, st2 = C.read_pruned(spark, path, [])
     assert df2.count() == 0 and st2.n_ranges == 0
+
+
+def test_writer_lock_and_overwrite_only(spark, sf_dir, tmp_path):
+    """ADVICE round 3: manifest read-modify-write is single-writer
+    (enforced by a lockfile, not just documented), the manifest commit
+    is atomic (no .tmp residue), and the directory-listing manifest
+    rebuild is overwrite-only on BOTH layouts."""
+    path = str(tmp_path / "locked")
+    pts = pts_orders(spark, sf_dir).limit(200)
+    C.write_clustered(pts, path, level=14, files=2)
+
+    # append under a held lock fails fast instead of racing
+    lock = os.path.join(path, C.LOCKFILE)
+    with open(lock, "w") as f:
+        f.write("other-writer")
+    with pytest.raises(RuntimeError, match="locked by another writer"):
+        C.append_clustered(pts.limit(10), path, files=1)
+    os.remove(lock)
+
+    # a successful append releases the lock and leaves no temp manifest
+    C.append_clustered(pts.limit(10), path, files=1)
+    assert not os.path.exists(lock)
+    assert not any(n.endswith(".tmp") for n in os.listdir(path))
+    assert sum(e["rows"] for e in C.load_manifest(path)["files"]) == 210
+
+    # rebuild-from-listing is overwrite-only (would resurrect orphans)
+    with pytest.raises(ValueError, match="overwrite-only"):
+        C.write_clustered(pts, path, mode="append")
+
+
+def test_st_requires_wallclock_ts(spark, sf_dir, tmp_path):
+    """Day partitions derive/prune on wall-clock strings; a tz-aware
+    TIMESTAMP ts would make the day boundary depend on the session
+    timezone (writer vs reader skew drops boundary-day rows), so the
+    writer rejects it up front."""
+    from spatial4n_spark.io import st_clustered as ST
+
+    pts = pts_orders(spark, sf_dir).limit(50).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200))  # tz-aware TIMESTAMP
+    )
+    with pytest.raises(ValueError, match="timezone-independent"):
+        ST.write_st_clustered(pts, str(tmp_path / "st_bad"), level=14, files=1)

@@ -4,8 +4,10 @@ Hilbert-range-clustered layout (io/clustered.py) on the same points.
 Writes the orders points of --sf clustered into --files files, then
 times each RADIUS_CENTERS query both ways (best of --reps), reporting
 per-query speedup plus the manifest's own accounting of how much of the
-table the pruned scan could even touch. Result rows are asserted equal
-every rep — the layout must change what is read, never what is returned.
+table the pruned scan could even touch. Row counts are asserted equal
+every rep, and full result-content equality (an order-independent
+xxhash64 checksum over every column) once per query — the layout must
+change what is read, never what is returned.
 
 Usage: python tools/clustered_capacity.py [--sf /tmp/sf1] [--files 64]
        [--reps 3] [--out bench_runs/clustered_cap.json]
@@ -139,6 +141,13 @@ def main() -> int:
             n_clu = out.count()
             clu_t.append(time.time() - t0)
             assert n_clu == n_full, (qid, n_clu, n_full)
+        # content equality once per query, outside the timed reps: an
+        # order-independent checksum over every original column proves
+        # the pruned scan returned the same ROWS, not just as many
+        cols = [F.col(c) for c in sorted(pts.columns)]
+        h_full = full.select(F.sum(F.xxhash64(*cols)).alias("h")).collect()[0]["h"]
+        h_clu = out.select(F.sum(F.xxhash64(*cols)).alias("h")).collect()[0]["h"]
+        assert h_full == h_clu, (qid, h_full, h_clu)
         queries[qid] = {
             "rows": n_full,
             "full_scan_s": round(min(full_t), 3),
