@@ -61,8 +61,9 @@ def main() -> int:
     input_rows = {
         "pip_join": n_orders,
         "pip_join_lineitem": n_lineitem,
-        "tile_stats": n_lineitem,
-        "cell_assign": n_orders,
+        # merged backend-family rows scan the fact side once per branch
+        "tile_stats": n_lineitem * 3,
+        "cell_assign": n_orders * 3,
         "radius_join": n_orders,
         "knn": n_orders,
         "rect_relate": n_lineitem * 3,
@@ -71,13 +72,11 @@ def main() -> int:
         "circle_bbox": None,
         "distances": None,
         "image_decode_check": n_images,
-        "image_tiles": n_images,
+        "image_tiles": n_images * 3,
         "image_pip_join": n_images,
-        "image_s2_tiles": n_images,
-        "pip_join_s2": n_orders,
-        "radius_join_s2": n_orders,
-        "s2_cell_assign": n_orders,
-        "s2_tile_stats": n_lineitem,
+        "pip_join_backends": n_orders * 2,
+        "radius_join_backends": n_orders * 2,
+        "knn_backends": n_orders * 3,
         "radius_join_clustered": n_orders,
         "pip_join_clustered": n_orders,
         "knn_clustered": n_orders,
@@ -104,25 +103,21 @@ def main() -> int:
         "pip_join", "tile_stats", "cell_assign", "radius_join", "knn",
         "rect_relate", "rect_counts", "circle_bbox", "distances",
         "pip_join_lineitem", "image_decode_check", "image_tiles",
-        "image_pip_join", "doc_dedup", "doc_minhash", "doc_simhash",
-        "doc_fingerprint", "emb_cosine_topk", "emb_lsh_buckets", "emb_ann",
-        "event_tiles", "emb_ivf_buckets", "emb_ivf_topk",
-        "poly_buffer_join", "emb_knn_lsh", "image_dup_pairs",
+        "image_pip_join", "doc_dedup", "doc_neardup_pairs", "doc_hashes",
+        "doc_profile", "emb_cosine_topk", "emb_buckets",
+        "event_tiles", "poly_buffer_join", "emb_knn_lsh", "image_dup_pairs",
         "audio_features", "video_scenes",
-        # materialized-index probes: the index builds once per sf tier
-        # (cached under /tmp, excluded from best-of-N like any index
-        # build); the measured time is the probe (partition pruning +
-        # stored-bucket filters)
-        "emb_ann_indexed", "emb_ivf_topk_indexed",
+        # scan + materialized-index paths of the ANN/IVF probes, unioned
+        # under a `path` column (the index builds once per sf tier,
+        # cached under /tmp, excluded from best-of-N like any build)
+        "emb_ann", "emb_ivf_topk",
         # at-scale twins of pip_join / knn (partitioned cover join,
         # DataFrame-native query set)
         "pip_join_cover", "knn_df",
-        # second cell-index backend (cube-face Hilbert, int64 cells)
-        "s2_cell_assign", "s2_tile_stats", "image_s2_tiles", "pip_join_s2",
-        "radius_join_s2", "knn_s2", "knn_s2_df",
-        # third cell-index backend (hex grid, int64 cells)
-        "h3_cell_assign", "h3_tile_stats", "pip_join_h3", "radius_join_h3",
-        "image_h3_tiles",
+        # S2 + H3 cell-index backends, unioned under a `backend` column
+        # (tile_stats/cell_assign/image_tiles above already carry all
+        # three backends per row)
+        "pip_join_backends", "radius_join_backends", "knn_backends",
         # Hilbert-range-clustered storage probes (manifest file pruning
         # + pushed row-group ranges; the one-time clustered write caches
         # under /tmp like the ANN index build)
@@ -150,7 +145,7 @@ def main() -> int:
     # indexed probes time the probe, not the one-time build (the warm-up
     # above built only the warm_sf index; without this, SPARK_GRAFT_REPS=1
     # has no later rep for best-of-N to discard the build into)
-    if any(n in names for n in ("emb_ann_indexed", "emb_ivf_topk_indexed")):
+    if any(n in names for n in ("emb_ann", "emb_ivf_topk")):
         from spatial4n_spark.suite_text import _emb_index_path
 
         _emb_index_path(spark, sf_dir)
@@ -196,21 +191,39 @@ def main() -> int:
         if headline
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "spatial-join + tile-assignment throughput",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "rows_per_sec": rates,
-                "headline_rows_per_sec": headline_rate,
-                "rows_out": rows_out,
-            }
-        )
-    )
+    record = {
+        "metric": "spatial-join + tile-assignment throughput",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "rows_per_sec": rates,
+        "headline_rows_per_sec": headline_rate,
+        "rows_out": rows_out,
+    }
+    # full record to a stable file FIRST (the driver's tail capture
+    # truncated BENCH_r03.json mid-line; the file is the durable copy)
+    try:
+        os.makedirs("bench_runs", exist_ok=True)
+        with open("bench_runs/bench_latest.json", "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass
+    # the LAST stdout line is the one JSON line the driver parses — keep
+    # it compact (per-query times + summary; rows detail lives in the
+    # file) so a bounded tail window always captures a parseable record
+    compact = {
+        "metric": record["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": record["sf"],
+        "cpus": cpus,
+        "headline_rows_per_sec": headline_rate,
+        "detail": "bench_runs/bench_latest.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     return 0
 
 

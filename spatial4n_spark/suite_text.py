@@ -578,53 +578,158 @@ def q_emb_ivf_topk_indexed(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# family consolidation (round-4: the driver gate checks at most 50
+# queries() entries, so 1:1 per-doc/per-vec operators are joined into
+# wide rows and twin operators sharing a schema are unioned under a
+# tag column — every operator family lands inside the audited window.
+# The individual q_* functions above remain the public/test surface.)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_profile(spark, sf_dir):
+    """Token stats + quality scoring + language-ID verified in ONE row
+    per document (1:1 joins on doc_id; quality's duplicate n_tokens
+    dropped)."""
+    t = q_doc_token_stats(spark, sf_dir)
+    q = q_doc_quality(spark, sf_dir).drop("n_tokens")
+    l = q_doc_langid(spark, sf_dir)
+    return t.join(q, "doc_id").join(l, "doc_id")
+
+
+def _sql_doc_profile() -> str:
+    return f"""SELECT t.*, q.n_stop, q.n_non_ascii, q.stop_ratio,
+       l.score_en, l.score_de, l.score_fr, l.score_es, l.lang_pred
+FROM ({SQL_DOC_TOKEN_STATS}) t
+JOIN (SELECT doc_id, n_stop, n_non_ascii, stop_ratio FROM ({SQL_DOC_QUALITY})) q
+  USING (doc_id)
+JOIN ({_sql_doc_langid()}) l USING (doc_id)"""
+
+
+def q_doc_neardup_pairs(spark, sf_dir):
+    """Both near-dup pair finders — exact shingle-Jaccard self-join and
+    MinHash+LSH banding — under one `method` column (both emit
+    (doc_a, doc_b, jaccard))."""
+    j = q_doc_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    m = q_doc_minhash(spark, sf_dir).select(
+        F.lit("minhash").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    return j.unionByName(m)
+
+
+def _sql_doc_neardup_pairs() -> str:
+    return (
+        f"SELECT 'jaccard' AS method, * FROM ({SQL_DOC_JACCARD})\n"
+        f"UNION ALL\nSELECT 'minhash' AS method, * FROM ({_sql_doc_minhash()})"
+    )
+
+
+def q_doc_hashes(spark, sf_dir):
+    """SimHash + rolling-hash fingerprint verified in ONE row per
+    document (1:1 join on doc_id)."""
+    return q_doc_simhash(spark, sf_dir).join(
+        q_doc_fingerprint(spark, sf_dir), "doc_id"
+    )
+
+
+def _sql_doc_hashes() -> str:
+    return f"""SELECT s.doc_id, s.simhash, f.fingerprint
+FROM ({_sql_doc_simhash()}) s JOIN ({SQL_DOC_FINGERPRINT}) f USING (doc_id)"""
+
+
+def q_emb_buckets(spark, sf_dir):
+    """Sign-LSH bucket + IVF coarse-quantizer assignment verified in ONE
+    row per vector (1:1 join on vec_id)."""
+    return q_emb_lsh_buckets(spark, sf_dir).join(
+        q_emb_ivf_buckets(spark, sf_dir), "vec_id"
+    )
+
+
+def _sql_emb_buckets() -> str:
+    return f"""SELECT b.vec_id, b.bucket, i.centroid_id
+FROM ({_sql_emb_lsh_buckets()}) b JOIN ({_sql_emb_ivf_buckets()}) i USING (vec_id)"""
+
+
+def q_emb_ann_paths(spark, sf_dir):
+    """Multi-table LSH top-k through BOTH execution paths — per-row
+    hyperplane recompute scan vs the materialized index's stored bucket
+    columns — under one `path` column. The branches return identical
+    rows by construction; a regression in either (or in the index
+    build/probe) flips this row."""
+    s = q_emb_ann(spark, sf_dir).select(
+        F.lit("scan").alias("path"), "vec_id", "rank", "cos"
+    )
+    i = q_emb_ann_indexed(spark, sf_dir).select(
+        F.lit("indexed").alias("path"), "vec_id", "rank", "cos"
+    )
+    return s.unionByName(i)
+
+
+def _sql_emb_ann_paths() -> str:
+    ann = _sql_emb_ann()
+    return (
+        f"SELECT 'scan' AS path, * FROM ({ann})\n"
+        f"UNION ALL\nSELECT 'indexed' AS path, * FROM ({ann})"
+    )
+
+
+def q_emb_ivf_topk_paths(spark, sf_dir):
+    """IVF probe search through BOTH execution paths — argmax-dot scan
+    vs centroid-partition pruning on the materialized index — under one
+    `path` column."""
+    s = q_emb_ivf_topk(spark, sf_dir).select(
+        F.lit("scan").alias("path"), "vec_id", "rank", "cos"
+    )
+    i = q_emb_ivf_topk_indexed(spark, sf_dir).select(
+        F.lit("indexed").alias("path"), "vec_id", "rank", "cos"
+    )
+    return s.unionByName(i)
+
+
+def _sql_emb_ivf_topk_paths() -> str:
+    ivf = _sql_emb_ivf_topk()
+    return (
+        f"SELECT 'scan' AS path, * FROM ({ivf})\n"
+        f"UNION ALL\nSELECT 'indexed' AS path, * FROM ({ivf})"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 TEXT_QUERIES = {
     "doc_dedup": q_doc_dedup,
-    "doc_token_stats": q_doc_token_stats,
-    "doc_quality": q_doc_quality,
-    "doc_langid": q_doc_langid,
-    "doc_jaccard": q_doc_jaccard,
+    "doc_profile": q_doc_profile,
+    "doc_neardup_pairs": q_doc_neardup_pairs,
     "doc_dup_clusters": q_doc_dup_clusters,
-    "doc_minhash": q_doc_minhash,
-    "doc_simhash": q_doc_simhash,
-    "doc_fingerprint": q_doc_fingerprint,
+    "doc_hashes": q_doc_hashes,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_knn": q_emb_knn,
     "emb_knn_lsh": q_emb_knn_lsh,
-    "emb_lsh_buckets": q_emb_lsh_buckets,
     "emb_dup_pairs": q_emb_dup_pairs,
-    "emb_ivf_buckets": q_emb_ivf_buckets,
-    "emb_ivf_topk": q_emb_ivf_topk,
-    "emb_ann": q_emb_ann,
-    "emb_ann_indexed": q_emb_ann_indexed,
-    "emb_ivf_topk_indexed": q_emb_ivf_topk_indexed,
+    "emb_buckets": q_emb_buckets,
+    "emb_ivf_topk": q_emb_ivf_topk_paths,
+    "emb_ann": q_emb_ann_paths,
 }
 
 
 def text_oracles() -> dict[str, str]:
     return {
         "doc_dedup": SQL_DOC_DEDUP,
-        "doc_token_stats": SQL_DOC_TOKEN_STATS,
-        "doc_quality": SQL_DOC_QUALITY,
-        "doc_langid": _sql_doc_langid(),
-        "doc_jaccard": SQL_DOC_JACCARD,
+        "doc_profile": _sql_doc_profile(),
+        "doc_neardup_pairs": _sql_doc_neardup_pairs(),
         "doc_dup_clusters": SQL_DOC_DUP_CLUSTERS,
-        "doc_minhash": _sql_doc_minhash(),
-        "doc_simhash": _sql_doc_simhash(),
-        "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_hashes": _sql_doc_hashes(),
         "emb_cosine_topk": _sql_emb_cosine_topk(),
         "emb_knn": _sql_emb_knn(),
         "emb_knn_lsh": _sql_emb_knn_lsh(),
-        "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_dup_pairs": _sql_emb_dup_pairs(),
-        "emb_ivf_buckets": _sql_emb_ivf_buckets(),
-        "emb_ivf_topk": _sql_emb_ivf_topk(),
-        "emb_ann": _sql_emb_ann(),
-        # the indexed probes return the SAME rows as the scan-recompute
-        # queries (pytest equivalence) — their oracle is the same SQL twin
-        "emb_ann_indexed": _sql_emb_ann(),
-        "emb_ivf_topk_indexed": _sql_emb_ivf_topk(),
+        "emb_buckets": _sql_emb_buckets(),
+        # the indexed branches return the SAME rows as the scan-recompute
+        # branches (pytest equivalence) — the oracle reuses one SQL twin
+        # per branch tag
+        "emb_ivf_topk": _sql_emb_ivf_topk_paths(),
+        "emb_ann": _sql_emb_ann_paths(),
     }
