@@ -335,11 +335,17 @@ def cover_ranges(
     if not cells:
         return []
     shift = 2 * (cluster_level - lv)
-    merged = _merge_ranges(
-        (c << shift, ((c + 1) << shift) - 1) for c in cells
+    return _coalesce_ranges(
+        ((c << shift, ((c + 1) << shift) - 1) for c in cells), max_ranges
     )
+
+
+def _coalesce_ranges(ranges, max_ranges: int) -> list[tuple[int, int]]:
+    """Merge overlapping/adjacent runs, then swallow the SMALLEST
+    inter-run gaps until at most ``max_ranges`` remain — widening
+    (extra candidate ids), never narrowing."""
+    merged = _merge_ranges(ranges)
     while len(merged) > max_ranges:
-        # swallow the smallest gap between consecutive runs
         gi = min(
             range(len(merged) - 1),
             key=lambda i: merged[i + 1][0] - merged[i][1],
@@ -439,6 +445,228 @@ def clustered_radius_query(
     return (out, stats) if with_stats else out
 
 
+def _read_listed(spark: SparkSession, path: str) -> DataFrame:
+    """All manifest-listed files (crash-orphans excluded) — the full-scan
+    fallback surface."""
+    man = load_manifest(path)
+    files = [os.path.join(path, e["file"]) for e in man["files"]]
+    if not files:
+        return spark.createDataFrame([], spark.read.parquet(path).schema)
+    return spark.read.parquet(*files)
+
+
+def clustered_knn_df(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    query_id: str = "query_id",
+    qlon: str = "qlon",
+    qlat: str = "qlat",
+    max_rounds: int = 10,
+    target_cells_across: float = 8.0,
+    broadcast_cells: int = 200_000,
+    max_scan_ranges: int = 64,
+) -> DataFrame:
+    """Exact kNN over the clustered layout with the QUERY SET AS A
+    DATAFRAME — the manifest-pruned twin of ``knn_join_cover_df``
+    (operators/knn.py), replacing the old per-query driver loop whose
+    one-job-per-query-per-round scheduling overhead dominated at large
+    query counts regardless of cluster size.
+
+    Every pending query shares the round radius R (r0 doubling on
+    survival; density skew is handled by the exact acceptance check),
+    so each round is a CONSTANT number of Spark jobs no matter how many
+    queries are pending:
+
+    1. circle covers planned DISTRIBUTED per query in ``mapInPandas``
+       (one level-lv S2 cover per pending query — nothing per-query on
+       the driver);
+    2. the round's GLOBAL id-range set is folded executor-side from the
+       distinct cover cells (prefix-property ranges, coalesced to at
+       most ``max_scan_ranges`` runs) — the only thing collected is
+       that bounded range list, which prunes manifest files driver-side
+       (Iceberg-style scan planning) and is pushed as the row-group
+       BETWEEN disjunction;
+    3. candidates come from one equi-join of the pruned scan's
+       prefix-shifted coarse cell against the covers (broadcast under a
+       size bound, else shuffle-by-cell);
+    4. acceptance (n >= k and k-th distance <= R — sound because the
+       cover is a superset of ball(R)) is aggregate + anti-join.
+
+    Per-query covers refine the global ranges, so pruning widens
+    candidates but never results. Stragglers after ``max_rounds`` (or
+    n_total < k) fall back to exact brute force over the listed files.
+    Returns (query_id, <id_col>, dist_km, rank), ties on <id_col> —
+    the same contract as operators.knn.knn_join."""
+    from pyspark.sql import Window
+
+    from spatial4n_spark.cellindex import cell_backend
+    from spatial4n_spark.functions.native import haversine_km
+    from spatial4n_spark.operators.knn import (
+        _cover_level,
+        _initial_cover_radius_km,
+    )
+
+    man = load_manifest(path)
+    level = int(man["level"])
+    n_total = sum(e["rows"] for e in man["files"])
+    be = cell_backend("s2")
+    r_km, r_cap = _initial_cover_radius_km(n_total, k)
+
+    qid_type = queries.schema[query_id].dataType.simpleString()
+    id_type = _read_listed(spark, path).schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, {id_col} {id_type}, dist_km double, rank int"
+    cover_schema = f"_pcell long, query_id {qid_type}, _qlon double, _qlat double"
+
+    pending = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(qlon).cast("double").alias("_qlon"),
+        F.col(qlat).cast("double").alias("_qlat"),
+    ).localCheckpoint(eager=False)
+    n_pending = pending.count()
+
+    accepted: list[DataFrame] = []
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_km").asc(), F.col(id_col).asc()
+    )
+
+    def cover_gen(lv: int, r_deg: float):
+        def gen(it):
+            import numpy as np
+            import pandas as pd
+
+            from spatial4n_spark.cellindex import cell_backend as _cb
+            from spatial4n_spark.kernels.polygon import Circle as _Circle
+
+            be_w = _cb("s2")
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                qx = pdf["_qlon"].to_numpy()
+                qy = pdf["_qlat"].to_numpy()
+                cells: list = []
+                idx: list[int] = []
+                for i in range(len(pdf)):
+                    fulls, bounds = be_w.cover(
+                        _Circle(float(qx[i]), float(qy[i]), r_deg, geo=True), lv
+                    )
+                    cs = fulls + bounds
+                    cells.extend(cs)
+                    idx.extend([i] * len(cs))
+                yield pd.DataFrame(
+                    {
+                        "_pcell": np.asarray(cells, dtype=np.int64),
+                        "query_id": pdf["query_id"].to_numpy()[idx],
+                        "_qlon": qx[idx],
+                        "_qlat": qy[idx],
+                    }
+                )
+
+        return gen
+
+    def merge_gen(shift: int, cap: int):
+        """Fold the round's distinct cover cells into one coalesced
+        global range list, executor-side — output is <= cap rows
+        regardless of query count."""
+
+        def gen(it):
+            import numpy as np
+            import pandas as pd
+
+            parts = [pdf["_pcell"].to_numpy() for pdf in it if len(pdf)]
+            if not parts:
+                return
+            cs = np.unique(np.concatenate(parts))
+            merged = _coalesce_ranges(
+                ((int(c) << shift, ((int(c) + 1) << shift) - 1) for c in cs), cap
+            )
+            yield pd.DataFrame(
+                {
+                    "lo": [m[0] for m in merged],
+                    "hi": [m[1] for m in merged],
+                }
+            )
+
+        return gen
+
+    for _ in range(max_rounds):
+        if n_pending == 0:
+            break
+        lv = _cover_level(be, r_km, level, target_cells_across)
+        covers = pending.mapInPandas(
+            cover_gen(lv, float(km_to_deg(r_km))), cover_schema
+        ).localCheckpoint(eager=False)
+        ranges = [
+            (int(r["lo"]), int(r["hi"]))
+            for r in covers.select("_pcell")
+            .distinct()
+            .coalesce(1)
+            .mapInPandas(merge_gen(2 * (level - lv), max_scan_ranges), "lo long, hi long")
+            .collect()
+        ]
+        cand_raw, _stats = read_pruned(spark, path, ranges)
+        cov = covers
+        if n_pending * target_cells_across**2 <= broadcast_cells:
+            cov = F.broadcast(cov)
+        cand = cand_raw.withColumn(
+            "_pcell", F.shiftright(F.col(CELL_COL), 2 * (level - lv))
+        ).join(cov, "_pcell")
+        ranked = (
+            cand.withColumn(
+                "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+            .localCheckpoint(eager=False)
+        )
+        summ = ranked.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("dist_km").alias("_dmax")
+        )
+        accepted_ids = summ.where(
+            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(float(r_km)))
+        ).select("query_id")
+        accepted.append(
+            ranked.join(F.broadcast(accepted_ids), "query_id").select(
+                "query_id", id_col, "dist_km", "rank"
+            )
+        )
+        pending = pending.join(
+            F.broadcast(accepted_ids), "query_id", "left_anti"
+        ).localCheckpoint(eager=False)
+        n_pending = pending.count()
+        r_km = min(r_km * 2.0, r_cap)
+
+    if n_pending:
+        # stragglers (sparse regions / n_total < k): exact brute force
+        # over the listed files, broadcasting the smaller side
+        p = _read_listed(spark, path).select(id_col, lon, lat)
+        if n_total <= n_pending:
+            fb_cand = pending.crossJoin(F.broadcast(p))
+        else:
+            fb_cand = p.crossJoin(F.broadcast(pending))
+        fb = (
+            fb_cand.withColumn(
+                "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", id_col, "dist_km", "rank")
+        )
+        accepted.append(fb.localCheckpoint(eager=True))
+
+    if not accepted:
+        return spark.createDataFrame([], out_schema)
+    out = accepted[0]
+    for df in accepted[1:]:
+        out = out.unionAll(df)
+    return out
+
+
 def clustered_knn(
     spark: SparkSession,
     path: str,
@@ -449,71 +677,17 @@ def clustered_knn(
     lat: str = "lat",
     max_rounds: int = 10,
 ):
-    """Exact kNN over the clustered table (small-query-list surface,
-    like knn_join's driver-list path): per round a query circle of
-    radius R is covered, the cover's id ranges prune the scan (manifest
-    files + pushed row groups), exact haversine ranks the candidates,
-    and the answer is accepted when the k-th distance <= R — sound
-    because cover_ranges is a superset of the ball(R) membership, so
-    all true neighbors within R were candidates. Otherwise R doubles;
-    the cap radius covers the globe, making the last round a (pruned)
-    full scan.
-
-    Returns (query_id, <id_col>, dist_km, rank), ties on <id_col> —
-    the same contract as operators.knn.knn_join."""
-    from pyspark.sql import Window
-
-    from spatial4n_spark.functions.native import haversine_km
-    from spatial4n_spark.operators.knn import _initial_cover_radius_km
-
-    man = load_manifest(path)
-    level = int(man["level"])
-    n_total = sum(e["rows"] for e in man["files"])
-    r0, r_cap = _initial_cover_radius_km(n_total, k)
-    id_dt = spark.read.parquet(path).schema[id_col].dataType.simpleString()
-
-    parts = []
-    for qid, qlon, qlat in queries:
-        r = r0
-        for round_i in range(max_rounds):
-            if round_i == max_rounds - 1:
-                # last permitted round: probe at the cap radius (a
-                # 180-degree circle covers the globe, so the pruned scan
-                # degenerates to the full table and acceptance is
-                # unconditional — the brute-force fallback the ring kNN
-                # paths use, expressed through the same cover machinery).
-                # Without this, a sparse-region query could exhaust its
-                # rounds and silently emit the last cover's k best
-                # instead of the true k nearest.
-                r = r_cap
-            circle = Circle(float(qlon), float(qlat), float(km_to_deg(r)), geo=True)
-            ranges = cover_ranges(circle, level)
-            cand, _ = read_pruned(spark, path, ranges)
-            top = (
-                cand.withColumn(
-                    "dist_km",
-                    haversine_km(
-                        F.col(lon), F.col(lat), F.lit(float(qlon)), F.lit(float(qlat))
-                    ),
-                )
-                .orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
-                .limit(k)
-                .collect()
-            )
-            if (len(top) >= k and top[k - 1]["dist_km"] <= r) or r >= r_cap:
-                break
-            r = min(r * 2.0, r_cap)
-        parts.extend(
-            (str(qid), row[id_col], float(row["dist_km"]), i + 1)
-            for i, row in enumerate(top)
-        )
-    out = spark.createDataFrame(
-        parts, f"query_id string, {id_col} {id_dt}, dist_km double, rank int"
+    """Driver-list convenience surface over ``clustered_knn_df`` — the
+    old per-query collect loop is gone; a list of (query_id, lon, lat)
+    tuples becomes a query DataFrame and runs through the same
+    constant-jobs-per-round plan a 10^5-query batch would use."""
+    qdf = spark.createDataFrame(
+        [(str(q), float(x), float(y)) for q, x, y in queries],
+        "query_id string, qlon double, qlat double",
     )
-    # rebuild rank deterministically (defensive: limit+collect preserved
-    # the sort, but the window makes the contract explicit)
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col(id_col).asc())
-    return out.withColumn("rank", F.row_number().over(w))
+    return clustered_knn_df(
+        spark, path, qdf, k, id_col=id_col, lon=lon, lat=lat, max_rounds=max_rounds
+    )
 
 
 def clustered_candidates(

@@ -1,5 +1,8 @@
 """Large-query-set kNN capacity smoke: 10^5 queries through the
-DataFrame-native path (operators.knn.knn_join_df).
+DataFrame-native path (operators.knn.knn_join_df), or — with
+--layout clustered — through the manifest-pruned clustered layout
+(io.clustered.clustered_knn_df), evidencing that the storage path's
+kNN also keeps per-query state off the driver.
 
 Evidence for VERDICT round-2 item 2: no per-query structure crosses the
 driver — query coords are generated distributed (spark.range ->
@@ -54,6 +57,7 @@ def main() -> int:
     ap.add_argument("--queries", type=str, default="10000,100000")
     ap.add_argument("--k", type=int, default=5)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--layout", choices=["flat", "clustered"], default="flat")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,18 +76,36 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     points = images_df(spark, args.points, with_bytes=False, partitions=args.cpus * 2)
+    table = None
+    if args.layout == "clustered":
+        import tempfile
+
+        from spatial4n_spark.io.clustered import write_clustered
+
+        table = tempfile.mkdtemp(prefix="knn_cap_clustered_")
+        t0 = time.time()
+        write_clustered(points, table, level=14, files=args.cpus * 2)
+        print(f"# clustered build: {time.time() - t0:.1f}s", file=sys.stderr)
     levels = []
     for nq in (int(x) for x in args.queries.split(",")):
         q = query_frame(spark, nq)
         t0 = time.time()
-        out = knn_join_df(
-            points,
-            q,
-            k=args.k,
-            estimated_total=args.points,
-            broadcast_cells=0,  # force the at-scale shuffle-join plan
-            debug=bool(int(__import__("os").environ.get("KNN_DEBUG", "0"))),
-        )
+        if args.layout == "clustered":
+            from spatial4n_spark.io.clustered import clustered_knn_df
+
+            out = clustered_knn_df(
+                spark, table, q, k=args.k, id_col="image_id",
+                broadcast_cells=0,  # force the at-scale shuffle-join plan
+            )
+        else:
+            out = knn_join_df(
+                points,
+                q,
+                k=args.k,
+                estimated_total=args.points,
+                broadcast_cells=0,  # force the at-scale shuffle-join plan
+                debug=bool(int(__import__("os").environ.get("KNN_DEBUG", "0"))),
+            )
         n_out = out.count()
         dt = time.time() - t0
         rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
@@ -99,7 +121,12 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "bench": "knn_join_df capacity (DataFrame-native, shuffle-join rounds)",
+                "bench": (
+                    "clustered_knn_df capacity (manifest-pruned, shuffle-join rounds)"
+                    if args.layout == "clustered"
+                    else "knn_join_df capacity (DataFrame-native, shuffle-join rounds)"
+                ),
+                "layout": args.layout,
                 "points": args.points,
                 "k": args.k,
                 "cpus": args.cpus,
