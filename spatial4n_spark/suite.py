@@ -1551,6 +1551,42 @@ def sql_tile_stats_all() -> str:
     )
 
 
+_BUCKETED_TABLES: set[str] = set()
+
+
+def q_tile_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell aggregation over the BUCKETED table layout
+    (io.tables.write_bucketed): bucketBy(cell) + sortBy(cell) records a
+    HashPartitioning in the table metadata, so this groupBy(cell) reads
+    pre-shuffled buckets with ZERO Exchange (plan-asserted in
+    tests/test_tiled_tables.py). Oracle = the geohash tile_stats SQL —
+    the layout changes the plan, never the rows. The table is written
+    once per (session, sf tier); at design scale it is the
+    Iceberg-bucket-transform table a metastore would already hold."""
+    import hashlib
+
+    from spatial4n_spark.io.tables import write_bucketed
+
+    tbl = "s4n_bucketed_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if tbl not in _BUCKETED_TABLES or not spark.catalog.tableExists(tbl):
+        import os
+        import tempfile
+
+        path = os.path.join(tempfile.gettempdir(), "spatial4n_bucketed", tbl)
+        write_bucketed(
+            pts_lineitem(spark, sf_dir), tbl, path, buckets=16, level=3
+        )
+        _BUCKETED_TABLES.add(tbl)
+    return (
+        spark.table(tbl)
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_linenumber").cast("long").alias("sum_l_linenumber"),
+        )
+    )
+
+
 def q_pip_join_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship PIP join through the S2 and H3 cover planners under
     one `backend` column — join results are index-invariant, so the
@@ -1651,6 +1687,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "pip_join_cover": q_pip_join_cover,
     "pip_join_backends": q_pip_join_backends,
     "tile_stats": q_tile_stats_all,
+    "tile_stats_bucketed": q_tile_stats_bucketed,
     "cell_assign": q_cell_assign_all,
     "radius_join": q_radius_join,
     "radius_join_backends": q_radius_join_backends,
@@ -1701,6 +1738,7 @@ def spatial_oracles() -> dict[str, str]:
                 "knn_df": sql_knn(),
                 "knn_backends": _sql_tag_union(sql_knn(), ["s2", "h3", "s2_df"]),
                 "tile_stats": sql_tile_stats_all(),
+                "tile_stats_bucketed": sql_tile_stats(),
                 "cell_assign": sql_cell_assign_all(),
                 "radius_join": sql_radius_join(),
                 "radius_join_backends": _sql_tag_union(

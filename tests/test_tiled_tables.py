@@ -104,3 +104,26 @@ def test_bucketed_tables_join_and_agg_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_bcast)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_gate_bucketed_tile_stats_zero_exchange(spark, sf_dir):
+    """The tile_stats_bucketed gate row must aggregate with ZERO
+    Exchange (the bucketed layout's whole point) and match the salted
+    two-phase tile_stats rows exactly."""
+    from spatial4n_spark.operators.tiles import tile_stats
+    from spatial4n_spark.suite import pts_lineitem, q_tile_stats_bucketed
+
+    out = q_tile_stats_bucketed(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(
+        map(
+            tuple,
+            tile_stats(
+                pts_lineitem(spark, sf_dir), level=3, salt_buckets=8,
+                salt_col="l_partkey", sum_col="l_linenumber",
+            ).collect(),
+        )
+    )
+    assert got == want
