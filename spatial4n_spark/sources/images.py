@@ -21,10 +21,15 @@ Image payloads:
                the decoder implements all five scanline filters, so
                foreign PNGs of this variant decode too. Lossless
                round-trip, byte output opens in any viewer.
-- fmt='jpg'  : STUB lossy container — 8-byte magic + payload quantized to
-               a step of 4 (deterministic 'lossy' transform), giving a
-               true PSNR of ~48 dB against the original, which exercises
-               the PSNR >= 40 dB invariant with real math.
+- fmt='jpg'  : REAL baseline JFIF JPEG (io.jpeg — stdlib+numpy, no
+               image library): Annex-K Huffman + quantization tables at
+               quality 98, 4:4:4 YCbCr, byte stuffing; opens in any
+               viewer. Worst-case (uniform-noise payload) PSNR ~42 dB,
+               exercising the >= 40 dB invariant with a real DCT codec.
+               The lossy math uses fixed-order summation, so decoded
+               pixels are still bit-exactly recomputable by the DuckDB
+               oracle (oracles_images mirrors the FDCT->quant->IDCT
+               chain; Huffman is lossless and engine-only).
 """
 
 from __future__ import annotations
@@ -39,7 +44,6 @@ IMAGES_SCHEMA = (
     "caption string, phash long, lon double, lat double"
 )
 
-_JPG_MAGIC = b"S4NJPG\x00\x01"
 _FMTS = ("png", "jpg", "raw")
 
 
@@ -193,14 +197,14 @@ def png_decode(buf: bytes) -> np.ndarray:
 
 
 def _encode_payload(rgb: np.ndarray, fmt: str) -> bytes:
-    raw = rgb.tobytes()
     if fmt == "raw":
-        return raw
+        return rgb.tobytes()
     if fmt == "png":
         return png_encode(rgb)
     if fmt == "jpg":
-        q = (rgb.astype(np.int16) // 4 * 4).astype(np.uint8)  # lossy quantization
-        return _JPG_MAGIC + q.tobytes()
+        from spatial4n_spark.io.jpeg import jpeg_encode
+
+        return jpeg_encode(rgb)
     raise ValueError(fmt)
 
 
@@ -209,26 +213,34 @@ def decode_image_batch(buf_list, w: np.ndarray, h: np.ndarray, fmt_list) -> list
 
     The decode twin of ``_encode_payload``: 'png' runs the REAL PNG
     decoder above (chunk walk + zlib inflate + defilter); 'raw' is a
-    buffer view; 'jpg' remains the disclosed stub container (a real
-    deployment swaps in libjpeg there — the engine plumbing, mapInArrow
-    batching, schema, and PSNR gate do not change).
+    buffer view; 'jpg' runs the REAL baseline JPEG decoder (io.jpeg),
+    batched: every jpg payload in the batch goes through ONE
+    SIMD-across-images Huffman decode + ONE group IDCT.
     """
-    out = []
-    for buf, wi, hi, fmt in zip(buf_list, w, h, fmt_list):
+    out: list[np.ndarray | None] = [None] * len(buf_list)
+    jpg_idx: list[int] = []
+    jpg_bufs: list[bytes] = []
+    for i, (buf, wi, hi, fmt) in enumerate(zip(buf_list, w, h, fmt_list)):
         b = bytes(buf)
         if fmt == "png":
             arr = png_decode(b)
             if arr.shape != (int(hi), int(wi), 3):
                 raise ValueError("png dims disagree with metadata")
-            out.append(arr)
-            continue
+            out[i] = arr
         elif fmt == "jpg":
-            if not b.startswith(_JPG_MAGIC):
-                raise ValueError("bad jpg stub magic")
-            b = b[len(_JPG_MAGIC):]
-        arr = np.frombuffer(b, dtype=np.uint8)
-        out.append(arr.reshape(int(hi), int(wi), 3))
-    return out
+            jpg_idx.append(i)
+            jpg_bufs.append(b)
+        else:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            out[i] = arr.reshape(int(hi), int(wi), 3)
+    if jpg_idx:
+        from spatial4n_spark.io.jpeg import jpeg_decode_batch
+
+        for i, arr in zip(jpg_idx, jpeg_decode_batch(jpg_bufs)):
+            if arr.shape != (int(h[i]), int(w[i]), 3):
+                raise ValueError("jpg dims disagree with metadata")
+            out[i] = arr
+    return out  # type: ignore[return-value]
 
 
 def _gen_batch(ids: np.ndarray, with_bytes: bool, cell_level: int | None = None) -> pa.RecordBatch:
@@ -254,13 +266,25 @@ def _gen_batch(ids: np.ndarray, with_bytes: bool, cell_level: int | None = None)
     fmts = [_FMTS[int(k)] for k in fmt_idx]
 
     if with_bytes:
-        payloads = []
-        for i, wi, hi, fmt in zip(ids, w, h, fmts):
+        payloads: list[bytes | None] = [None] * n
+        jpg_pos: list[int] = []
+        jpg_rgbs: list[np.ndarray] = []
+        for k, (i, wi, hi, fmt) in enumerate(zip(ids, w, h, fmts)):
             npix = int(wi) * int(hi) * 3
             # deterministic pixel noise from the row index
             pix = _mix64(np.arange(npix, dtype=np.uint64) + np.uint64(int(i)) * np.uint64(0x1F123))
             rgb = (pix & np.uint64(0xFF)).astype(np.uint8).reshape(int(hi), int(wi), 3)
-            payloads.append(_encode_payload(rgb, fmt))
+            if fmt == "jpg":
+                # batched: one FDCT+quant pass over every jpg in the chunk
+                jpg_pos.append(k)
+                jpg_rgbs.append(rgb)
+            else:
+                payloads[k] = _encode_payload(rgb, fmt)
+        if jpg_pos:
+            from spatial4n_spark.io.jpeg import jpeg_encode_batch
+
+            for k, buf in zip(jpg_pos, jpeg_encode_batch(jpg_rgbs)):
+                payloads[k] = buf
     else:
         payloads = [b""] * n
 

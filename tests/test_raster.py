@@ -30,7 +30,7 @@ def test_decode_psnr_and_caption(spark, images):
     assert len(out) == N
     # caption equality: byte-exact for every row (input_hint invariant)
     assert out["caption_ok"].all()
-    # lossless formats reconstruct exactly; lossy stub stays >= 40 dB
+    # lossless formats reconstruct exactly; real JPEG stays >= 40 dB
     lossless = out[out["fmt"].isin(["raw", "png"])]
     assert (lossless["psnr_db"] == 999.0).all()
     lossy = out[out["fmt"] == "jpg"]
@@ -40,9 +40,11 @@ def test_decode_psnr_and_caption(spark, images):
 
 
 def test_decode_psnr_matches_numpy_oracle(spark, images):
-    """PSNR of the quantization stub = 10*log10(255^2/mse) with mse from
-    the exact quantization error — recomputed independently here."""
+    """PSNR of the real JPEG codec = 10*log10(255^2/mse) with mse from
+    the entropy-free quant-chain reference — recomputed independently
+    here (Huffman is lossless, so decode == quant_chain_rgb(source))."""
     out = decode_check(images, level=4).where(F.col("fmt") == "jpg").toPandas()
+    from spatial4n_spark.io.jpeg import quant_chain_rgb
     from spatial4n_spark.operators.raster import _psnr_db, _reference_pixels
 
     sample = out.sample(n=min(20, len(out)), random_state=0)
@@ -50,8 +52,8 @@ def test_decode_psnr_matches_numpy_oracle(spark, images):
         iid = row["image_id"]
         img_row = images.where(F.col("image_id") == iid).collect()[0]
         ref = _reference_pixels(iid, img_row["w"], img_row["h"])
-        quant = (ref.astype(np.int16) // 4 * 4).astype(np.uint8)
-        assert row["psnr_db"] == pytest.approx(_psnr_db(quant, ref), abs=1e-9)
+        dec = quant_chain_rgb(ref)
+        assert row["psnr_db"] == pytest.approx(_psnr_db(dec, ref), abs=1e-9)
 
 
 def test_chip_tiling_geometry(spark, images):
