@@ -343,16 +343,51 @@ def cover_ranges(
 def _coalesce_ranges(ranges, max_ranges: int) -> list[tuple[int, int]]:
     """Merge overlapping/adjacent runs, then swallow the SMALLEST
     inter-run gaps until at most ``max_ranges`` remain — widening
-    (extra candidate ids), never narrowing."""
-    merged = _merge_ranges(ranges)
-    while len(merged) > max_ranges:
-        gi = min(
-            range(len(merged) - 1),
-            key=lambda i: merged[i + 1][0] - merged[i][1],
+    (extra candidate ids), never narrowing.
+
+    Merging two runs never changes any other inter-run gap, so the
+    greedy swallow-min loop is equivalent to one shot: keep the
+    ``max_ranges - 1`` LARGEST gaps as the surviving breaks ((gap,
+    index) lexsort reproduces the loop's first-minimal tie-break
+    exactly).  That makes this O(n log n) vectorized instead of the
+    former O(n^2) Python scan — the former dominated large-batch kNN
+    planning, where a 10k-query round can fold >10^5 cover cells."""
+    import numpy as np
+
+    rs = ranges if isinstance(ranges, (list, tuple)) else list(ranges)
+    if not len(rs):
+        return []
+    lo = np.fromiter((r[0] for r in rs), dtype=np.int64, count=len(rs))
+    hi = np.fromiter((r[1] for r in rs), dtype=np.int64, count=len(rs))
+    return _coalesce_ranges_np(lo, hi, max_ranges)
+
+
+def _coalesce_ranges_np(lo, hi, max_ranges: int) -> list[tuple[int, int]]:
+    """Vectorized core of ``_coalesce_ranges`` over int64 arrays."""
+    import numpy as np
+
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    cmax = np.maximum.accumulate(hi)
+    new = np.empty(len(lo), dtype=bool)
+    new[0] = True
+    new[1:] = lo[1:] > cmax[:-1] + 1
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:] - 1, len(lo) - 1)
+    mlo, mhi = lo[starts], cmax[ends]
+    n = len(mlo)
+    if n > max_ranges:
+        gaps = mlo[1:] - mhi[:-1]
+        k = max_ranges - 1
+        gorder = np.lexsort((np.arange(len(gaps)), gaps))
+        keep = (
+            np.sort(gorder[len(gaps) - k:]) if k > 0
+            else np.empty(0, dtype=np.int64)
         )
-        merged[gi][1] = merged[gi + 1][1]
-        del merged[gi + 1]
-    return [(lo, hi) for lo, hi in merged]
+        s = np.concatenate(([0], keep + 1))
+        e = np.concatenate((keep, [n - 1]))
+        mlo, mhi = mlo[s], mhi[e]
+    return [(int(a), int(b)) for a, b in zip(mlo, mhi)]
 
 
 def _auto_cover_level(shape, cluster_level: int) -> int:
@@ -470,63 +505,148 @@ def clustered_knn_df(
     target_cells_across: float = 8.0,
     broadcast_cells: int = 200_000,
     max_scan_ranges: int = 64,
+    debug: bool = False,
 ) -> DataFrame:
     """Exact kNN over the clustered layout with the QUERY SET AS A
     DATAFRAME — the manifest-pruned twin of ``knn_join_cover_df``
-    (operators/knn.py), replacing the old per-query driver loop whose
-    one-job-per-query-per-round scheduling overhead dominated at large
-    query counts regardless of cluster size.
+    (operators/knn.py), density-adaptive against the clustered-data
+    trap (the same trap ``knn_join_df`` documents: one GLOBAL radius
+    serves neither hot-cluster queries — which re-pull a whole city per
+    query — nor ocean queries, which under a doubling global radius
+    eventually drag continent-sized candidate sets through the join).
 
-    Every pending query shares the round radius R (r0 doubling on
-    survival; density skew is handled by the exact acceptance check),
-    so each round is a CONSTANT number of Spark jobs no matter how many
-    queries are pending:
+    Per query, per round:
 
-    1. circle covers planned DISTRIBUTED per query in ``mapInPandas``
-       (one level-lv S2 cover per pending query — nothing per-query on
-       the driver);
-    2. the round's GLOBAL id-range set is folded executor-side from the
-       distinct cover cells (prefix-property ranges, coalesced to at
-       most ``max_scan_ranges`` runs) — the only thing collected is
-       that bounded range list, which prunes manifest files driver-side
-       (Iceberg-style scan planning) and is pushed as the row-group
-       BETWEEN disjunction;
-    3. candidates come from one equi-join of the pruned scan's
-       prefix-shifted coarse cell against the covers (broadcast under a
+    1. a counts PYRAMID (one cells-only aggregate over the manifest-
+       listed scan — the cell column is the table's sort key, so this is
+       a single pruned-column pass — rolled up coarse via the Hilbert
+       prefix property) gives each query the finest pyramid level whose
+       own cell already holds ~``thr_sel`` points; its first-round
+       radius targets ~``thr`` candidates AT ITS LOCAL DENSITY, so
+       dense-cluster queries search small circles and sparse queries
+       search big ones, both pulling O(thr) candidates;
+    2. circle covers are planned for the whole pending set in ONE
+       vectorized BFS per active cover level
+       (``plans.s2cover.s2_circle_covers_batch`` — bbox-superset of the
+       exact cover, so acceptance stays exact) inside ``mapInPandas`` —
+       nothing per-query on the driver;
+    3. per active cover level, the cover cells fold into coalesced
+       global id-range lists (bounded: <= ``max_scan_ranges`` per
+       level) that prune manifest files driver-side and push the
+       row-group BETWEEN disjunction — the Iceberg-style scan planning
+       this layout exists for — and candidates come from one
+       prefix-shifted equi-join per active level (broadcast under a
        size bound, else shuffle-by-cell);
-    4. acceptance (n >= k and k-th distance <= R — sound because the
-       cover is a superset of ball(R)) is aggregate + anti-join.
+    4. acceptance (n >= k and k-th distance <= that query's own radius
+       — sound because the cover is a superset of ball(r_q)) is
+       aggregate + anti-join; survivors double their radius.
 
-    Per-query covers refine the global ranges, so pruning widens
-    candidates but never results. Stragglers after ``max_rounds`` (or
+    Every round is a CONSTANT number of Spark jobs no matter how many
+    queries are pending.  Stragglers after ``max_rounds`` (or
     n_total < k) fall back to exact brute force over the listed files.
     Returns (query_id, <id_col>, dist_km, rank), ties on <id_col> —
     the same contract as operators.knn.knn_join."""
+    import sys
+
     from pyspark.sql import Window
 
-    from spatial4n_spark.cellindex import cell_backend
-    from spatial4n_spark.functions.native import haversine_km
-    from spatial4n_spark.operators.knn import (
-        _cover_level,
-        _initial_cover_radius_km,
-    )
+    from spatial4n_spark.kernels.distance import deg_to_km
 
     man = load_manifest(path)
     level = int(man["level"])
     n_total = sum(e["rows"] for e in man["files"])
-    be = cell_backend("s2")
-    r_km, r_cap = _initial_cover_radius_km(n_total, k)
+    r_cap_km = float(deg_to_km(180.0))
+    thr_sel = float(max(8, 2 * k))
+    thr = float(max(32, 4 * k))
 
     qid_type = queries.schema[query_id].dataType.simpleString()
     id_type = _read_listed(spark, path).schema[id_col].dataType.simpleString()
     out_schema = f"query_id {qid_type}, {id_col} {id_type}, dist_km double, rank int"
-    cover_schema = f"_pcell long, query_id {qid_type}, _qlon double, _qlat double"
+    cover_schema = (
+        f"_lv int, _pcell long, query_id {qid_type}, "
+        "_qlon double, _qlat double, _r double"
+    )
 
-    pending = queries.select(
+    # --- counts pyramid: local density at a ladder of cell sizes -------
+    max_p = min(level, 12)
+    pyr = [lv for lv in range(max_p, 1, -2)][::-1][-5:]  # coarse -> fine, <= 5
+    cnt = (
+        _read_listed(spark, path)
+        .select(F.shiftright(F.col(CELL_COL), 2 * (level - max_p)).alias("_c"))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
+    )
+
+    def _qcell_gen(it):
+        import pandas as pd
+
+        from spatial4n_spark.kernels.s2cell import s2_encode
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.copy()
+            pdf["_qc"] = s2_encode(
+                pdf["_qlat"].to_numpy(), pdf["_qlon"].to_numpy(), max_p
+            )
+            yield pdf
+
+    q0 = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(qlon).cast("double").alias("_qlon"),
         F.col(qlat).cast("double").alias("_qlat"),
-    ).localCheckpoint(eager=False)
+    )
+    q0 = q0.mapInPandas(
+        _qcell_gen,
+        f"query_id {qid_type}, _qlon double, _qlat double, _qc long",
+    )
+    for lv in pyr:
+        cnt_lv = cnt.groupBy(
+            F.shiftright(F.col("_c"), 2 * (max_p - lv)).alias(f"_qc{lv}")
+        ).agg(F.sum("_n").alias(f"_n{lv}"))
+        q0 = q0.withColumn(f"_qc{lv}", F.shiftright(F.col("_qc"), 2 * (max_p - lv)))
+        q0 = q0.join(cnt_lv, f"_qc{lv}", "left").drop(f"_qc{lv}")
+
+    # finest pyramid level whose own cell holds ~thr_sel points; its
+    # radius targets ~thr candidates at that cell's density.  Queries
+    # with no such level (globally sparse neighborhoods) start at 1.5x
+    # the coarsest pyramid cell and escalate by doubling.
+    size_deg = {lv: 90.0 / float(1 << lv) for lv in pyr}
+    lvl_expr = F.lit(pyr[0])
+    sel_ok = F.lit(False)
+    for lv in pyr:
+        got = F.coalesce(F.col(f"_n{lv}"), F.lit(0)) >= F.lit(thr_sel)
+        lvl_expr = F.when(got, F.lit(lv)).otherwise(lvl_expr)
+        sel_ok = sel_ok | got
+    nsel = F.lit(None).cast("long")
+    for lv in pyr:
+        nsel = F.when(F.col("_lvl") == lv, F.col(f"_n{lv}")).otherwise(nsel)
+    size_expr = F.lit(None).cast("double")
+    for lv in pyr:
+        size_expr = F.when(F.col("_lvl") == lv, F.lit(size_deg[lv])).otherwise(size_expr)
+    r_deg_expr = F.when(
+        F.col("_sel"),
+        size_expr
+        * F.sqrt(
+            F.lit(thr)
+            / (F.lit(math.pi) * F.greatest(nsel, F.lit(1)).cast("double"))
+        ),
+    ).otherwise(F.lit(1.5 * size_deg[pyr[0]]))
+    r_km_expr = F.least(
+        F.greatest(
+            r_deg_expr * F.lit(float(deg_to_km(1.0))),
+            F.lit(float(deg_to_km(4.0 * 90.0 / float(1 << level)))),
+        ),
+        F.lit(r_cap_km),
+    )
+    pending = (
+        q0.withColumn("_lvl", lvl_expr)
+        .withColumn("_sel", sel_ok)
+        .withColumn("_r", r_km_expr)
+        .select("query_id", "_qlon", "_qlat", "_r")
+        .localCheckpoint(eager=False)
+    )
     n_pending = pending.count()
 
     accepted: list[DataFrame] = []
@@ -534,113 +654,162 @@ def clustered_knn_df(
         F.col("dist_km").asc(), F.col(id_col).asc()
     )
 
-    def cover_gen(lv: int, r_deg: float):
-        def gen(it):
-            import numpy as np
-            import pandas as pd
+    def cover_gen(it):
+        import numpy as np
+        import pandas as pd
 
-            from spatial4n_spark.cellindex import cell_backend as _cb
-            from spatial4n_spark.kernels.polygon import Circle as _Circle
+        from spatial4n_spark.kernels.distance import km_to_deg as _k2d
+        from spatial4n_spark.plans.s2cover import s2_circle_covers_batch
 
-            be_w = _cb("s2")
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                qx = pdf["_qlon"].to_numpy()
-                qy = pdf["_qlat"].to_numpy()
-                cells: list = []
-                idx: list[int] = []
-                for i in range(len(pdf)):
-                    fulls, bounds = be_w.cover(
-                        _Circle(float(qx[i]), float(qy[i]), r_deg, geo=True), lv
-                    )
-                    cs = fulls + bounds
-                    cells.extend(cs)
-                    idx.extend([i] * len(cs))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qx = pdf["_qlon"].to_numpy()
+            qy = pdf["_qlat"].to_numpy()
+            r_km = pdf["_r"].to_numpy()
+            r_deg = np.asarray(_k2d(r_km), dtype=np.float64)
+            want = 2.0 * r_deg / target_cells_across
+            lv_arr = np.clip(
+                np.floor(np.log2(90.0 / np.maximum(want, 1e-12))), 1, level
+            ).astype(np.int64)
+            # quantize DOWN to even levels (coarser -> still a sound
+            # superset): halves the distinct-level fan-out the round's
+            # explode pays, for <= ~1.4x candidate-bbox growth
+            lv_arr = np.minimum(lv_arr & ~np.int64(1), level)
+            for u in np.unique(lv_arr):
+                m = lv_arr == u
+                qi, cells = s2_circle_covers_batch(qx[m], qy[m], r_deg[m], int(u))
+                src = np.flatnonzero(m)[qi]
                 yield pd.DataFrame(
                     {
-                        "_pcell": np.asarray(cells, dtype=np.int64),
-                        "query_id": pdf["query_id"].to_numpy()[idx],
-                        "_qlon": qx[idx],
-                        "_qlat": qy[idx],
+                        "_lv": np.full(len(cells), int(u), dtype=np.int32),
+                        "_pcell": cells,
+                        "query_id": pdf["query_id"].to_numpy()[src],
+                        "_qlon": qx[src],
+                        "_qlat": qy[src],
+                        "_r": r_km[src],
                     }
                 )
 
-        return gen
+    def merge_gen(it):
+        """Fold cover cells into coalesced table-level ranges PER
+        PARTITION (<= max_scan_ranges rows per active level each) — the
+        driver then merges the bounded partials, so no single task ever
+        funnels the whole distinct cell set."""
+        import numpy as np
+        import pandas as pd
 
-    def merge_gen(shift: int, cap: int):
-        """Fold the round's distinct cover cells into one coalesced
-        global range list, executor-side — output is <= cap rows
-        regardless of query count."""
-
-        def gen(it):
-            import numpy as np
-            import pandas as pd
-
-            parts = [pdf["_pcell"].to_numpy() for pdf in it if len(pdf)]
-            if not parts:
-                return
-            cs = np.unique(np.concatenate(parts))
-            merged = _coalesce_ranges(
-                ((int(c) << shift, ((int(c) + 1) << shift) - 1) for c in cs), cap
+        frames = [pdf for pdf in it if len(pdf)]
+        if not frames:
+            return
+        allf = pd.concat(frames, ignore_index=True)
+        for u in np.unique(allf["_lv"].to_numpy()):
+            cs = np.unique(allf.loc[allf["_lv"] == u, "_pcell"].to_numpy())
+            shift = 2 * (level - int(u))
+            merged = _coalesce_ranges_np(
+                cs << shift, ((cs + 1) << shift) - 1, max_scan_ranges
             )
             yield pd.DataFrame(
                 {
+                    "_lv": np.full(len(merged), int(u), dtype=np.int32),
                     "lo": [m[0] for m in merged],
                     "hi": [m[1] for m in merged],
                 }
             )
 
-        return gen
-
-    for _ in range(max_rounds):
+    rounds = max_rounds if n_total >= k else 0
+    for rnd in range(rounds):
         if n_pending == 0:
             break
-        lv = _cover_level(be, r_km, level, target_cells_across)
-        covers = pending.mapInPandas(
-            cover_gen(lv, float(km_to_deg(r_km))), cover_schema
-        ).localCheckpoint(eager=False)
-        ranges = [
-            (int(r["lo"]), int(r["hi"]))
-            for r in covers.select("_pcell")
+        if rnd >= 1 and n_pending * n_total <= 50_000_000:
+            # a handful of stragglers after the cover round: one
+            # broadcast brute-force job beats a whole extra round of
+            # cover/prune/join stages (bounded: <= 5e7 comparisons)
+            break
+        covers = pending.mapInPandas(cover_gen, cover_schema).localCheckpoint(
+            eager=False
+        )
+        rng_rows = (
+            covers.select("_lv", "_pcell")
             .distinct()
-            .coalesce(1)
-            .mapInPandas(merge_gen(2 * (level - lv), max_scan_ranges), "lo long, hi long")
+            .mapInPandas(merge_gen, "_lv int, lo long, hi long")
             .collect()
-        ]
-        cand_raw, _stats = read_pruned(spark, path, ranges)
+        )
+        partials: dict[int, list[tuple[int, int]]] = {}
+        for r in rng_rows:
+            partials.setdefault(int(r["_lv"]), []).append((int(r["lo"]), int(r["hi"])))
+        by_lv = {
+            u: _coalesce_ranges(rs, max_scan_ranges) for u, rs in partials.items()
+        }
+        if debug:
+            print(
+                f"clustered_knn_df round {rnd}: pending={n_pending} "
+                f"levels={sorted(by_lv)}",
+                file=sys.stderr,
+            )
+        # ONE pruned scan (union of every level's ranges) and ONE join:
+        # each scan row explodes into its (level, prefix-cell) pair per
+        # ACTIVE level — all codegen — so the round costs one table read
+        # and one shuffle/broadcast regardless of how many cover levels
+        # this round's radius spread produced
+        active = sorted(by_lv)
+        ranges_all = _coalesce_ranges(
+            (t for rs in by_lv.values() for t in rs), 2 * max_scan_ranges
+        )
+        scan_rnd, _stats = read_pruned(spark, path, ranges_all)
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(u).cast("int").alias("_lv"),
+                        F.shiftright(F.col(CELL_COL), 2 * (level - u)).alias(
+                            "_pcell"
+                        ),
+                    )
+                    for u in active
+                ]
+            )
+        )
         cov = covers
         if n_pending * target_cells_across**2 <= broadcast_cells:
             cov = F.broadcast(cov)
-        cand = cand_raw.withColumn(
-            "_pcell", F.shiftright(F.col(CELL_COL), 2 * (level - lv))
-        ).join(cov, "_pcell")
+        cand = (
+            scan_rnd.withColumn("_p", pairs)
+            .withColumn("_lv", F.col("_p._lv"))
+            .withColumn("_pcell", F.col("_p._pcell"))
+            .drop("_p")
+            .join(cov, ["_lv", "_pcell"])
+        )
         ranked = (
             cand.withColumn(
                 "dist_km", haversine_km(F.col(lon), F.col(lat), "_qlon", "_qlat")
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .select("query_id", id_col, "dist_km", "rank")
+            .select("query_id", id_col, "dist_km", "rank", "_r")
             .localCheckpoint(eager=False)
         )
         summ = ranked.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("_n"), F.max("dist_km").alias("_dmax")
+            F.count(F.lit(1)).alias("_n"),
+            F.max("dist_km").alias("_dmax"),
+            F.first("_r").alias("_rq"),
         )
         accepted_ids = summ.where(
-            (F.col("_n") >= k) & (F.col("_dmax") <= F.lit(float(r_km)))
+            (F.col("_n") >= k) & (F.col("_dmax") <= F.col("_rq"))
         ).select("query_id")
         accepted.append(
             ranked.join(F.broadcast(accepted_ids), "query_id").select(
                 "query_id", id_col, "dist_km", "rank"
             )
         )
-        pending = pending.join(
-            F.broadcast(accepted_ids), "query_id", "left_anti"
-        ).localCheckpoint(eager=False)
+        pending = (
+            pending.join(F.broadcast(accepted_ids), "query_id", "left_anti")
+            .withColumn("_r", F.least(F.col("_r") * 2.0, F.lit(r_cap_km)))
+            .localCheckpoint(eager=False)
+        )
         n_pending = pending.count()
-        r_km = min(r_km * 2.0, r_cap)
 
+    cnt.unpersist()
     if n_pending:
         # stragglers (sparse regions / n_total < k): exact brute force
         # over the listed files, broadcasting the smaller side

@@ -593,6 +593,25 @@ def knn_join_cover_df(
                     continue
                 qx = pdf["_qlon"].to_numpy()
                 qy = pdf["_qlat"].to_numpy()
+                if index == "s2":
+                    # one vectorized BFS for the whole batch (superset of
+                    # the exact cover — acceptance is exact either way);
+                    # the scalar per-query planner costs tens of ms per
+                    # circle, which dominates large query sets
+                    from spatial4n_spark.plans.s2cover import (
+                        s2_circle_covers_batch,
+                    )
+
+                    idx_a, cells_a = s2_circle_covers_batch(qx, qy, r_deg, lv)
+                    yield pd.DataFrame(
+                        {
+                            "_pcell": cells_a,
+                            "query_id": pdf["query_id"].to_numpy()[idx_a],
+                            "_qlon": qx[idx_a],
+                            "_qlat": qy[idx_a],
+                        }
+                    )
+                    continue
                 cells: list = []
                 idx: list[int] = []
                 for i in range(len(pdf)):

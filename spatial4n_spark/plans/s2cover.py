@@ -240,3 +240,169 @@ def cover_cells_s2(shape, level: int, geo: bool = True, max_cells: int = 4096):
         _S2_COVER_CACHE.pop(next(iter(_S2_COVER_CACHE)))
     _S2_COVER_CACHE[key] = (shape, (full, boundary))
     return full, boundary
+
+
+# ---------------------------------------------------------------------------
+# batched circle covers: one vectorized BFS for a whole query batch
+# ---------------------------------------------------------------------------
+
+_EMPTY_LO, _EMPTY_HI = 1e9, -1e9  # sentinel lon piece that overlaps nothing
+
+
+def _bbox_pieces_vec(face, u0, u1, v0, v1):
+    """Vectorized twin of ``_bbox_pieces``: exact padded lat/lon bboxes
+    for whole cell frontiers at once.  Returns
+    ``(lo1, hi1, lo2, hi2, miny, maxy)`` — up to two non-wrapping lon
+    pieces per cell (piece 2 is the sentinel-empty interval unless the
+    cell straddles the dateline: face 3 always can; polar cells when the
+    uv-rect crosses the seam ray).  Same formulas as the scalar builder
+    (kept beside it, which remains the single-shape path), so the two
+    agree to the last EPS; the seam mirror-strips the scalar path adds
+    are NOT materialized here — callers must treat lon overlap modulo
+    360 (test at shifts -360/0/+360), which subsumes them."""
+    import numpy as np
+
+    face = np.asarray(face, dtype=np.int64)
+    n = len(face)
+    lo1 = np.empty(n)
+    hi1 = np.empty(n)
+    lo2 = np.full(n, _EMPTY_LO)
+    hi2 = np.full(n, _EMPTY_HI)
+    miny = np.empty(n)
+    maxy = np.empty(n)
+
+    eq = face != 2
+    eq &= face != 5
+    if eq.any():
+        f = face[eq]
+        swap = f >= 3  # faces 3/4: lon driven by v, lat by -u
+        a0 = np.where(swap, v0[eq], u0[eq])
+        a1 = np.where(swap, v1[eq], u1[eq])
+        b0 = np.where(swap, -u1[eq], v0[eq])
+        b1 = np.where(swap, -u0[eq], v1[eq])
+        off = np.choose(f, [0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+        lo = off + np.arctan(a0) * RAD2DEG
+        hi = off + np.arctan(a1) * RAD2DEG
+        astar = np.minimum(np.maximum(0.0, a0), a1)
+        lat_c = lambda a, b: np.arctan2(b, np.sqrt(1.0 + a * a)) * RAD2DEG  # noqa: E731
+        cands = np.stack(
+            [lat_c(a0, b0), lat_c(a0, b1), lat_c(a1, b0),
+             lat_c(a1, b1), lat_c(astar, b0), lat_c(astar, b1)]
+        )
+        my, My = cands.min(axis=0), cands.max(axis=0)
+        # face-3 wrap: hi > 180 -> pieces (lo,180) + (-180,hi-360);
+        # lo >= 180 -> single piece shifted by -360
+        l1, h1 = lo.copy(), np.minimum(hi, 180.0)
+        l2 = np.full(len(f), _EMPTY_LO)
+        h2 = np.full(len(f), _EMPTY_HI)
+        wrap = (hi > 180.0) & (lo < 180.0)
+        l2[wrap], h2[wrap] = -180.0, hi[wrap] - 360.0
+        allpast = lo >= 180.0
+        l1[allpast], h1[allpast] = lo[allpast] - 360.0, hi[allpast] - 360.0
+        lo1[eq], hi1[eq], lo2[eq], hi2[eq], miny[eq], maxy[eq] = l1, h1, l2, h2, my, My
+
+    po = ~eq
+    if po.any():
+        south = face[po] == 5
+        pu0, pu1, pv0, pv1 = u0[po], u1[po], v0[po], v1[po]
+        rx0 = np.where(south, -pv1, -pu1) + 0.0
+        rx1 = np.where(south, -pv0, -pu0) + 0.0
+        ry0 = np.where(south, pu0, -pv1) + 0.0
+        ry1 = np.where(south, pu1, -pv0) + 0.0
+        dx = np.where((rx0 <= 0.0) & (0.0 <= rx1), 0.0, np.minimum(np.abs(rx0), np.abs(rx1)))
+        dy = np.where((ry0 <= 0.0) & (0.0 <= ry1), 0.0, np.minimum(np.abs(ry0), np.abs(ry1)))
+        r_min = np.hypot(dx, dy)
+        r_max = np.maximum(
+            np.maximum(np.hypot(rx0, ry0), np.hypot(rx0, ry1)),
+            np.maximum(np.hypot(rx1, ry0), np.hypot(rx1, ry1)),
+        )
+        pole = r_min == 0.0
+        lat_far = np.arctan2(1.0, r_max) * RAD2DEG
+        with np.errstate(divide="ignore"):
+            lat_near = np.where(pole, 90.0, np.arctan2(1.0, np.where(pole, 1.0, r_min)) * RAD2DEG)
+        my = np.where(south, -lat_near, lat_far)
+        My = np.where(south, -lat_far, lat_near)
+        c00 = np.arctan2(ry0, rx0) * RAD2DEG
+        c01 = np.arctan2(ry1, rx0) * RAD2DEG
+        c10 = np.arctan2(ry0, rx1) * RAD2DEG
+        c11 = np.arctan2(ry1, rx1) * RAD2DEG
+        corners = np.stack([c00, c01, c10, c11])
+        seam = (ry0 < 0.0) & (0.0 <= ry1) & (rx1 < 0.0)
+        cmin, cmax = corners.min(axis=0), corners.max(axis=0)
+        posmin = np.where(corners > 0.0, corners, np.inf).min(axis=0)
+        negmax = np.where(corners <= 0.0, corners, -np.inf).max(axis=0)
+        l1 = np.where(seam, posmin, cmin)
+        h1 = np.where(seam, 180.0, cmax)
+        l2 = np.where(seam, -180.0, _EMPTY_LO)
+        h2 = np.where(seam, negmax, _EMPTY_HI)
+        l1 = np.where(pole, -180.0, l1)
+        h1 = np.where(pole, 180.0, h1)
+        l2 = np.where(pole, _EMPTY_LO, l2)
+        h2 = np.where(pole, _EMPTY_HI, h2)
+        lo1[po], hi1[po], lo2[po], hi2[po], miny[po], maxy[po] = l1, h1, l2, h2, my, My
+
+    pad2 = np.where(lo2 <= hi2, EPS, 0.0)  # don't un-empty the sentinel
+    return (
+        np.maximum(lo1 - EPS, -180.0), np.minimum(hi1 + EPS, 180.0),
+        lo2 - pad2, hi2 + pad2,
+        np.maximum(miny - EPS, -90.0), np.minimum(maxy + EPS, 90.0),
+    )
+
+
+def _lon_overlap(clo, chi, qlo, qhi, qwrap):
+    """Closed-interval lon overlap modulo 360 of cell pieces against
+    query intervals (``qlo > qhi`` i.e. ``qwrap`` = query wraps the
+    dateline).  The +-360 shifts subsume the scalar planner's seam
+    mirror-strips: a cell ending at +180 meets a query starting at -180
+    through the +360 shift."""
+    import numpy as np
+
+    ov = (chi >= qlo) & (clo <= qhi)
+    ov |= (chi >= qlo + 360.0) & (clo <= qhi + 360.0)
+    ov |= (chi >= qlo - 360.0) & (clo <= qhi - 360.0)
+    return np.where(qwrap, (chi >= qlo) | (clo <= qhi), ov)
+
+
+def s2_circle_covers_batch(qlon, qlat, r_deg, level: int):
+    """Level-``level`` S2 cell covers of MANY geo circles in one
+    vectorized 4-ary BFS.  Returns ``(qidx, cells)`` — for each input
+    circle ``qidx[i]``, cell ``cells[i]`` is part of its cover.
+
+    The per-cell test is exact-cell-bbox x exact-circle-bbox
+    intersection (``circle_bbox`` handles pole/dateline cases the same
+    way the kernel gate queries do), so the result is a SUPERSET of the
+    scalar planner's full+boundary set — sound wherever a cover is used
+    as a candidate superset (kNN acceptance, radius prefilter) and
+    ~4/pi looser at the boundary, in exchange for microseconds per
+    query instead of the scalar BFS's tens of milliseconds (its
+    per-piece Python relate calls dominate when thousands of queries
+    each need a cover).  ``r_deg`` may be scalar or per-query."""
+    import numpy as np
+
+    from spatial4n_spark.kernels.circle import circle_bbox
+    from spatial4n_spark.kernels.s2cell import s2_decode_st_bounds
+
+    qlon = np.asarray(qlon, dtype=np.float64)
+    qminx, qmaxx, qminy, qmaxy = circle_bbox(
+        qlon, np.asarray(qlat, dtype=np.float64), r_deg
+    )
+    qwrapA = qminx > qmaxx
+
+    qi = np.repeat(np.arange(len(qlon), dtype=np.int64), 6)
+    cells = np.tile(np.arange(6, dtype=np.int64), len(qlon))
+    for depth in range(0, level + 1):
+        face, s0, t0, s1, t1 = s2_decode_st_bounds(cells, depth)
+        lo1, hi1, lo2, hi2, cminy, cmaxy = _bbox_pieces_vec(
+            face, st_to_uv(s0), st_to_uv(s1), st_to_uv(t0), st_to_uv(t1)
+        )
+        ql, qh, qw = qminx[qi], qmaxx[qi], qwrapA[qi]
+        keep = (cmaxy >= qminy[qi]) & (cminy <= qmaxy[qi]) & (
+            _lon_overlap(lo1, hi1, ql, qh, qw)
+            | _lon_overlap(lo2, hi2, ql, qh, qw)
+        )
+        qi, cells = qi[keep], cells[keep]
+        if depth == level:
+            break
+        qi = np.repeat(qi, 4)
+        cells = ((cells << 2)[:, None] | np.arange(4, dtype=np.int64)).reshape(-1)
+    return qi, cells
