@@ -254,6 +254,16 @@ def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
     )
 
 
+def _dot_sql_unrolled(a: str, b: str, dim: int = DIM) -> str:
+    """Same left-fold accumulation as ``_dot_sql`` — SQL ``+`` is
+    left-associative, so ``0e0 + t1 + ... + tn`` is bit-identical to the
+    list_reduce prepend-0 fold — but each term is a native vectorized
+    multiply instead of an interpreted per-element lambda (~30x cheaper
+    per pair).  Used in the PAIR oracles, where the in-bucket join makes
+    per-pair dot cost the sweep's dominant term."""
+    return "(0e0 + " + " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
 def q_emb_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), QVEC, k=20)
 
@@ -323,7 +333,14 @@ def q_emb_dup_pairs(spark, sf_dir):
 
 def _sql_emb_dup_pairs() -> str:
     """Mirror of lsh_dup_pairs: same per-table bucket formulas, same
-    bucket self-joins, same exact verify (pattern of _sql_doc_minhash)."""
+    bucket self-joins, same exact verify (pattern of _sql_doc_minhash).
+
+    sf1-sweep-linearized: the threshold filter is pushed INSIDE each
+    per-table bucket join (the engine's own in-kernel pushdown — a
+    threshold filter trivially commutes with UNION/DISTINCT), the
+    per-pair dot is the unrolled bit-identical fold, and per-vector
+    norms are hoisted into ``bk`` (same sqrt(dot(v,v)) value, computed
+    once per vector instead of once per pair)."""
     bucket_cols = []
     for t in range(DUP_TABLES):
         planes = S.hyperplanes(DUP_PLANES, DIM, seed=t * 1000)
@@ -332,23 +349,19 @@ def _sql_emb_dup_pairs() -> str:
             for j, p in enumerate(planes)
         )
         bucket_cols.append(f"CAST({expr} AS BIGINT) AS b{t}")
-    cand_union = "\nUNION ALL\n".join(
-        f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b FROM bk x "
-        f"JOIN bk y ON x.b{t} = y.b{t} AND x.vec_id < y.vec_id"
+    cos = f"({_dot_sql_unrolled('x.v', 'y.v')} / (x.nv * y.nv))"
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, {cos} AS cos "
+        f"FROM bk x JOIN bk y ON x.b{t} = y.b{t} AND x.vec_id < y.vec_id "
+        f"WHERE {cos} >= {dlit(DUP_COS_THRESHOLD)}"
         for t in range(DUP_TABLES)
-    )
-    cos = (
-        f"({_dot_sql('ea.v', 'eb.v')} / "
-        f"(sqrt({_dot_sql('ea.v', 'ea.v')}) * sqrt({_dot_sql('eb.v', 'eb.v')})))"
     )
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-bk AS MATERIALIZED (SELECT vec_id, v, {", ".join(bucket_cols)} FROM e),
-cand AS (SELECT DISTINCT vec_a, vec_b FROM ({cand_union}))
-SELECT vec_a, vec_b, round(cos, 4) AS cos FROM (
-  SELECT c.vec_a, c.vec_b, {cos} AS cos
-  FROM cand c JOIN bk ea ON ea.vec_id = c.vec_a JOIN bk eb ON eb.vec_id = c.vec_b
-) WHERE cos >= {dlit(DUP_COS_THRESHOLD)}"""
+bk AS MATERIALIZED (SELECT vec_id, v, sqrt({_dot_sql_unrolled('v', 'v')}) AS nv,
+                    {", ".join(bucket_cols)} FROM e)
+SELECT vec_a, vec_b, round(cos, 4) AS cos
+FROM (SELECT DISTINCT vec_a, vec_b, cos FROM ({per_table}))"""
 
 
 IVF_CENTROIDS = S.ivf_centroids(16, DIM)
@@ -428,7 +441,15 @@ def q_emb_knn_lsh(spark, sf_dir):
 
 def _sql_emb_knn_lsh() -> str:
     """Mirror of lsh_knn_pairs: per-table bucket self-joins (directional),
-    exact cosine, per-vector rank."""
+    exact cosine, per-vector rank.
+
+    sf1-sweep-linearized with the engine's own in-kernel pushdown: each
+    per-table join keeps only its per-vector top-k (a neighbor in the
+    GLOBAL top-k that met the query through table t necessarily ranks
+    <= k among table t's candidates too, so per-table top-k before the
+    union/distinct is result-preserving), the per-pair dot is the
+    unrolled bit-identical fold, and per-vector norms are hoisted."""
+    k = 3
     bucket_cols = []
     for t in range(DUP_TABLES):
         planes = S.hyperplanes(DUP_PLANES, DIM, seed=t * 1000)
@@ -437,29 +458,28 @@ def _sql_emb_knn_lsh() -> str:
             for j, p in enumerate(planes)
         )
         bucket_cols.append(f"CAST({expr} AS BIGINT) AS b{t}")
-    cand_union = "\nUNION ALL\n".join(
-        f"SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id FROM bk x "
-        f"JOIN bk y ON x.b{t} = y.b{t} AND x.vec_id <> y.vec_id"
+    cos = f"({_dot_sql_unrolled('x.v', 'y.v')} / (x.nv * y.nv))"
+    per_table = "\nUNION ALL\n".join(
+        f"SELECT vec_id, neighbor_id, cos FROM ("
+        f"  SELECT vec_id, neighbor_id, cos,"
+        f"         row_number() OVER (PARTITION BY vec_id"
+        f"                            ORDER BY cos DESC, neighbor_id ASC) AS rk"
+        f"  FROM (SELECT x.vec_id AS vec_id, y.vec_id AS neighbor_id, {cos} AS cos"
+        f"        FROM bk x JOIN bk y ON x.b{t} = y.b{t} AND x.vec_id <> y.vec_id)"
+        f") WHERE rk <= {k}"
         for t in range(DUP_TABLES)
-    )
-    cos = (
-        f"({_dot_sql('ea.v', 'eb.v')} / "
-        f"(sqrt({_dot_sql('ea.v', 'ea.v')}) * sqrt({_dot_sql('eb.v', 'eb.v')})))"
     )
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-bk AS MATERIALIZED (SELECT vec_id, v, {", ".join(bucket_cols)} FROM e),
-cand AS (SELECT DISTINCT vec_id, neighbor_id FROM ({cand_union})),
-scored AS (
-  SELECT c.vec_id, c.neighbor_id, {cos} AS cos
-  FROM cand c JOIN bk ea ON ea.vec_id = c.vec_id JOIN bk eb ON eb.vec_id = c.neighbor_id
-)
+bk AS MATERIALIZED (SELECT vec_id, v, sqrt({_dot_sql_unrolled('v', 'v')}) AS nv,
+                    {", ".join(bucket_cols)} FROM e),
+ded AS (SELECT DISTINCT vec_id, neighbor_id, cos FROM ({per_table}))
 SELECT vec_id, neighbor_id, rank FROM (
   SELECT vec_id, neighbor_id,
          CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC)
               AS INTEGER) AS rank
-  FROM scored
-) WHERE rank <= 3"""
+  FROM ded
+) WHERE rank <= {k}"""
 
 
 ANN_PLANES = 4
