@@ -243,8 +243,10 @@ def spatial_join_points_polygons_df(
         # JVM-side, and independent of the cell so a hot cell's points
         # spread uniformly
         cover_df = cover_df.crossJoin(
-            points.sparkSession.range(salt_buckets).select(
-                F.col("id").cast("int").alias("_salt")
+            F.broadcast(
+                points.sparkSession.range(salt_buckets).select(
+                    F.col("id").cast("int").alias("_salt")
+                )
             )
         )
         pts = pts.withColumn(
