@@ -1,12 +1,23 @@
-"""Structured-Streaming throughput bench for the image ingest path.
+"""Structured-Streaming throughput bench for the repo's streaming
+surfaces, one pipeline per run (every one ends in a parquet sink +
+checkpoint — the full state-store path, not just stateless stages):
 
-Measures the streamed decode -> PSNR/caption gate -> chip -> watermarked
-windowed mosaic pipeline (streaming/image_stream.py) end-to-end with a
-file source (N parquet files, maxFilesPerTrigger batches) and a parquet
-sink + checkpoint — the full state-store path, not just the stateless
-stages. Prints one JSON line with micro-batch count and images/sec.
+- ``--pipeline image`` (default): streamed decode -> PSNR/caption gate
+  -> chip -> watermarked windowed mosaic (streaming/image_stream.py).
+- ``--pipeline dedup``: watermarked emit-once exact dedup of a document
+  stream with ~30% planted duplicates
+  (streaming/dedup_stream.streaming_distinct_docs —
+  dropDuplicatesWithinWatermark, the bounded-state operator).
+- ``--pipeline pip``: geotagged event stream -> stream-static PIP join
+  against the suite's polygon layer -> watermarked windowed per-polygon
+  rollup (streaming/pip_stream.streaming_polygon_counts).
 
-Usage: python tools/stream_bench.py [--rows 200000] [--files 16] [--cpus 32]
+Each prints ONE JSON line with micro-batch count and rows/sec. These
+are the throughput numbers beside the stream==batch equality proofs in
+tests/test_streaming.py and tests/test_dedup_stream.py.
+
+Usage: python tools/stream_bench.py [--pipeline image|dedup|pip]
+         [--rows 200000] [--files 16] [--cpus 32]
 """
 
 from __future__ import annotations
@@ -22,21 +33,157 @@ import time
 sys.path.insert(0, ".")
 
 
+def _run_available_now(agg, work: str, timeout_s: int = 1800):
+    t0 = time.time()
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", f"{work}/sink")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    dt = time.time() - t0
+    batches = q.lastProgress["batchId"] + 1 if q.lastProgress else None
+    return dt, batches
+
+
+def bench_image(spark, args, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.sources.images import images_df
+    from spatial4n_spark.streaming.image_stream import (
+        images_as_stream,
+        streaming_image_chips,
+        streaming_image_mosaics,
+    )
+
+    src = f"{work}/src"
+    base = images_df(spark, args.rows, with_bytes=True, partitions=args.files)
+    with_ts = base.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + (F.col("phash") % 7200).cast("int") * F.expr("INTERVAL 1 SECOND"),
+    )
+    with_ts.write.parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+
+    # warm the Python workers/codegen on a small batch (cold JVM start
+    # is process cost, not pipeline throughput)
+    streaming_image_chips(spark.read.parquet(src).limit(2000)).count()
+
+    stream = images_as_stream(spark, src, max_files_per_trigger=args.files_per_trigger)
+    agg = streaming_image_mosaics(stream, level=4, window="1 hour", watermark="2 hours")
+    dt, batches = _run_available_now(agg, work)
+    return {
+        "bench": "streaming image ingest (decode+gate+chip+windowed mosaic)",
+        "source_files": n_files,
+        "micro_batches": batches,
+        "sec": round(dt, 2),
+        "images_per_sec": round(args.rows / dt, 1),
+    }
+
+
+def bench_dedup(spark, args, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.streaming.dedup_stream import streaming_distinct_docs
+
+    src = f"{work}/src"
+    # ~30% planted duplicates: distinct payload space is 70% of rows;
+    # event times spread over 2 hours so the watermark horizon is live
+    n_distinct = max(1, int(args.rows * 0.7))
+    docs = (
+        spark.range(args.rows)
+        .repartition(args.files)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("synthetic document payload "),
+                (F.col("id") % n_distinct).cast("string"),
+            ).alias("text"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + (F.col("id") % 7200).cast("int") * F.expr("INTERVAL 1 SECOND")
+            ).alias("ts"),
+        )
+    )
+    docs.write.parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+
+    spark.read.parquet(src).limit(1000).count()  # warm
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", args.files_per_trigger)
+        .parquet(src)
+    )
+    out = streaming_distinct_docs(stream, text="text", key="doc_id", ts="ts")
+    dt, batches = _run_available_now(out, work)
+    emitted = spark.read.parquet(f"{work}/sink").count()
+    return {
+        "bench": "streaming exact dedup (dropDuplicatesWithinWatermark)",
+        "source_files": n_files,
+        "micro_batches": batches,
+        "sec": round(dt, 2),
+        "docs_per_sec": round(args.rows / dt, 1),
+        "rows_emitted": emitted,
+    }
+
+
+def bench_pip(spark, args, work: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.streaming.pip_stream import streaming_polygon_counts
+    from spatial4n_spark.streaming.tile_stream import events_as_stream
+    from spatial4n_spark.suite import layer
+
+    src = f"{work}/src"
+    events = (
+        spark.range(args.rows)
+        .repartition(args.files)
+        .select(
+            F.col("id").alias("event_id"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + (F.col("id") % 7200).cast("int") * F.expr("INTERVAL 1 SECOND")
+            ).alias("ts"),
+            (F.col("id") % 1000).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    events.write.parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+
+    spark.read.parquet(src).limit(1000).count()  # warm
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=args.files_per_trigger)
+    agg = streaming_polygon_counts(
+        stream, layer(), window="1 hour", watermark="2 hours", level=3
+    )
+    dt, batches = _run_available_now(agg, work)
+    return {
+        "bench": "streaming PIP join + windowed per-polygon rollup",
+        "source_files": n_files,
+        "micro_batches": batches,
+        "sec": round(dt, 2),
+        "events_per_sec": round(args.rows / dt, 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--pipeline", choices=["image", "dedup", "pip"], default="image")
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--files-per-trigger", type=int, default=4)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession, functions as F
-
-    from spatial4n_spark.sources.images import images_df
-    from spatial4n_spark.streaming.image_stream import (
-        images_as_stream,
-        streaming_image_mosaics,
-    )
+    from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -49,52 +196,19 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="streambench_")
-    src = f"{work}/src"
     try:
-        # deterministic image rows + event time, split into N source files
-        base = images_df(spark, args.rows, with_bytes=True, partitions=args.files)
-        with_ts = base.withColumn(
-            "ts",
-            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
-            + (F.col("phash") % 7200).cast("int") * F.expr("INTERVAL 1 SECOND"),
+        fn = {"image": bench_image, "dedup": bench_dedup, "pip": bench_pip}[
+            args.pipeline
+        ]
+        rec = fn(spark, args, work)
+        rec.update(
+            {
+                "rows": args.rows,
+                "files_per_trigger": args.files_per_trigger,
+                "cpus": args.cpus,
+            }
         )
-        with_ts.write.parquet(src)
-        n_files = len(glob.glob(f"{src}/part-*.parquet"))
-
-        # warm the Python workers/codegen on a small batch (cold JVM start
-        # is process cost, not pipeline throughput)
-        from spatial4n_spark.streaming.image_stream import streaming_image_chips
-
-        streaming_image_chips(spark.read.parquet(src).limit(2000)).count()
-
-        stream = images_as_stream(spark, src, max_files_per_trigger=args.files_per_trigger)
-        agg = streaming_image_mosaics(stream, level=4, window="1 hour", watermark="2 hours")
-        t0 = time.time()
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", f"{work}/sink")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(1800)
-        dt = time.time() - t0
-        batches = q.lastProgress["batchId"] + 1 if q.lastProgress else None
-        print(
-            json.dumps(
-                {
-                    "bench": "streaming image ingest (decode+gate+chip+windowed mosaic)",
-                    "rows": args.rows,
-                    "source_files": n_files,
-                    "files_per_trigger": args.files_per_trigger,
-                    "micro_batches": batches,
-                    "sec": round(dt, 2),
-                    "images_per_sec": round(args.rows / dt, 1),
-                    "cpus": args.cpus,
-                }
-            )
-        )
+        print(json.dumps(rec))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return 0
