@@ -44,6 +44,7 @@ import contextlib
 import json
 import math
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -56,6 +57,7 @@ from spatial4n_spark.kernels.polygon import Circle
 CELL_COL = "cell_r"
 MANIFEST = "_cluster_manifest.json"
 LOCKFILE = "_cluster.lock"
+SNAP_DIR = "_snapshots"
 
 
 @contextlib.contextmanager
@@ -166,15 +168,75 @@ def _file_stats(path: str, names: list[str]) -> list[dict]:
     return entries
 
 
-def _write_manifest(path: str, level: int, entries: list[dict] | None = None) -> None:
-    """Commit the manifest. The manifest is the table's source of truth:
-    readers (and compaction) touch ONLY files it lists, so a data file
-    not yet (or no longer) in the manifest is an invisible orphan, never
-    a correctness hazard."""
+def _snap_file(path: str, snapshot_id: int) -> str:
+    return os.path.join(path, SNAP_DIR, f"snap-{int(snapshot_id):05d}.json")
+
+
+def _write_manifest(
+    path: str,
+    level: int,
+    entries: list[dict] | None = None,
+    operation: str = "overwrite",
+    extra_summary: dict | None = None,
+) -> dict:
+    """Snapshot-versioned manifest commit — the Iceberg snapshot analog.
+
+    The manifest is the table's source of truth: readers (and
+    compaction's sweep) touch ONLY files it lists, so a data file not
+    yet (or no longer) in the current manifest is invisible, never a
+    correctness hazard.  Every commit additionally lands an IMMUTABLE
+    copy of the new manifest under ``_snapshots/snap-<id>.json``, so the
+    table carries its own lineage: ``load_manifest(path, snapshot_id=N)``
+    time-travels any reader to state N, ``rollback_clustered`` restores
+    it, and ``snapshots``/``snapshot_log_df`` expose the per-commit
+    operation + file/row metrics (the Iceberg snapshot-log / metrics-
+    table analog).
+
+    Commit ordering (each step an atomic write):
+
+    1. heal — if the CURRENT manifest has no snapshot file yet (legacy
+       table, or a crash between steps 2 and 3 of ITS commit), write it,
+       so history never loses the state being superseded;
+    2. write the new snapshot file;
+    3. ``os.replace`` the current-manifest pointer (the cut-over).
+
+    A crash between 2 and 3 leaves a dangling snapshot at id N: the
+    table still reads as its parent, and the NEXT commit reuses id N,
+    overwriting the dangling file.  Until then sweeps retain the files
+    it references — bounded waste, never damage.
+    """
     if entries is None:
         entries = _file_stats(path, _data_files(path))
-    man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
+    cur = None
+    with contextlib.suppress(FileNotFoundError):
+        cur = load_manifest(path)
+    parent = int(cur.get("snapshot_id", 0)) if cur is not None else None
+    os.makedirs(os.path.join(path, SNAP_DIR), exist_ok=True)
+    if cur is not None and not os.path.exists(_snap_file(path, parent)):
+        _atomic_json_write(_snap_file(path, parent), cur)
+    sid = (parent or 0) + 1
+    prev_files = {e["file"] for e in cur["files"]} if cur is not None else set()
+    new_files = {e["file"] for e in entries}
+    man = {
+        "cell_col": CELL_COL,
+        "index": "s2",
+        "level": level,
+        "files": entries,
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": operation,
+        "committed_at": time.time(),
+        "summary": {
+            "n_files": len(entries),
+            "n_rows": int(sum(e["rows"] for e in entries)),
+            "added_files": len(new_files - prev_files),
+            "removed_files": len(prev_files - new_files),
+            **(extra_summary or {}),
+        },
+    }
+    _atomic_json_write(_snap_file(path, sid), man)
     _atomic_json_write(os.path.join(path, MANIFEST), man)
+    return man
 
 
 def _atomic_json_write(target: str, obj: dict) -> None:
@@ -192,9 +254,154 @@ def _atomic_json_write(target: str, obj: dict) -> None:
     os.replace(tmp, target)
 
 
-def load_manifest(path: str) -> dict:
+def load_manifest(path: str, snapshot_id: int | None = None) -> dict:
+    """Current manifest, or — with ``snapshot_id`` — the immutable
+    manifest of that snapshot (time travel).  Unknown/expired ids raise
+    ValueError naming the surviving range."""
     with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+        cur = json.load(f)
+    if snapshot_id is None:
+        return cur
+    sid = int(snapshot_id)
+    if int(cur.get("snapshot_id", 0)) == sid:
+        return cur
+    try:
+        with open(_snap_file(path, sid)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        known = [s["snapshot_id"] for s in snapshots(path)]
+        raise ValueError(
+            f"snapshot {sid} of {path} does not exist or was expired; "
+            f"available snapshots: {known}"
+        ) from None
+
+
+def snapshots(path: str) -> list[dict]:
+    """The table's snapshot log (lineage), oldest first: one dict per
+    committed snapshot with id, parent, operation, commit time, and the
+    file/row summary.  Dangling snapshots (a crash between the snapshot
+    write and the manifest cut-over — ids above the current manifest's)
+    are not part of table history and are excluded."""
+    cur = load_manifest(path)
+    cid = int(cur.get("snapshot_id", 0))
+    out = []
+    sd = os.path.join(path, SNAP_DIR)
+    if os.path.isdir(sd):
+        for n in sorted(os.listdir(sd)):
+            if not (n.startswith("snap-") and n.endswith(".json")):
+                continue
+            with open(os.path.join(sd, n)) as f:
+                m = json.load(f)
+            if int(m.get("snapshot_id", 0)) <= cid:
+                out.append(
+                    {
+                        "snapshot_id": int(m.get("snapshot_id", 0)),
+                        "parent_id": m.get("parent_id"),
+                        "operation": m.get("operation", "overwrite"),
+                        "committed_at": m.get("committed_at"),
+                        "summary": m.get("summary", {}),
+                    }
+                )
+    if not any(s["snapshot_id"] == cid for s in out):
+        out.append(
+            {
+                "snapshot_id": cid,
+                "parent_id": cur.get("parent_id"),
+                "operation": cur.get("operation", "overwrite"),
+                "committed_at": cur.get("committed_at"),
+                "summary": cur.get("summary", {}),
+            }
+        )
+    return sorted(out, key=lambda s: s["snapshot_id"])
+
+
+def snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
+    """The snapshot log as a DataFrame — the queryable metrics/lineage
+    table the north rule asks checkpointed pipelines to carry."""
+    rows = [
+        (
+            s["snapshot_id"],
+            s["parent_id"],
+            s["operation"],
+            float(s["committed_at"]) if s["committed_at"] is not None else None,
+            int(s["summary"].get("n_files", 0)),
+            int(s["summary"].get("n_rows", 0)),
+            int(s["summary"].get("added_files", 0)),
+            int(s["summary"].get("removed_files", 0)),
+        )
+        for s in snapshots(path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id int, parent_id int, operation string, committed_at double, "
+        "n_files int, n_rows bigint, added_files int, removed_files int",
+    )
+
+
+def _referenced_files(path: str) -> set[str]:
+    """Every data file referenced by the current manifest or ANY
+    snapshot file on disk (dangling ones included — retaining is always
+    safe).  The sweep complement of this set is garbage: crash orphans
+    and expired history."""
+    ref = {e["file"] for e in load_manifest(path)["files"]}
+    sd = os.path.join(path, SNAP_DIR)
+    if os.path.isdir(sd):
+        for n in os.listdir(sd):
+            if n.startswith("snap-") and n.endswith(".json"):
+                with open(os.path.join(sd, n)) as f:
+                    ref.update(e["file"] for e in json.load(f)["files"])
+    return ref
+
+
+def rollback_clustered(path: str, snapshot_id: int) -> dict:
+    """Restore the table to ``snapshot_id`` — Iceberg-style rollback: a
+    NEW snapshot whose file list is the target's, so the rollback itself
+    is in the lineage and is itself revertible.  Requires the target's
+    data files to still exist (i.e. not reclaimed by
+    ``expire_snapshots``)."""
+    with table_lock(path):
+        target = load_manifest(path, snapshot_id)
+        missing = [
+            e["file"]
+            for e in target["files"]
+            if not os.path.exists(os.path.join(path, e["file"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot roll back {path} to snapshot {snapshot_id}: "
+                f"{len(missing)} data files were expired (first: {missing[0]})"
+            )
+        return _write_manifest(
+            path,
+            int(target["level"]),
+            target["files"],
+            operation="rollback",
+            extra_summary={"rolled_back_to": int(snapshot_id)},
+        )
+
+
+def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Reclaim history: drop all but the newest ``keep_last`` snapshots
+    (the current one is always retained), then delete every data file no
+    retained snapshot references — the Iceberg expire-snapshots +
+    orphan-cleanup analog, and the only operation that ever removes a
+    file a previous snapshot could read."""
+    with table_lock(path):
+        cur = load_manifest(path)
+        cid = int(cur.get("snapshot_id", 0))
+        ids = [s["snapshot_id"] for s in snapshots(path)]
+        retain = set(sorted(ids)[-max(int(keep_last), 1):]) | {cid}
+        expired = []
+        for sid in ids:
+            if sid not in retain:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(_snap_file(path, sid))
+                expired.append(sid)
+        ref = _referenced_files(path)
+        removed = [n for n in _data_files(path) if n not in ref]
+        for n in removed:
+            os.remove(os.path.join(path, n))
+        return {"expired_snapshots": expired, "removed_files": removed}
 
 
 def append_clustered(
@@ -235,7 +442,9 @@ def append_clustered(
             .parquet(path)
         )
         new = [n for n in _data_files(path) if n not in pre]
-        _write_manifest(path, level, man["files"] + _file_stats(path, new))
+        _write_manifest(
+            path, level, man["files"] + _file_stats(path, new), operation="append"
+        )
 
 
 def compact_clustered(
@@ -253,13 +462,17 @@ def compact_clustered(
        readers never see unlisted files);
     2. commit the manifest pointing at the new files only (the atomic
        cut-over: one file write);
-    3. sweep every data file the committed manifest does not list —
-       the superseded run plus any orphans earlier crashes left.
+    3. sweep every data file NO retained snapshot references — crash
+       orphans and already-expired history.  The superseded run itself
+       stays on disk as long as a snapshot lists it (snapshot
+       isolation: a reader that planned against the pre-compaction
+       snapshot still finds its files); ``expire_snapshots`` is what
+       reclaims that history.
 
     A query at any crash point returns exactly the same rows; the only
-    recoverable waste is orphaned disk, reclaimed by the next
-    compaction's sweep. Holds ``table_lock`` end to end (same
-    single-writer invariant as append)."""
+    recoverable waste is orphaned disk, reclaimed by the next sweep.
+    Holds ``table_lock`` end to end (same single-writer invariant as
+    append)."""
     with table_lock(path):
         man = load_manifest(path)
         level = int(man["level"])
@@ -274,8 +487,8 @@ def compact_clustered(
                 .parquet(path)
             )
             new = [n for n in _data_files(path) if n not in pre]
-            _write_manifest(path, level, _file_stats(path, new))
-        keep = {e["file"] for e in load_manifest(path)["files"]}
+            _write_manifest(path, level, _file_stats(path, new), operation="replace")
+        keep = _referenced_files(path)
         for n in _data_files(path):
             if n not in keep:
                 os.remove(os.path.join(path, n))
@@ -425,12 +638,17 @@ class PruneStats:
 
 
 def read_pruned(
-    spark: SparkSession, path: str, ranges: list[tuple[int, int]]
+    spark: SparkSession,
+    path: str,
+    ranges: list[tuple[int, int]],
+    snapshot_id: int | None = None,
 ) -> tuple[DataFrame, PruneStats]:
     """Manifest-pruned scan: only files whose [min,max] intersects a
     query range are listed; the range disjunction is then applied as a
-    pushed-down filter so kept files skip row groups too."""
-    man = load_manifest(path)
+    pushed-down filter so kept files skip row groups too.
+    ``snapshot_id`` plans against that snapshot's manifest instead of
+    the current one (time travel)."""
+    man = load_manifest(path, snapshot_id)
     files = man["files"]
     keep = [
         e
@@ -464,15 +682,17 @@ def clustered_radius_query(
     lon: str = "lon",
     lat: str = "lat",
     with_stats: bool = False,
+    snapshot_id: int | None = None,
 ):
     """Radius query over a clustered table: manifest file pruning +
     pushed row-group ranges, then the SAME exact haversine predicate as
     the unclustered radius join — the layout changes what is read,
-    never what is returned."""
-    man = load_manifest(path)
+    never what is returned.  ``snapshot_id`` runs the query as of that
+    snapshot (time travel)."""
+    man = load_manifest(path, snapshot_id)
     circle = Circle(float(qlon), float(qlat), float(km_to_deg(radius_km)), geo=True)
     ranges = cover_ranges(circle, man["level"])
-    df, stats = read_pruned(spark, path, ranges)
+    df, stats = read_pruned(spark, path, ranges, snapshot_id=snapshot_id)
     out = df.where(
         haversine_km(F.col(lon), F.col(lat), F.lit(float(qlon)), F.lit(float(qlat)))
         <= F.lit(float(radius_km))
@@ -480,10 +700,12 @@ def clustered_radius_query(
     return (out, stats) if with_stats else out
 
 
-def _read_listed(spark: SparkSession, path: str) -> DataFrame:
+def _read_listed(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
     """All manifest-listed files (crash-orphans excluded) — the full-scan
     fallback surface."""
-    man = load_manifest(path)
+    man = load_manifest(path, snapshot_id)
     files = [os.path.join(path, e["file"]) for e in man["files"]]
     if not files:
         return spark.createDataFrame([], spark.read.parquet(path).schema)
@@ -864,16 +1086,17 @@ def clustered_candidates(
     path: str,
     shapes: list,
     with_stats: bool = False,
+    snapshot_id: int | None = None,
 ):
     """Manifest-pruned candidate scan for a set of shapes (e.g. a polygon
     layer): one union-of-covers range set, one pruned scan. Callers run
     their exact join/refine on the result; pruning is conservative by
     construction."""
-    man = load_manifest(path)
+    man = load_manifest(path, snapshot_id)
     all_ranges: list[tuple[int, int]] = []
     for s in shapes:
         all_ranges.extend(cover_ranges(s, man["level"]))
     ranges = [(lo, hi) for lo, hi in _merge_ranges(all_ranges)]
-    df, stats = read_pruned(spark, path, ranges)
+    df, stats = read_pruned(spark, path, ranges, snapshot_id=snapshot_id)
     out = df.drop(CELL_COL)
     return (out, stats) if with_stats else out

@@ -462,6 +462,66 @@ def q_radius_join_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SNAPSHOT_CACHE: dict[str, str] = {}
+
+
+def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once clustered table WITH HISTORY for the time-travel gate:
+    snapshot 1 = the real orders points, snapshot 2 = an appended decoy
+    batch (same coordinates, keys offset by 4e9) that WOULD match every
+    query circle — so a reader that fails to honor the snapshot pin
+    returns extra rows and the oracle hash catches it."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    key = f"{src}:{os.path.getmtime(src)}:snap:{CLUSTER_LEVEL}"
+    if key not in _SNAPSHOT_CACHE:
+        from spatial4n_spark.io.buildonce import ensure_built
+        from spatial4n_spark.io.clustered import (
+            MANIFEST,
+            append_clustered,
+            write_clustered,
+        )
+
+        def _build(p: str) -> None:
+            pts = pts_orders(spark, sf_dir)
+            write_clustered(pts, p, level=CLUSTER_LEVEL, files=8)
+            decoys = pts.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(4_000_000_000).cast("long")
+            )
+            append_clustered(decoys, p, files=4)
+
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "spatial4n_clustered",
+            hashlib.md5(f"{src}:snap:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
+        )
+        _SNAPSHOT_CACHE[key] = ensure_built(path, key, _build, ready_file=MANIFEST)
+    return _SNAPSHOT_CACHE[key]
+
+
+def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The radius join TIME-TRAVELED to snapshot 1 of a table whose
+    current state (snapshot 2) also holds a decoy batch inside every
+    query circle — the Iceberg snapshot-read analog (io/clustered.py
+    snapshot-versioned manifests).  Planning against the pinned
+    snapshot's manifest must return exactly the pre-append rows, so the
+    oracle is sql_radius_join verbatim; any leakage of current state
+    fails the row-count and hash check."""
+    from spatial4n_spark.io.clustered import clustered_radius_query
+
+    path = _snapshot_table_path(spark, sf_dir)
+    out = None
+    for qid, qlon, qlat, r_km in RADIUS_CENTERS:
+        part = clustered_radius_query(
+            spark, path, qlon, qlat, r_km, snapshot_id=1
+        ).select(F.lit(qid).alias("query_id"), "o_orderkey")
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 def q_pip_join_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship PIP join reading only manifest-surviving files of the
     clustered table (union of the layer's covers as id ranges), then the
@@ -1737,6 +1797,7 @@ SPATIAL_QUERIES: dict[str, callable] = {
     "radius_join": q_radius_join,
     "radius_join_backends": q_radius_join_backends,
     "radius_join_clustered": q_radius_join_clustered,
+    "radius_join_snapshot": q_radius_join_snapshot,
     "pip_join_clustered": q_pip_join_clustered,
     "knn_clustered": q_knn_clustered,
     "radius_join_df": q_radius_join_df,
@@ -1790,6 +1851,9 @@ def spatial_oracles() -> dict[str, str]:
                     sql_radius_join(), ["s2", "h3"]
                 ),
                 "radius_join_clustered": sql_radius_join(),
+                # time travel to snapshot 1 must return exactly the
+                # pre-append table: the plain radius join
+                "radius_join_snapshot": sql_radius_join(),
                 "pip_join_clustered": sql_pip_join(),
                 "knn_clustered": sql_knn(),
                 "radius_join_df": sql_radius_join(),
