@@ -122,6 +122,7 @@ def main() -> int:
         # + pushed row-group ranges; the one-time clustered write caches
         # under /tmp like the ANN index build)
         "radius_join_clustered", "pip_join_clustered", "knn_clustered",
+        "radius_join_snapshot", "tile_stats_bucketed",
         "st_radius_join",
         # DataFrame-native query surfaces (nothing per-query on the driver)
         "radius_join_df",

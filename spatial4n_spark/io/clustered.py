@@ -168,24 +168,32 @@ def _file_stats(path: str, names: list[str]) -> list[dict]:
     return entries
 
 
+def _snap_file_in(path: str, snap_dir: str, snapshot_id: int) -> str:
+    return os.path.join(path, snap_dir, f"snap-{int(snapshot_id):05d}.json")
+
+
 def _snap_file(path: str, snapshot_id: int) -> str:
-    return os.path.join(path, SNAP_DIR, f"snap-{int(snapshot_id):05d}.json")
+    return _snap_file_in(path, SNAP_DIR, snapshot_id)
 
 
-def _write_manifest(
+def _versioned_commit(
     path: str,
     level: int,
-    entries: list[dict] | None = None,
-    operation: str = "overwrite",
+    entries: list[dict],
+    operation: str,
+    manifest: str,
+    snap_dir: str,
     extra_summary: dict | None = None,
 ) -> dict:
-    """Snapshot-versioned manifest commit — the Iceberg snapshot analog.
+    """Snapshot-versioned manifest commit — the Iceberg snapshot analog,
+    shared by the flat and spatio-temporal layouts (parameterized on
+    their manifest/snapshot-dir names).
 
     The manifest is the table's source of truth: readers (and
     compaction's sweep) touch ONLY files it lists, so a data file not
     yet (or no longer) in the current manifest is invisible, never a
     correctness hazard.  Every commit additionally lands an IMMUTABLE
-    copy of the new manifest under ``_snapshots/snap-<id>.json``, so the
+    copy of the new manifest under ``<snap_dir>/snap-<id>.json``, so the
     table carries its own lineage: ``load_manifest(path, snapshot_id=N)``
     time-travels any reader to state N, ``rollback_clustered`` restores
     it, and ``snapshots``/``snapshot_log_df`` expose the per-commit
@@ -205,15 +213,13 @@ def _write_manifest(
     overwriting the dangling file.  Until then sweeps retain the files
     it references — bounded waste, never damage.
     """
-    if entries is None:
-        entries = _file_stats(path, _data_files(path))
     cur = None
     with contextlib.suppress(FileNotFoundError):
-        cur = load_manifest(path)
+        cur = _load_versioned(path, None, manifest, snap_dir)
     parent = int(cur.get("snapshot_id", 0)) if cur is not None else None
-    os.makedirs(os.path.join(path, SNAP_DIR), exist_ok=True)
-    if cur is not None and not os.path.exists(_snap_file(path, parent)):
-        _atomic_json_write(_snap_file(path, parent), cur)
+    os.makedirs(os.path.join(path, snap_dir), exist_ok=True)
+    if cur is not None and not os.path.exists(_snap_file_in(path, snap_dir, parent)):
+        _atomic_json_write(_snap_file_in(path, snap_dir, parent), cur)
     sid = (parent or 0) + 1
     prev_files = {e["file"] for e in cur["files"]} if cur is not None else set()
     new_files = {e["file"] for e in entries}
@@ -234,9 +240,24 @@ def _write_manifest(
             **(extra_summary or {}),
         },
     }
-    _atomic_json_write(_snap_file(path, sid), man)
-    _atomic_json_write(os.path.join(path, MANIFEST), man)
+    _atomic_json_write(_snap_file_in(path, snap_dir, sid), man)
+    _atomic_json_write(os.path.join(path, manifest), man)
     return man
+
+
+def _write_manifest(
+    path: str,
+    level: int,
+    entries: list[dict] | None = None,
+    operation: str = "overwrite",
+    extra_summary: dict | None = None,
+) -> dict:
+    """Flat-layout commit: see ``_versioned_commit``."""
+    if entries is None:
+        entries = _file_stats(path, _data_files(path))
+    return _versioned_commit(
+        path, level, entries, operation, MANIFEST, SNAP_DIR, extra_summary
+    )
 
 
 def _atomic_json_write(target: str, obj: dict) -> None:
@@ -254,11 +275,10 @@ def _atomic_json_write(target: str, obj: dict) -> None:
     os.replace(tmp, target)
 
 
-def load_manifest(path: str, snapshot_id: int | None = None) -> dict:
-    """Current manifest, or — with ``snapshot_id`` — the immutable
-    manifest of that snapshot (time travel).  Unknown/expired ids raise
-    ValueError naming the surviving range."""
-    with open(os.path.join(path, MANIFEST)) as f:
+def _load_versioned(
+    path: str, snapshot_id: int | None, manifest: str, snap_dir: str
+) -> dict:
+    with open(os.path.join(path, manifest)) as f:
         cur = json.load(f)
     if snapshot_id is None:
         return cur
@@ -266,26 +286,30 @@ def load_manifest(path: str, snapshot_id: int | None = None) -> dict:
     if int(cur.get("snapshot_id", 0)) == sid:
         return cur
     try:
-        with open(_snap_file(path, sid)) as f:
+        with open(_snap_file_in(path, snap_dir, sid)) as f:
             return json.load(f)
     except FileNotFoundError:
-        known = [s["snapshot_id"] for s in snapshots(path)]
+        known = [
+            s["snapshot_id"] for s in _snapshot_list(path, manifest, snap_dir)
+        ]
         raise ValueError(
             f"snapshot {sid} of {path} does not exist or was expired; "
             f"available snapshots: {known}"
         ) from None
 
 
-def snapshots(path: str) -> list[dict]:
-    """The table's snapshot log (lineage), oldest first: one dict per
-    committed snapshot with id, parent, operation, commit time, and the
-    file/row summary.  Dangling snapshots (a crash between the snapshot
-    write and the manifest cut-over — ids above the current manifest's)
-    are not part of table history and are excluded."""
-    cur = load_manifest(path)
+def load_manifest(path: str, snapshot_id: int | None = None) -> dict:
+    """Current manifest, or — with ``snapshot_id`` — the immutable
+    manifest of that snapshot (time travel).  Unknown/expired ids raise
+    ValueError naming the surviving range."""
+    return _load_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
+
+
+def _snapshot_list(path: str, manifest: str, snap_dir: str) -> list[dict]:
+    cur = _load_versioned(path, None, manifest, snap_dir)
     cid = int(cur.get("snapshot_id", 0))
     out = []
-    sd = os.path.join(path, SNAP_DIR)
+    sd = os.path.join(path, snap_dir)
     if os.path.isdir(sd):
         for n in sorted(os.listdir(sd)):
             if not (n.startswith("snap-") and n.endswith(".json")):
@@ -315,9 +339,16 @@ def snapshots(path: str) -> list[dict]:
     return sorted(out, key=lambda s: s["snapshot_id"])
 
 
-def snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
-    """The snapshot log as a DataFrame — the queryable metrics/lineage
-    table the north rule asks checkpointed pipelines to carry."""
+def snapshots(path: str) -> list[dict]:
+    """The table's snapshot log (lineage), oldest first: one dict per
+    committed snapshot with id, parent, operation, commit time, and the
+    file/row summary.  Dangling snapshots (a crash between the snapshot
+    write and the manifest cut-over — ids above the current manifest's)
+    are not part of table history and are excluded."""
+    return _snapshot_list(path, MANIFEST, SNAP_DIR)
+
+
+def _log_df(spark: SparkSession, snaps: list[dict]) -> DataFrame:
     rows = [
         (
             s["snapshot_id"],
@@ -329,7 +360,7 @@ def snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
             int(s["summary"].get("added_files", 0)),
             int(s["summary"].get("removed_files", 0)),
         )
-        for s in snapshots(path)
+        for s in snaps
     ]
     return spark.createDataFrame(
         rows,
@@ -338,19 +369,54 @@ def snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _referenced_files(path: str) -> set[str]:
+def snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
+    """The snapshot log as a DataFrame — the queryable metrics/lineage
+    table the north rule asks checkpointed pipelines to carry."""
+    return _log_df(spark, snapshots(path))
+
+
+def _referenced_in(path: str, manifest: str, snap_dir: str) -> set[str]:
     """Every data file referenced by the current manifest or ANY
     snapshot file on disk (dangling ones included — retaining is always
     safe).  The sweep complement of this set is garbage: crash orphans
     and expired history."""
-    ref = {e["file"] for e in load_manifest(path)["files"]}
-    sd = os.path.join(path, SNAP_DIR)
+    ref = {e["file"] for e in _load_versioned(path, None, manifest, snap_dir)["files"]}
+    sd = os.path.join(path, snap_dir)
     if os.path.isdir(sd):
         for n in os.listdir(sd):
             if n.startswith("snap-") and n.endswith(".json"):
                 with open(os.path.join(sd, n)) as f:
                     ref.update(e["file"] for e in json.load(f)["files"])
     return ref
+
+
+def _referenced_files(path: str) -> set[str]:
+    return _referenced_in(path, MANIFEST, SNAP_DIR)
+
+
+def _rollback_versioned(
+    path: str, snapshot_id: int, manifest: str, snap_dir: str
+) -> dict:
+    target = _load_versioned(path, snapshot_id, manifest, snap_dir)
+    missing = [
+        e["file"]
+        for e in target["files"]
+        if not os.path.exists(os.path.join(path, e["file"]))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot roll back {path} to snapshot {snapshot_id}: "
+            f"{len(missing)} data files were expired (first: {missing[0]})"
+        )
+    return _versioned_commit(
+        path,
+        int(target["level"]),
+        target["files"],
+        "rollback",
+        manifest,
+        snap_dir,
+        extra_summary={"rolled_back_to": int(snapshot_id)},
+    )
 
 
 def rollback_clustered(path: str, snapshot_id: int) -> dict:
@@ -360,24 +426,31 @@ def rollback_clustered(path: str, snapshot_id: int) -> dict:
     data files to still exist (i.e. not reclaimed by
     ``expire_snapshots``)."""
     with table_lock(path):
-        target = load_manifest(path, snapshot_id)
-        missing = [
-            e["file"]
-            for e in target["files"]
-            if not os.path.exists(os.path.join(path, e["file"]))
-        ]
-        if missing:
-            raise ValueError(
-                f"cannot roll back {path} to snapshot {snapshot_id}: "
-                f"{len(missing)} data files were expired (first: {missing[0]})"
-            )
-        return _write_manifest(
-            path,
-            int(target["level"]),
-            target["files"],
-            operation="rollback",
-            extra_summary={"rolled_back_to": int(snapshot_id)},
-        )
+        return _rollback_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
+
+
+def _expire_versioned(
+    path: str,
+    keep_last: int,
+    manifest: str,
+    snap_dir: str,
+    data_files: list[str],
+) -> dict:
+    cur = _load_versioned(path, None, manifest, snap_dir)
+    cid = int(cur.get("snapshot_id", 0))
+    ids = [s["snapshot_id"] for s in _snapshot_list(path, manifest, snap_dir)]
+    retain = set(sorted(ids)[-max(int(keep_last), 1):]) | {cid}
+    expired = []
+    for sid in ids:
+        if sid not in retain:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(_snap_file_in(path, snap_dir, sid))
+            expired.append(sid)
+    ref = _referenced_in(path, manifest, snap_dir)
+    removed = [n for n in data_files if n not in ref]
+    for n in removed:
+        os.remove(os.path.join(path, n))
+    return {"expired_snapshots": expired, "removed_files": removed}
 
 
 def expire_snapshots(path: str, keep_last: int = 2) -> dict:
@@ -387,21 +460,9 @@ def expire_snapshots(path: str, keep_last: int = 2) -> dict:
     orphan-cleanup analog, and the only operation that ever removes a
     file a previous snapshot could read."""
     with table_lock(path):
-        cur = load_manifest(path)
-        cid = int(cur.get("snapshot_id", 0))
-        ids = [s["snapshot_id"] for s in snapshots(path)]
-        retain = set(sorted(ids)[-max(int(keep_last), 1):]) | {cid}
-        expired = []
-        for sid in ids:
-            if sid not in retain:
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(_snap_file(path, sid))
-                expired.append(sid)
-        ref = _referenced_files(path)
-        removed = [n for n in _data_files(path) if n not in ref]
-        for n in removed:
-            os.remove(os.path.join(path, n))
-        return {"expired_snapshots": expired, "removed_files": removed}
+        return _expire_versioned(
+            path, keep_last, MANIFEST, SNAP_DIR, _data_files(path)
+        )
 
 
 def append_clustered(

@@ -17,7 +17,6 @@ timestamps still filter rows within boundary days).
 
 from __future__ import annotations
 
-import json
 import os
 from dataclasses import dataclass
 
@@ -27,8 +26,14 @@ from spatial4n_spark.cellindex import cell_backend
 from spatial4n_spark.functions.native import haversine_km
 from spatial4n_spark.io.clustered import (
     CELL_COL,
-    _atomic_json_write,
+    _expire_versioned,
     _file_stats,
+    _load_versioned,
+    _log_df,
+    _referenced_in,
+    _rollback_versioned,
+    _snapshot_list,
+    _versioned_commit,
     cover_ranges,
     table_lock,
 )
@@ -37,6 +42,7 @@ from spatial4n_spark.kernels.polygon import Circle
 
 DAY_COL = "_day"
 MANIFEST = "_st_manifest.json"
+SNAP_DIR = "_st_snapshots"
 
 
 def write_st_clustered(
@@ -78,9 +84,39 @@ def write_st_clustered(
     _commit_st_manifest(path, level, entries)
 
 
-def load_st_manifest(path: str) -> dict:
-    with open(os.path.join(path, MANIFEST)) as f:
-        return json.load(f)
+def load_st_manifest(path: str, snapshot_id: int | None = None) -> dict:
+    """Current ST manifest, or — with ``snapshot_id`` — the immutable
+    manifest of that snapshot (time travel); same semantics as the flat
+    layout's ``load_manifest``."""
+    return _load_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
+
+
+def st_snapshots(path: str) -> list[dict]:
+    """The ST table's snapshot log (lineage), oldest first."""
+    return _snapshot_list(path, MANIFEST, SNAP_DIR)
+
+
+def st_snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
+    """The ST snapshot log as a DataFrame (lineage/metrics table)."""
+    return _log_df(spark, st_snapshots(path))
+
+
+def rollback_st_clustered(path: str, snapshot_id: int) -> dict:
+    """Iceberg-style rollback of the ST table: commits the target
+    snapshot's file list as NEW lineage (see the flat layout's
+    ``rollback_clustered``)."""
+    with table_lock(path, MANIFEST + ".lock"):
+        return _rollback_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
+
+
+def expire_st_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Reclaim ST history: drop all but the newest ``keep_last``
+    snapshots, then delete data files no retained snapshot references
+    (see the flat layout's ``expire_snapshots``)."""
+    with table_lock(path, MANIFEST + ".lock"):
+        return _expire_versioned(
+            path, keep_last, MANIFEST, SNAP_DIR, _st_data_files(path)
+        )
 
 
 def _st_data_files(path: str) -> list[str]:
@@ -95,11 +131,13 @@ def _st_data_files(path: str) -> list[str]:
     return rels
 
 
-def _commit_st_manifest(path: str, level: int, entries: list[dict]) -> None:
-    man = {"cell_col": CELL_COL, "index": "s2", "level": level, "files": entries}
-    # temp-file + os.replace: the commit really is atomic (a crash
-    # leaves old manifest or new, never a truncated half-write)
-    _atomic_json_write(os.path.join(path, MANIFEST), man)
+def _commit_st_manifest(
+    path: str, level: int, entries: list[dict], operation: str = "overwrite"
+) -> dict:
+    """Snapshot-versioned commit (shared machinery with the flat layout:
+    immutable per-commit snapshot file first, atomic temp-file +
+    os.replace manifest cut-over last)."""
+    return _versioned_commit(path, level, entries, operation, MANIFEST, SNAP_DIR)
 
 
 def _require_wallclock_ts(df: DataFrame, ts: str) -> None:
@@ -170,7 +208,12 @@ def append_st_clustered(
             .parquet(path)
         )
         new = [r for r in _st_data_files(path) if r not in pre]
-        _commit_st_manifest(path, level, man["files"] + _day_tagged_stats(path, new))
+        _commit_st_manifest(
+            path,
+            level,
+            man["files"] + _day_tagged_stats(path, new),
+            operation="append",
+        )
 
 
 def compact_st_clustered(
@@ -202,8 +245,16 @@ def compact_st_clustered(
                 .parquet(path)
             )
             new = [r for r in _st_data_files(path) if r not in pre]
-            _commit_st_manifest(path, level, others + _day_tagged_stats(path, new))
-        keep = {e["file"] for e in load_st_manifest(path)["files"]}
+            _commit_st_manifest(
+                path,
+                level,
+                others + _day_tagged_stats(path, new),
+                operation="replace",
+            )
+        # sweep only files NO retained snapshot references (snapshot
+        # isolation — the superseded run stays readable until
+        # expire_st_snapshots); crash orphans are in no snapshot and go
+        keep = _referenced_in(path, MANIFEST, SNAP_DIR)
         ddir = f"{DAY_COL}={day}"
         for rel in _st_data_files(path):
             if rel.startswith(ddir) and rel not in keep:
@@ -227,11 +278,13 @@ def read_st_pruned(
     ranges: list[tuple[int, int]],
     day_lo: str,
     day_hi: str,
+    snapshot_id: int | None = None,
 ) -> tuple[DataFrame, STPruneStats]:
     """Both pruning axes at plan time: days by name (the directory-
     partition analog), files by manifest cell bounds; the residual cell
-    disjunction is pushed to the parquet reader."""
-    man = load_st_manifest(path)
+    disjunction is pushed to the parquet reader.  ``snapshot_id`` plans
+    against that snapshot's manifest (time travel)."""
+    man = load_st_manifest(path, snapshot_id)
     files = man["files"]
     keep = [
         e
@@ -283,15 +336,19 @@ def st_radius_query(
     lat: str = "lat",
     ts: str = "ts",
     with_stats: bool = False,
+    snapshot_id: int | None = None,
 ):
     """'This circle, this time window': day + manifest + row-group
     pruning, then the exact timestamp and haversine predicates — layout
-    changes what is read, never what is returned."""
-    man = load_st_manifest(path)
+    changes what is read, never what is returned.  ``snapshot_id`` runs
+    the query as of that snapshot (time travel)."""
+    man = load_st_manifest(path, snapshot_id)
     circle = Circle(float(qlon), float(qlat), float(km_to_deg(radius_km)), geo=True)
     ranges = cover_ranges(circle, man["level"])
     day_lo, day_hi = str(t0)[:10], str(t1)[:10]
-    df, stats = read_st_pruned(spark, path, ranges, day_lo, day_hi)
+    df, stats = read_st_pruned(
+        spark, path, ranges, day_lo, day_hi, snapshot_id=snapshot_id
+    )
     ts_type = df.schema[ts].dataType
     lo, hi = F.lit(t0).cast(ts_type), F.lit(t1).cast(ts_type)
     out = (
