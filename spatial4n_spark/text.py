@@ -125,8 +125,15 @@ def langid(docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFram
 def shingle_sets(
     docs: DataFrame, n: int = 2, text: str = "text", key: str = "doc_id"
 ) -> DataFrame:
-    """Distinct token n-gram shingles per document (the dedup unit)."""
-    toks = tokens_col(F.col(text))
+    """Distinct token n-gram shingles per document (the dedup unit).
+
+    Tokenization is bound to a column in its own projection: HOF lambdas
+    evaluate interpreted with no subexpression elimination, so inlining
+    the regex split inside ``element_at`` re-tokenizes the document once
+    per shingle element — O(L^2) per doc instead of O(L).
+    """
+    staged = docs.select(F.col(key), tokens_col(F.col(text)).alias("_toks"))
+    toks = F.col("_toks")
     idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     grams = F.transform(
         idx,
@@ -137,7 +144,7 @@ def shingle_sets(
     grams = F.when(F.size(toks) >= F.lit(n), grams).otherwise(
         F.array().cast("array<string>")
     )
-    return docs.select(F.col(key), F.array_distinct(grams).alias("shingles"))
+    return staged.select(F.col(key), F.array_distinct(grams).alias("shingles"))
 
 
 def _spread_input(docs: DataFrame) -> DataFrame:
@@ -155,8 +162,19 @@ def _spread_input(docs: DataFrame) -> DataFrame:
 def _df_capped_shingles(sh: DataFrame, key: str, max_df: int) -> DataFrame:
     """Explode shingles and drop 'stop shingles' appearing in > max_df docs
     — the frequency cap that keeps the self-join key from exploding at
-    scale (a shingle shared by k docs costs k^2 pairs)."""
-    ex = sh.select(key, F.explode("shingles").alias("shingle"))
+    scale (a shingle shared by k docs costs k^2 pairs).
+
+    explode_outer + null filter, NOT plain explode: Catalyst's
+    InferFiltersFromGenerate infers ``size(shingles) > 0`` from a plain
+    explode and pushes it below the spread Repartition, inlining the whole
+    tokenize+shingle expression into a Filter that runs serially on the
+    pre-repartition partition (measured 10x the cost of the explode
+    itself). The rule skips outer generates; the explicit null filter on
+    the generated column restores identical semantics and cannot be pushed
+    below the Generate."""
+    ex = sh.select(key, F.explode_outer("shingles").alias("shingle")).where(
+        F.col("shingle").isNotNull()
+    )
     df_counts = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     return ex.join(df_counts.where(F.col("_df") <= max_df), "shingle")
 
@@ -204,7 +222,11 @@ def minhash_signature(sh: DataFrame, k: int = 16, key: str = "doc_id") -> DataFr
     the pipeline bottleneck (16s -> ~2s at 5k docs x 50 shingles x 16).
     The shuffle carries only (key, k longs) partial mins.
     """
-    ex = sh.select(key, F.explode("shingles").alias("_s"))
+    # explode_outer + null filter: see _df_capped_shingles for why a plain
+    # explode here re-runs the shingle expression serially below the spread
+    ex = sh.select(key, F.explode_outer("shingles").alias("_s")).where(
+        F.col("_s").isNotNull()
+    )
     hashed = ex.select(
         key, *[md5_long(F.concat(F.col("_s"), F.lit(f"#{i}"))).alias(f"_h{i}") for i in range(k)]
     )
