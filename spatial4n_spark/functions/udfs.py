@@ -341,3 +341,26 @@ def h3_center_udf(level: int = 7):
         return pd.DataFrame({"clat": clat, "clon": clon})
 
     return _decode
+
+
+def pnorm_dist_udf(power: float, quirks: bool = True):
+    """(vec1: array<double/float>, vec2) -> p-norm distance per row.
+
+    Arrow-vectorized wrapper over kernels.distance.vector_distance
+    (reference DistanceUtils.VectorDistance, DistanceUtils.cs:123-179) for
+    embedding columns; power=2 is the Euclidean hot path, power=1
+    Manhattan, 0 Hamming-count, inf Chebyshev (see the kernel docstring
+    for the reference's quirky inf/odd-power folds and the
+    ``quirks=False`` corrected mode).
+    """
+    from spatial4n_spark.kernels.distance import vector_distance
+
+    @F.pandas_udf(DoubleType())
+    def _pnorm(v1: pd.Series, v2: pd.Series) -> pd.Series:
+        a = np.asarray(v1.to_list(), dtype=np.float64)
+        b = np.asarray(v2.to_list(), dtype=np.float64)
+        if a.size == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        return pd.Series(vector_distance(a, b, power, quirks=quirks))
+
+    return _pnorm

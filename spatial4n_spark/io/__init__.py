@@ -4,5 +4,12 @@ from spatial4n_spark.io.wkt import (
     parse_wkt,
     to_wkt,
 )
+from spatial4n_spark.io.wkt_nts import parse_wkt_reader
 
-__all__ = ["parse_wkt", "to_wkt", "WktParseError", "InvalidShapeError"]
+__all__ = [
+    "parse_wkt",
+    "parse_wkt_reader",
+    "to_wkt",
+    "WktParseError",
+    "InvalidShapeError",
+]

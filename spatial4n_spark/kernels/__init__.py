@@ -18,6 +18,7 @@ from spatial4n_spark.kernels.distance import (
     distance_deg,
     km_to_deg,
     point_on_bearing_rad,
+    vector_distance,
 )
 from spatial4n_spark.kernels.bbox import (
     rect_contains_point,

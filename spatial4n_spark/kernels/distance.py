@@ -165,3 +165,51 @@ def point_on_bearing_rad_portable(lat, lon, dist_rad, bearing_rad):
     lon2 = norm_lon_deg(lon2 * RAD_TO_DEG) * DEG_TO_RAD
     lat2 = norm_lat_deg(lat2 * RAD_TO_DEG) * DEG_TO_RAD
     return lat2, lon2
+
+
+def vector_distance(vec1, vec2, power, quirks: bool = True):
+    """p-norm distance between vectors — DistanceUtils.VectorDistance
+    (DistanceUtils.cs:123-179; marked Obsolete in the reference but kept
+    for inventory parity).
+
+    Accepts single vectors ``(d,)`` or batches ``(n, d)`` and returns a
+    scalar / length-n array. Powers: 0 counts differing components
+    (Hamming), 1 is Manhattan, 2 is Euclidean (sqrt of
+    DistSquaredCartesian, :493), inf is the L-infinity norm, anything
+    else the general Lp fold.
+
+    ``quirks=True`` (default) reproduces the reference bit-for-bit,
+    including its two documented oddities:
+
+    - the infinity branch folds ``max(result, max(v1[i], v2[i]))`` —
+      the per-component DIFFERENCE is ignored (DistanceUtils.cs:166-170);
+    - the general-p branch raises the SIGNED difference to ``power``
+      without an abs (:173-177), so odd powers can cancel and fractional
+      powers of negative diffs yield NaN.
+
+    ``quirks=False`` computes the mathematically standard Lp distance
+    (abs diffs; L-inf = max |diff|) for callers who want the corrected
+    metric rather than reference parity.
+    """
+    v1 = np.atleast_2d(np.asarray(vec1, dtype=np.float64))
+    v2 = np.atleast_2d(np.asarray(vec2, dtype=np.float64))
+    if v1.shape != v2.shape:
+        raise ValueError(f"vector shapes differ: {v1.shape} vs {v2.shape}")
+    diff = v1 - v2
+    scalar_in = np.asarray(vec1).ndim == 1
+    if power == 0:
+        out = np.count_nonzero(diff, axis=1).astype(np.float64)
+    elif power == 1.0:
+        out = np.abs(diff).sum(axis=1)
+    elif power == 2.0:
+        out = np.sqrt((diff * diff).sum(axis=1))
+    elif np.isinf(power) or power == 2**31 - 1:  # int.MaxValue sentinel
+        if quirks:
+            out = np.maximum(v1, v2).max(axis=1)  # reference :166-170 verbatim
+        else:
+            out = np.abs(diff).max(axis=1)
+    else:
+        base = diff if quirks else np.abs(diff)
+        with np.errstate(invalid="ignore"):  # quirky signed fold can NaN by design
+            out = np.power(np.power(base, power).sum(axis=1), 1.0 / power)
+    return float(out[0]) if scalar_in else out
