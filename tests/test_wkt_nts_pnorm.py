@@ -46,7 +46,7 @@ class TestNtsReaderVariant:
         shape, z = parse_wkt_reader(
             "POLYGON ((0 0 1, 20 0 1, 20 10 1, 0 10 1, 0 0 1), (5 5 2, 6 5 2, 6 6 2, 5 5 2))"
         )
-        # non-axis-aligned? it is axis aligned -> collapses only when no holes
+        # the hole blocks rect collapse, so the Polygon (and both z rings) survive
         assert isinstance(shape, Polygon)
         assert z[0].tolist() == [1.0] * 5 and z[1].tolist() == [2.0] * 4
 
@@ -139,3 +139,22 @@ def test_pnorm_udf_matches_kernel(spark):
         )
         want = vector_distance(v1, v2, power, quirks=quirks)
         assert np.allclose(got, want, equal_nan=True)
+
+
+def test_reader_variant_agrees_with_default_parser_on_corpus():
+    """On every standard-WKT corpus entry the two parsers must produce the
+    same shape (normalized WKT equality); the CQL-extension entries must be
+    rejected by the reader variant (NtsWktReaderShapeParser.cs:33-34)."""
+    from spatial4n_spark.io import parse_wkt, parse_wkt_reader, to_wkt
+    from spatial4n_spark.sources.wkt_corpus import WKT_CORPUS
+
+    for wkt_id, wkt in WKT_CORPUS:
+        has_ext = "ENVELOPE" in wkt.upper() or "BUFFER" in wkt.upper()
+        if has_ext:
+            with pytest.raises(WktParseError):
+                parse_wkt_reader(wkt)
+            continue
+        shape, _z = parse_wkt_reader(wkt)
+        assert to_wkt(shape) == to_wkt(parse_wkt(wkt)), wkt_id
+        if wkt_id == "pt_dims":
+            assert _z.tolist() == [-3.0]
