@@ -101,6 +101,16 @@ COMMENTS = {
         "groups inside kept files, and the exact timestamp + haversine filters "
         "run as native codegen. No joins, no shuffles."
     ),
+    "doc_neardup_pairs": (
+        "Exact n-gram Jaccard near-dup pairs. Wanted shape: tokenize ONCE per doc "
+        "in its own projection (shingles must not inline the tokenizer into "
+        "element_at, or interpreted HOF eval re-tokenizes per element), "
+        "explode_outer + explicit null filter (plain explode lets "
+        "InferFiltersFromGenerate push a size()>0 filter BELOW the spread "
+        "repartition, re-running the whole shingle expression serially on one "
+        "partition), shingle-bucket self-join with the stop-shingle cap, exact "
+        "intersection/union as native aggregates."
+    ),
 }
 
 
@@ -135,6 +145,7 @@ def main() -> int:
         "radius_join_clustered": suite.q_radius_join_clustered,
         "pip_join_clustered": suite.q_pip_join_clustered,
         "st_radius_join": suite.q_st_radius_join,
+        "doc_neardup_pairs": suite_text.q_doc_neardup_pairs,
     }
 
     out = [
