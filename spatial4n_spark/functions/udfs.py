@@ -357,10 +357,24 @@ def pnorm_dist_udf(power: float, quirks: bool = True):
 
     @F.pandas_udf(DoubleType())
     def _pnorm(v1: pd.Series, v2: pd.Series) -> pd.Series:
-        a = np.asarray(v1.to_list(), dtype=np.float64)
-        b = np.asarray(v2.to_list(), dtype=np.float64)
-        if a.size == 0:
+        n = len(v1)
+        if n == 0:
             return pd.Series(np.empty(0, dtype=np.float64))
-        return pd.Series(vector_distance(a, b, power, quirks=quirks))
+        l1, l2 = v1.to_list(), v2.to_list()
+        # NULL vectors -> NaN rows; compute only over the valid subset so a
+        # single NULL can't fail the whole Arrow batch with a ragged-array
+        # error, and so zero-length vectors (shape (n,0)) keep row alignment
+        valid = np.fromiter(
+            (a is not None and b is not None for a, b in zip(l1, l2)),
+            dtype=bool,
+            count=n,
+        )
+        out = np.full(n, np.nan)
+        if valid.any():
+            idx = np.nonzero(valid)[0]
+            a = np.asarray([l1[i] for i in idx], dtype=np.float64)
+            b = np.asarray([l2[i] for i in idx], dtype=np.float64)
+            out[valid] = vector_distance(a, b, power, quirks=quirks)
+        return pd.Series(out)
 
     return _pnorm

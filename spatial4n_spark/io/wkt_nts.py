@@ -10,11 +10,11 @@ Documented differences from the default parser (``io/wkt.py``):
   parsed-and-dropped — ``parse_wkt_reader`` returns ``(shape, z_parts)``
   where ``z_parts`` mirrors the coordinate structure (None when the
   input carries no Z);
-- **per-coordinate normalization/verification** (CheckCoordinates,
-  :111-160): with ``norm_wrap_longitude`` the X of every coordinate is
-  wrapped via NormLonDEG; out-of-world-bounds coordinates raise
-  ``InvalidShapeError`` (VerifyX/VerifyY), matching the reference's
-  geo-context contract. The default parser only bounds-checks rects.
+- **per-coordinate verification** (CheckCoordinates, :111-160):
+  out-of-world-bounds coordinates raise ``InvalidShapeError``
+  (VerifyX/VerifyY on the ORIGINAL values, so the ``norm_wrap_longitude``
+  flag is observably inert — see ``_check_coords`` for the parity note).
+  The default parser only bounds-checks rects.
 
 Rectangle-shaped polygons still collapse to Rect (``geom.IsRectangle ->
 MakeRectFromPoly``, :92-95), through the same Width180 dateline rule as
@@ -80,14 +80,20 @@ def _coord_seq_z(t: _Tokens):
 
 
 def _check_coords(xy: np.ndarray, geo: bool, norm_wrap_longitude: bool) -> np.ndarray:
-    """CheckCoordinates (NtsWktReaderShapeParser.cs:111-160): optional lon
-    wrap, then world-bounds verification."""
+    """CheckCoordinates (NtsWktReaderShapeParser.cs:111-160).
+
+    Parity note: the reference's filter normalizes the sequence but then
+    calls VerifyX/VerifyY on the ORIGINAL values (Filter :129-151), so an
+    out-of-bounds X throws InvalidShapeException even with
+    norm_wrap_longitude enabled — and since NormLonDEG is the identity on
+    in-range values (DistanceUtils.cs NormLonDEG fast path), the wrap flag
+    is observably inert in this parser. It is kept (and applied after the
+    original-value verification, exactly as the reference orders it) for
+    API parity only.
+    """
     if xy.size == 0:
         return xy
     x, y = xy[:, 0], xy[:, 1]
-    if geo and norm_wrap_longitude:
-        x = norm_lon_deg(x)
-        xy = np.column_stack([x, y])
     if geo:
         if np.any((x < -180.0) | (x > 180.0)):
             bad = x[(x < -180.0) | (x > 180.0)][0]
@@ -95,6 +101,8 @@ def _check_coords(xy: np.ndarray, geo: bool, norm_wrap_longitude: bool) -> np.nd
         if np.any((y < -90.0) | (y > 90.0)):
             bad = y[(y < -90.0) | (y > 90.0)][0]
             raise InvalidShapeError(f"Bad Y value {bad} is not in boundary Rect(-90,90)")
+    if geo and norm_wrap_longitude:
+        xy = np.column_stack([norm_lon_deg(x), y])
     return xy
 
 

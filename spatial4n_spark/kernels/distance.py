@@ -204,10 +204,13 @@ def vector_distance(vec1, vec2, power, quirks: bool = True):
     elif power == 2.0:
         out = np.sqrt((diff * diff).sum(axis=1))
     elif np.isinf(power) or power == 2**31 - 1:  # int.MaxValue sentinel
+        # initial=0.0 mirrors the reference's fold seed (``double result = 0``
+        # then Math.Max(result, ...)): the output is floored at 0 for
+        # all-negative inputs and defined (0.0) for zero-length vectors.
         if quirks:
-            out = np.maximum(v1, v2).max(axis=1)  # reference :166-170 verbatim
+            out = np.maximum(v1, v2).max(axis=1, initial=0.0)  # reference :166-170
         else:
-            out = np.abs(diff).max(axis=1)
+            out = np.abs(diff).max(axis=1, initial=0.0)
     else:
         base = diff if quirks else np.abs(diff)
         with np.errstate(invalid="ignore"):  # quirky signed fold can NaN by design

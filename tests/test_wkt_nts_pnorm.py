@@ -79,10 +79,14 @@ class TestNtsReaderVariant:
         shape, _ = parse_wkt_reader("POINT (500 400)", geo=False)
         assert (shape.x, shape.y) == (500.0, 400.0)
 
-    def test_norm_wrap_longitude(self):
-        # with the wrap flag, X normalizes instead of failing (:135-144)
-        shape, _ = parse_wkt_reader("POINT (190 0)", norm_wrap_longitude=True)
-        assert shape.x == -170.0
+    def test_norm_wrap_longitude_is_inert_like_reference(self):
+        # the reference's filter verifies the ORIGINAL x (Filter :129-151),
+        # so out-of-range X throws even with wrap enabled, and in-range X
+        # is NormLonDEG's identity fast path — the flag changes nothing
+        with pytest.raises(InvalidShapeError):
+            parse_wkt_reader("POINT (190 0)", norm_wrap_longitude=True)
+        shape, _ = parse_wkt_reader("POINT (170 0)", norm_wrap_longitude=True)
+        assert shape.x == 170.0
 
     def test_trailing_garbage_and_none(self):
         with pytest.raises(WktParseError):
@@ -106,6 +110,16 @@ class TestVectorDistance:
         assert vector_distance(self.A, self.B, 2**31 - 1) == 4.0  # int.MaxValue path
         # corrected Chebyshev
         assert vector_distance(self.A, self.B, float("inf"), quirks=False) == 3.0
+
+    def test_infinity_zero_floor_and_empty(self):
+        # C# seeds the fold with result=0, so all-negative inputs floor at 0
+        neg = vector_distance(np.array([-1.0, -2.0]), np.array([-3.0, -4.0]), float("inf"))
+        assert neg == 0.0
+        # and zero-length vectors return 0.0 (the loop never runs), like
+        # the 0/1/2-power branches already do
+        e = np.empty(0)
+        for p in (0, 1.0, 2.0, float("inf"), 3.0):
+            assert vector_distance(e, e, p) == 0.0
 
     def test_general_power_signed_quirk(self):
         # (-3)^3 + 2^3 + 0 = -19; (-19)^(1/3) = NaN in double math (:173-177)
@@ -139,6 +153,30 @@ def test_pnorm_udf_matches_kernel(spark):
         )
         want = vector_distance(v1, v2, power, quirks=quirks)
         assert np.allclose(got, want, equal_nan=True)
+
+
+def test_pnorm_udf_null_and_empty_vectors(spark):
+    """A NULL vector row yields NaN (not a batch-wide crash); zero-length
+    vectors yield 0.0 with row alignment preserved."""
+    import pandas as pd
+
+    from spatial4n_spark.functions.udfs import pnorm_dist_udf
+
+    pdf = pd.DataFrame(
+        {"a": [[1.0, 2.0], None, [3.0, 4.0]], "b": [[1.0, 0.0], [5.0, 6.0], None]}
+    )
+    got = (
+        spark.createDataFrame(pdf)
+        .select(pnorm_dist_udf(2.0)("a", "b").alias("d"))
+        .toPandas()["d"]
+        .to_numpy()
+    )
+    assert got[0] == 2.0 and np.isnan(got[1]) and np.isnan(got[2])
+
+    pdf0 = pd.DataFrame({"a": [[], [], []], "b": [[], [], []]})
+    df0 = spark.createDataFrame(pdf0, schema="a array<double>, b array<double>")
+    got0 = df0.select(pnorm_dist_udf(2.0)("a", "b").alias("d")).toPandas()["d"].to_numpy()
+    assert got0.tolist() == [0.0, 0.0, 0.0]
 
 
 def test_reader_variant_agrees_with_default_parser_on_corpus():
