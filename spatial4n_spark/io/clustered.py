@@ -60,6 +60,13 @@ LOCKFILE = "_cluster.lock"
 SNAP_DIR = "_snapshots"
 
 
+def lock_path(path: str, lockfile: str = LOCKFILE) -> str:
+    """Where ``table_lock`` puts its lockfile for a table directory —
+    a SIBLING of the directory (``<path>.<lockfile>``), see
+    ``table_lock`` for why."""
+    return os.path.abspath(path).rstrip(os.sep) + "." + lockfile
+
+
 @contextlib.contextmanager
 def table_lock(path: str, lockfile: str = LOCKFILE):
     """Single-writer mutual exclusion for manifest read-modify-write.
@@ -78,8 +85,17 @@ def table_lock(path: str, lockfile: str = LOCKFILE):
     same.) A crash while holding the lock leaves the lockfile behind;
     the error message names it so an operator can verify no writer is
     alive and remove it.
+
+    The lockfile is a SIBLING of the table directory
+    (``<path>.<lockfile>``), not inside it: the overwrite writers
+    (``write_clustered`` / ``write_st_clustered``) also hold this lock,
+    and Spark's overwrite mode wipes the table directory — an in-dir
+    lockfile would be deleted out from under its own holder, silently
+    re-admitting concurrent writers mid-overwrite.
     """
-    lock = os.path.join(path, lockfile)
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    lock = lock_path(path, lockfile)
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
@@ -126,18 +142,24 @@ def write_clustered(
     crash-orphaned files (rows a retried append already re-delivered)
     into the manifest — ``append_clustered`` is the append path,
     extending the PRIOR manifest by exactly the new files.
+
+    Holds ``table_lock`` across the rewrite + manifest commit, like
+    every other writer: an unlocked overwrite racing a concurrent
+    append would delete the appender's files mid-commit and leave a
+    manifest referencing dead paths.
     """
     if mode != "overwrite":
         raise ValueError("write_clustered is overwrite-only; use append_clustered")
     be = cell_backend("s2")  # int64 Hilbert ids with the prefix property
     out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
-    (
-        out.repartitionByRange(files, F.col(CELL_COL))
-        .sortWithinPartitions(CELL_COL)
-        .write.mode(mode)
-        .parquet(path)
-    )
-    _write_manifest(path, level)
+    with table_lock(path):
+        (
+            out.repartitionByRange(files, F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.mode(mode)
+            .parquet(path)
+        )
+        _write_manifest(path, level, schema_json=out.schema.json())
 
 
 def _data_files(path: str) -> list[str]:
@@ -184,6 +206,8 @@ def _versioned_commit(
     manifest: str,
     snap_dir: str,
     extra_summary: dict | None = None,
+    schema_json: str | None = None,
+    inherit_schema: bool = True,
 ) -> dict:
     """Snapshot-versioned manifest commit — the Iceberg snapshot analog,
     shared by the flat and spatio-temporal layouts (parameterized on
@@ -223,10 +247,19 @@ def _versioned_commit(
     sid = (parent or 0) + 1
     prev_files = {e["file"] for e in cur["files"]} if cur is not None else set()
     new_files = {e["file"] for e in entries}
+    # the table schema rides in the manifest (Iceberg metadata analog):
+    # empty-result reads and all-zero-row tables need no data file on
+    # disk to answer with the right columns. Commits that don't supply
+    # one (append/compact) inherit the parent's; rollback restores the
+    # TARGET snapshot's schema verbatim (inherit_schema=False), since
+    # the current one may describe a later overwrite's shape.
+    if schema_json is None and inherit_schema and cur is not None:
+        schema_json = cur.get("schema")
     man = {
         "cell_col": CELL_COL,
         "index": "s2",
         "level": level,
+        "schema": schema_json,
         "files": entries,
         "snapshot_id": sid,
         "parent_id": parent,
@@ -251,12 +284,14 @@ def _write_manifest(
     entries: list[dict] | None = None,
     operation: str = "overwrite",
     extra_summary: dict | None = None,
+    schema_json: str | None = None,
 ) -> dict:
     """Flat-layout commit: see ``_versioned_commit``."""
     if entries is None:
         entries = _file_stats(path, _data_files(path))
     return _versioned_commit(
-        path, level, entries, operation, MANIFEST, SNAP_DIR, extra_summary
+        path, level, entries, operation, MANIFEST, SNAP_DIR, extra_summary,
+        schema_json=schema_json,
     )
 
 
@@ -416,6 +451,8 @@ def _rollback_versioned(
         manifest,
         snap_dir,
         extra_summary={"rolled_back_to": int(snapshot_id)},
+        schema_json=target.get("schema"),
+        inherit_schema=False,
     )
 
 
@@ -724,7 +761,7 @@ def read_pruned(
         n_ranges=len(ranges),
     )
     if not keep or not ranges:
-        empty = spark.createDataFrame([], spark.read.parquet(path).schema)
+        empty = spark.createDataFrame([], _table_schema(spark, path, man))
         return empty, stats
     df = spark.read.parquet(*[os.path.join(path, e["file"]) for e in keep])
     cond = None
@@ -761,6 +798,20 @@ def clustered_radius_query(
     return (out, stats) if with_stats else out
 
 
+def _table_schema(spark: SparkSession, path: str, man: dict):
+    """The table schema for empty-result reads: the manifest carries it
+    (Iceberg metadata analog) so a zero-file table — or a query whose
+    cover prunes every file — answers with the right columns without
+    touching a single parquet footer. Legacy (pre-schema) manifests
+    fall back to the directory read."""
+    sj = man.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(sj))
+    return spark.read.parquet(path).schema
+
+
 def _read_listed(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
@@ -769,7 +820,7 @@ def _read_listed(
     man = load_manifest(path, snapshot_id)
     files = [os.path.join(path, e["file"]) for e in man["files"]]
     if not files:
-        return spark.createDataFrame([], spark.read.parquet(path).schema)
+        return spark.createDataFrame([], _table_schema(spark, path, man))
     return spark.read.parquet(*files)
 
 

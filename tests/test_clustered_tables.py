@@ -490,6 +490,39 @@ def test_no_matching_files_returns_empty_with_schema(spark, clustered):
     assert df2.count() == 0 and st2.n_ranges == 0
 
 
+def test_manifest_carries_schema_no_footer_read(spark, sf_dir, tmp_path):
+    """The table schema rides in the manifest (Iceberg metadata
+    analog): an empty-result read answers with the right columns from
+    METADATA ALONE — proven by deleting every data file and still
+    getting the schema — and a legacy (pre-schema) manifest falls back
+    to the directory read."""
+    import json as _json
+
+    path = str(tmp_path / "schema_tbl")
+    pts = pts_orders(spark, sf_dir).limit(100)
+    C.write_clustered(pts, path, level=14, files=2)
+    want = set(pts.columns) | {C.CELL_COL}
+    assert C.load_manifest(path).get("schema")  # committed with the write
+
+    # legacy manifests (no schema key) still answer via the fallback
+    man_file = os.path.join(path, C.MANIFEST)
+    with open(man_file) as f:
+        man = _json.load(f)
+    orig_schema = man.pop("schema")
+    C._atomic_json_write(man_file, man)
+    df, _ = C.read_pruned(spark, path, [])
+    assert df.count() == 0 and set(df.columns) == want
+    man["schema"] = orig_schema
+    C._atomic_json_write(man_file, man)
+
+    # metadata-only: no data file on disk, schema still correct
+    for e in C.load_manifest(path)["files"]:
+        os.remove(os.path.join(path, e["file"]))
+    df, st = C.read_pruned(spark, path, [])
+    assert df.count() == 0 and st.n_ranges == 0
+    assert set(df.columns) == want
+
+
 def test_writer_lock_and_overwrite_only(spark, sf_dir, tmp_path):
     """ADVICE round 3: manifest read-modify-write is single-writer
     (enforced by a lockfile, not just documented), the manifest commit
@@ -499,8 +532,11 @@ def test_writer_lock_and_overwrite_only(spark, sf_dir, tmp_path):
     pts = pts_orders(spark, sf_dir).limit(200)
     C.write_clustered(pts, path, level=14, files=2)
 
-    # append under a held lock fails fast instead of racing
-    lock = os.path.join(path, C.LOCKFILE)
+    # append under a held lock fails fast instead of racing; the lock
+    # is a SIBLING of the table dir (overwrite wipes the dir, so an
+    # in-dir lockfile would be deleted out from under its own holder)
+    lock = C.lock_path(path)
+    assert not lock.startswith(path + os.sep)
     with open(lock, "w") as f:
         f.write("other-writer")
     with pytest.raises(RuntimeError, match="locked by another writer"):
