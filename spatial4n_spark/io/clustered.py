@@ -593,6 +593,199 @@ def compact_clustered(
 
 
 # ---------------------------------------------------------------------------
+# row-level delete / upsert (copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+def _src_file_col() -> "F.Column":
+    """The source data file of each row, as the manifest-relative name
+    (data files are flat in the table directory, so basename == the
+    manifest entry)."""
+    return F.element_at(F.split(F.input_file_name(), "/"), -1)
+
+
+def _per_file_hits(spark: SparkSession, path: str, names, cond) -> dict:
+    """rows-matching-``cond`` count per data file — the decision input
+    for minimal-rewrite: a file with zero matches is NEVER rewritten.
+    Driver result is bounded by the file count, not the row count."""
+    if not names:
+        return {}
+    cdf = spark.read.parquet(*[os.path.join(path, n) for n in names])
+    rows = (
+        cdf.where(cond)
+        .groupBy(_src_file_col().alias("_src"))
+        .count()
+        .collect()
+    )
+    return {r["_src"]: int(r["count"]) for r in rows}
+
+
+def delete_clustered(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    shape=None,
+) -> dict:
+    """Row-level DELETE on a clustered table, copy-on-write with
+    MINIMAL rewrite — the Iceberg copy-on-write delete analog.
+
+    ``predicate`` is a pyspark Column; rows where it evaluates TRUE are
+    deleted (NULL counts as no-match, i.e. the row survives — SQL
+    DELETE semantics). ``shape`` optionally RESTRICTS the delete to the
+    shape's cell cover and prunes the candidate files through the
+    manifest, so a spatially-local delete never reads the rest of the
+    table; because the cover is a superset of the shape, passing the
+    shape's own exact predicate + the shape loses nothing.
+
+    Execution, all under ``table_lock``:
+
+    1. count predicate matches PER FILE (one pruned scan; driver state
+       bounded by the file count) — files with zero matches keep their
+       manifest entries VERBATIM, bytes untouched on disk;
+    2. rewrite only the touched files minus the matching rows, new
+       files land beside the old (a crash here leaves orphans, never
+       damage);
+    3. one atomic snapshot-versioned manifest commit
+       (operation='delete'). The superseded files stay on disk while
+       any retained snapshot references them (snapshot isolation —
+       time travel to the pre-delete snapshot still sees the rows);
+       compaction's sweep / ``expire_snapshots`` reclaims them.
+
+    Zero matches commits nothing (returns a no-op summary). Returns
+    the committed manifest (or the no-op summary)."""
+    with table_lock(path):
+        man = load_manifest(path)
+        level = int(man["level"])
+        entries = man["files"]
+        cond = predicate
+        cand = entries
+        if shape is not None:
+            ranges = cover_ranges(shape, level)
+            cand = [
+                e
+                for e in entries
+                if any(not (hi < e["min"] or lo > e["max"]) for lo, hi in ranges)
+            ]
+            rcond = None
+            for lo, hi in ranges:
+                c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
+                rcond = c if rcond is None else (rcond | c)
+            cond = (cond & rcond) if rcond is not None else F.lit(False)
+        cond = F.coalesce(cond.cast("boolean"), F.lit(False))
+        hits = _per_file_hits(spark, path, [e["file"] for e in cand], cond)
+        if not hits:
+            return {
+                "operation": "delete",
+                "noop": True,
+                "deleted_rows": 0,
+                "snapshot_id": int(man["snapshot_id"]),
+            }
+        pre = set(_data_files(path))
+        keepdf = spark.read.parquet(
+            *[os.path.join(path, n) for n in hits]
+        ).where(~cond)
+        (
+            keepdf.repartitionByRange(max(1, len(hits)), F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.mode("append")
+            .parquet(path)
+        )
+        new = [n for n in _data_files(path) if n not in pre]
+        untouched = [e for e in entries if e["file"] not in hits]
+        return _write_manifest(
+            path,
+            level,
+            untouched + _file_stats(path, new),
+            operation="delete",
+            extra_summary={
+                "deleted_rows": int(sum(hits.values())),
+                "rewritten_files": len(hits),
+                "untouched_files": len(untouched),
+            },
+        )
+
+
+def upsert_clustered(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    files: int = 4,
+) -> dict:
+    """MERGE by key: every current row whose ``key`` appears in ``df``
+    is replaced by ``df``'s version (which may have MOVED — new
+    lat/lon lands in its new cell), and keys not present are inserted —
+    Iceberg's copy-on-write MERGE analog, as ONE snapshot commit.
+
+    The key set is broadcast (left_semi for per-file hit detection,
+    left_anti for the rewrite), so hit detection reads only the key
+    column of each file and only touched files are rewritten —
+    untouched manifest entries survive verbatim, same minimal-rewrite
+    contract as ``delete_clustered``. NULL keys never match (SQL join
+    equality) and are inserted as new rows. Atomicity: data files
+    first, one manifest commit last; a crash mid-way leaves orphans,
+    and a reader at any point sees either the whole merge or none of
+    it."""
+    with table_lock(path):
+        man = load_manifest(path)
+        level = int(man["level"])
+        entries = man["files"]
+        keys = F.broadcast(df.select(key).distinct())
+        touched: dict = {}
+        if entries:
+            # _src is projected DIRECTLY over the scan: input_file_name()
+            # is per-source, and the semi-join adds a second source above
+            cdf = spark.read.parquet(
+                *[os.path.join(path, e["file"]) for e in entries]
+            ).select(F.col(key), _src_file_col().alias("_src"))
+            rows = (
+                cdf.join(keys, on=key, how="left_semi")
+                .groupBy("_src")
+                .count()
+                .collect()
+            )
+            touched = {r["_src"]: int(r["count"]) for r in rows}
+        pre = set(_data_files(path))
+        if touched:
+            kdf = spark.read.parquet(
+                *[os.path.join(path, n) for n in touched]
+            ).join(keys, on=key, how="left_anti")
+            (
+                kdf.repartitionByRange(max(1, len(touched)), F.col(CELL_COL))
+                .sortWithinPartitions(CELL_COL)
+                .write.mode("append")
+                .parquet(path)
+            )
+        mid = set(_data_files(path))
+        be = cell_backend("s2")
+        out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+        (
+            out.repartitionByRange(files, F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.mode("append")
+            .parquet(path)
+        )
+        post = _data_files(path)
+        rewritten = _file_stats(path, [n for n in mid - pre])
+        inserted = _file_stats(path, [n for n in post if n not in mid])
+        untouched = [e for e in entries if e["file"] not in touched]
+        return _write_manifest(
+            path,
+            level,
+            untouched + rewritten + inserted,
+            operation="upsert",
+            extra_summary={
+                "replaced_rows": int(sum(touched.values())),
+                "incoming_rows": int(sum(e["rows"] for e in inserted)),
+                "rewritten_files": len(touched),
+                "untouched_files": len(untouched),
+            },
+        )
+
+
+# ---------------------------------------------------------------------------
 # cover -> id ranges
 # ---------------------------------------------------------------------------
 

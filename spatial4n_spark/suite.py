@@ -466,22 +466,26 @@ _SNAPSHOT_CACHE: dict[str, str] = {}
 
 
 def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
-    """Build-once clustered table WITH HISTORY for the time-travel gate:
-    snapshot 1 = the real orders points, snapshot 2 = an appended decoy
-    batch (same coordinates, keys offset by 4e9) that WOULD match every
-    query circle — so a reader that fails to honor the snapshot pin
-    returns extra rows and the oracle hash catches it."""
+    """Build-once clustered table WITH HISTORY for the time-travel +
+    copy-on-write gate: snapshot 1 = the real orders points, snapshot 2
+    = an appended decoy batch (same coordinates, keys offset by 4e9)
+    that WOULD match every query circle, snapshot 3 = a row-level
+    ``delete_clustered`` of exactly the decoys (Iceberg COW-delete
+    analog). A reader that fails the snapshot pin, or a delete that
+    misses/overshoots, returns wrong rows and the oracle hash catches
+    it."""
     import hashlib
     import os
     import tempfile
 
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
-    key = f"{src}:{os.path.getmtime(src)}:snap:{CLUSTER_LEVEL}"
+    key = f"{src}:{os.path.getmtime(src)}:snapcow:{CLUSTER_LEVEL}"
     if key not in _SNAPSHOT_CACHE:
         from spatial4n_spark.io.buildonce import ensure_built
         from spatial4n_spark.io.clustered import (
             MANIFEST,
             append_clustered,
+            delete_clustered,
             write_clustered,
         )
 
@@ -492,33 +496,51 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
                 "o_orderkey", F.col("o_orderkey") + F.lit(4_000_000_000).cast("long")
             )
             append_clustered(decoys, p, files=4)
+            delete_clustered(
+                spark,
+                p,
+                F.col("o_orderkey") >= F.lit(4_000_000_000).cast("long"),
+            )
 
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_clustered",
-            hashlib.md5(f"{src}:snap:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
+            hashlib.md5(f"{src}:snapcow:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
         )
         _SNAPSHOT_CACHE[key] = ensure_built(path, key, _build, ready_file=MANIFEST)
     return _SNAPSHOT_CACHE[key]
 
 
 def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The radius join TIME-TRAVELED to snapshot 1 of a table whose
-    current state (snapshot 2) also holds a decoy batch inside every
-    query circle — the Iceberg snapshot-read analog (io/clustered.py
-    snapshot-versioned manifests).  Planning against the pinned
-    snapshot's manifest must return exactly the pre-append rows, so the
-    oracle is sql_radius_join verbatim; any leakage of current state
-    fails the row-count and hash check."""
+    """Tagged union over the snapshot-versioned table's two lifecycle
+    reads (io/clustered.py) — one gate row, two verified mechanisms:
+
+    - mode='travel': the radius join TIME-TRAVELED to snapshot 1 of a
+      table whose history holds a decoy batch inside every query circle
+      (the Iceberg snapshot-read analog) — planning against the pinned
+      snapshot's manifest must return exactly the pre-append rows;
+    - mode='cow': the same join on CURRENT state, where the decoys were
+      removed by a row-level ``delete_clustered`` (the Iceberg
+      copy-on-write delete analog, minimal rewrite) — the delete must
+      remove exactly the decoys and nothing else.
+
+    Both arms therefore equal the plain radius join; the oracle is
+    sql_radius_join tagged per mode — leakage of decoys (bad pin, bad
+    delete) or over-deletion fails rows+hash."""
     from spatial4n_spark.io.clustered import clustered_radius_query
 
     path = _snapshot_table_path(spark, sf_dir)
     out = None
-    for qid, qlon, qlat, r_km in RADIUS_CENTERS:
-        part = clustered_radius_query(
-            spark, path, qlon, qlat, r_km, snapshot_id=1
-        ).select(F.lit(qid).alias("query_id"), "o_orderkey")
-        out = part if out is None else out.unionAll(part)
+    for mode, snap in (("travel", 1), ("cow", None)):
+        for qid, qlon, qlat, r_km in RADIUS_CENTERS:
+            part = clustered_radius_query(
+                spark, path, qlon, qlat, r_km, snapshot_id=snap
+            ).select(
+                F.lit(mode).alias("mode"),
+                F.lit(qid).alias("query_id"),
+                "o_orderkey",
+            )
+            out = part if out is None else out.unionAll(part)
     return out
 
 
@@ -1733,12 +1755,12 @@ def q_knn_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _sql_tag_union(sql: str, tags: list[str]) -> str:
-    """Wrap one oracle as `SELECT '<tag>' AS backend, * FROM (sql)` per
-    tag, UNION ALL'd — the SQL twin of a backend-column union whose
+def _sql_tag_union(sql: str, tags: list[str], col: str = "backend") -> str:
+    """Wrap one oracle as `SELECT '<tag>' AS <col>, * FROM (sql)` per
+    tag, UNION ALL'd — the SQL twin of a tag-column union whose
     branches share the oracle (results are branch-invariant)."""
     return "\nUNION ALL\n".join(
-        f"SELECT '{t}' AS backend, * FROM ({sql})" for t in tags
+        f"SELECT '{t}' AS {col}, * FROM ({sql})" for t in tags
     )
 
 
@@ -1851,9 +1873,12 @@ def spatial_oracles() -> dict[str, str]:
                     sql_radius_join(), ["s2", "h3"]
                 ),
                 "radius_join_clustered": sql_radius_join(),
-                # time travel to snapshot 1 must return exactly the
-                # pre-append table: the plain radius join
-                "radius_join_snapshot": sql_radius_join(),
+                # both arms — time travel to snapshot 1, and current
+                # state after the COW delete of the decoys — must return
+                # exactly the plain radius join
+                "radius_join_snapshot": _sql_tag_union(
+                    sql_radius_join(), ["travel", "cow"], col="mode"
+                ),
                 "pip_join_clustered": sql_pip_join(),
                 "knn_clustered": sql_knn(),
                 "radius_join_df": sql_radius_join(),

@@ -1,0 +1,171 @@
+"""Row-level DELETE / UPSERT on the clustered layout
+(io/clustered.py) — the Iceberg copy-on-write analog.
+
+The contract under test: (a) results equal the plain-DataFrame
+baseline bit-exactly, (b) rewrite is MINIMAL — files with no matching
+row keep their manifest entries verbatim and their bytes untouched,
+(c) the commit is one snapshot — time travel to the pre-delete
+snapshot still sees the rows and rollback restores them, (d) NULL
+predicate/keys follow SQL semantics (no match)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.io import clustered as C
+from spatial4n_spark.kernels.polygon import Circle
+from spatial4n_spark.kernels.distance import km_to_deg
+from spatial4n_spark.suite import pts_orders
+
+QLON, QLAT, R_KM = 2.3125, 48.875, 150.0
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("o_orderkey").collect())
+
+
+def _listed(spark, path, snapshot_id=None):
+    return C._read_listed(spark, path, snapshot_id=snapshot_id)
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "cow")
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=14, files=8)
+    return path, pts
+
+
+def test_delete_in_circle_minimal_rewrite(spark, table):
+    path, pts = table
+    before = {e["file"]: (e["min"], e["max"], e["rows"]) for e in
+              C.load_manifest(path)["files"]}
+    mtimes = {n: os.path.getmtime(os.path.join(path, n)) for n in before}
+    circle = Circle(QLON, QLAT, km_to_deg(R_KM), geo=True)
+    pred = (
+        haversine_km(F.col("lon"), F.col("lat"), F.lit(QLON), F.lit(QLAT))
+        <= F.lit(R_KM)
+    )
+    man = C.delete_clustered(spark, path, pred, shape=circle)
+
+    # bit-exact vs the plain-DataFrame baseline
+    want = _ids(pts.where(~pred))
+    assert _ids(_listed(spark, path)) == want
+    assert man["summary"]["deleted_rows"] == pts.count() - len(want) > 0
+
+    # minimal rewrite: untouched entries verbatim, bytes untouched
+    after = {e["file"]: (e["min"], e["max"], e["rows"]) for e in man["files"]}
+    untouched = {n for n in before if n in after}
+    assert man["summary"]["untouched_files"] == len(untouched)
+    assert man["summary"]["rewritten_files"] == len(before) - len(untouched)
+    for n in untouched:
+        assert after[n] == before[n]
+        assert os.path.getmtime(os.path.join(path, n)) == mtimes[n]
+    # a spatially local delete must not rewrite the whole table
+    assert untouched, "circle delete rewrote every file"
+
+    # one snapshot: time travel sees the pre-delete rows, rollback restores
+    assert man["operation"] == "delete" and man["snapshot_id"] == 2
+    assert _ids(_listed(spark, path, snapshot_id=1)) == _ids(pts)
+    # pruned radius query on current state returns nothing inside
+    got = C.clustered_radius_query(spark, path, QLON, QLAT, R_KM)
+    assert got.count() == 0
+    C.rollback_clustered(path, 1)
+    assert _ids(_listed(spark, path)) == _ids(pts)
+
+
+def test_delete_noop_and_null_predicate(spark, table):
+    path, pts = table
+    sid = C.load_manifest(path)["snapshot_id"]
+    res = C.delete_clustered(
+        spark, path, F.col("o_orderkey") < F.lit(-1).cast("long")
+    )
+    assert res.get("noop") and res["deleted_rows"] == 0
+    assert C.load_manifest(path)["snapshot_id"] == sid  # nothing committed
+
+    # NULL predicate rows survive (SQL DELETE semantics)
+    pred = F.when(F.col("o_orderkey") % 3 == 0, F.lit(None).cast("boolean")).otherwise(
+        F.col("o_orderkey") % 3 == 1
+    )
+    C.delete_clustered(spark, path, pred)
+    want = _ids(pts.where(F.col("o_orderkey") % 3 != 1))
+    assert _ids(_listed(spark, path)) == want
+
+
+def test_upsert_moves_and_inserts(spark, table):
+    path, pts = table
+    entries = C.load_manifest(path)["files"]
+    before = {e["file"] for e in entries}
+    # move 50 keys FROM ONE DATA FILE to Paris (new cell!) — keys are
+    # unique, so only that file holds a match and minimal-rewrite can
+    # leave the rest untouched; insert 25 fresh keys
+    one_file = spark.read.parquet(os.path.join(path, entries[0]["file"]))
+    moved = (
+        pts.join(
+            one_file.select("o_orderkey").orderBy("o_orderkey").limit(50),
+            "o_orderkey",
+            "left_semi",
+        )
+        .withColumn("lon", F.lit(QLON))
+        .withColumn("lat", F.lit(QLAT))
+    )
+    fresh = (
+        pts.orderBy("o_orderkey")
+        .limit(25)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(4_000_000_000).cast("long")
+        )
+        .withColumn("lon", F.lit(QLON))
+        .withColumn("lat", F.lit(QLAT))
+    )
+    up = moved.unionByName(fresh)
+    man = C.upsert_clustered(spark, up, path, key="o_orderkey")
+
+    assert man["operation"] == "upsert"
+    assert man["summary"]["replaced_rows"] == 50
+    assert man["summary"]["incoming_rows"] == 75
+    assert man["summary"]["rewritten_files"] == 1
+    cur = _listed(spark, path)
+    assert cur.count() == pts.count() + 25
+    # the moved rows are found at their NEW location by the pruned query
+    got = C.clustered_radius_query(spark, path, QLON, QLAT, 5.0)
+    assert got.count() == 75
+    # exactly-one-version: no key appears twice
+    assert cur.groupBy("o_orderkey").count().where("count > 1").count() == 0
+    # minimal rewrite: some base files untouched
+    after = {e["file"] for e in man["files"]}
+    assert before & after, "upsert rewrote every file"
+    # time travel: pre-upsert state intact
+    assert _ids(_listed(spark, path, snapshot_id=1)) == _ids(pts)
+
+
+def test_upsert_null_keys_insert_only(spark, table):
+    path, pts = table
+    n0 = pts.count()
+    nulls = (
+        pts.limit(10)
+        .withColumn("o_orderkey", F.lit(None).cast("long"))
+        .withColumn("lon", F.lit(QLON))
+        .withColumn("lat", F.lit(QLAT))
+    )
+    man = C.upsert_clustered(spark, nulls, path, key="o_orderkey")
+    # NULL keys match nothing (SQL join equality): pure insert
+    assert man["summary"]["replaced_rows"] == 0
+    assert _listed(spark, path).count() == n0 + 10
+
+
+def test_deleted_files_swept_only_after_expire(spark, table):
+    path, pts = table
+    pred = F.col("o_orderkey") % 2 == 0
+    man = C.delete_clustered(spark, path, pred)
+    rewritten = man["summary"]["rewritten_files"]
+    assert rewritten > 0
+    # superseded files still on disk (snapshot 1 references them)
+    assert len(C._data_files(path)) > len(man["files"])
+    C.expire_snapshots(path, keep_last=1)
+    # now only the current snapshot's files remain
+    assert sorted(C._data_files(path)) == sorted(e["file"] for e in
+                                                 C.load_manifest(path)["files"])
+    assert _ids(_listed(spark, path)) == _ids(pts.where(~pred))
