@@ -261,6 +261,129 @@ def compact_st_clustered(
                 os.remove(os.path.join(path, rel))
 
 
+def delete_st_clustered(
+    spark: SparkSession,
+    path: str,
+    predicate=None,
+    t0=None,
+    t1=None,
+    shape=None,
+    ts: str = "ts",
+) -> dict:
+    """Row-level DELETE on the day-partitioned layout, copy-on-write
+    with minimal rewrite — the two-axis twin of the flat layout's
+    ``delete_clustered``: candidate files are pruned by the time
+    window's DAY RANGE and by the ``shape``'s cell cover BEFORE any
+    data is read, so deleting 'this region, these days' from a year of
+    history touches only those days' overlapping files.
+
+    The deleted set is the conjunction of whatever is given:
+    ``predicate`` (a pyspark Column; NULL = row survives), the
+    ``[t0, t1]`` timestamp window, and the shape's cell-cover
+    restriction (a superset of the shape — pass the shape's exact
+    predicate too for an exact spatial delete). At least one must be
+    supplied. Same contract as the flat delete: per-file match counts
+    pick the rewrite set, untouched manifest entries survive verbatim,
+    one snapshot commit, superseded files stay until
+    ``expire_st_snapshots``; zero matches commits nothing."""
+    if predicate is None and t0 is None and shape is None:
+        raise ValueError(
+            "delete_st_clustered needs a predicate, a [t0, t1] window, "
+            "or a shape — an unconditioned delete of the whole table "
+            "should be an explicit overwrite instead"
+        )
+    with table_lock(path, MANIFEST + ".lock"):
+        man = load_st_manifest(path)
+        level = int(man["level"])
+        entries = man["files"]
+        cand = entries
+        if t0 is not None and t1 is not None:
+            day_lo, day_hi = str(t0)[:10], str(t1)[:10]
+            cand = [e for e in cand if day_lo <= e["day"] <= day_hi]
+        rcond = None
+        if shape is not None:
+            ranges = cover_ranges(shape, level)
+            cand = [
+                e
+                for e in cand
+                if any(not (hi < e["min"] or lo > e["max"]) for lo, hi in ranges)
+            ]
+            for lo, hi in ranges:
+                c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
+                rcond = c if rcond is None else (rcond | c)
+            if rcond is None:
+                rcond = F.lit(False)
+        if not cand:
+            return {
+                "operation": "delete",
+                "noop": True,
+                "deleted_rows": 0,
+                "snapshot_id": int(man["snapshot_id"]),
+            }
+        cdf = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, e["file"]) for e in cand]
+        )
+        cond = predicate if predicate is not None else F.lit(True)
+        if t0 is not None and t1 is not None:
+            ts_type = cdf.schema[ts].dataType
+            cond = cond & (
+                (F.col(ts) >= F.lit(t0).cast(ts_type))
+                & (F.col(ts) <= F.lit(t1).cast(ts_type))
+            )
+        if rcond is not None:
+            cond = cond & rcond
+        cond = F.coalesce(cond.cast("boolean"), F.lit(False))
+        # _src is the manifest-relative path (day dir + file), projected
+        # DIRECTLY over the scan (input_file_name is per-source)
+        parts = F.split(F.input_file_name(), "/")
+        src = F.concat_ws(
+            "/", F.element_at(parts, -2), F.element_at(parts, -1)
+        )
+        rows = (
+            cdf.withColumn("_src", src)
+            .where(cond)
+            .groupBy("_src")
+            .count()
+            .collect()
+        )
+        hits = {r["_src"]: int(r["count"]) for r in rows}
+        if not hits:
+            return {
+                "operation": "delete",
+                "noop": True,
+                "deleted_rows": 0,
+                "snapshot_id": int(man["snapshot_id"]),
+            }
+        pre = set(_st_data_files(path))
+        keepdf = (
+            spark.read.option("basePath", path)
+            .parquet(*[os.path.join(path, n) for n in hits])
+            .where(~cond)
+        )
+        (
+            keepdf.repartitionByRange(max(1, len(hits)), F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.partitionBy(DAY_COL)
+            .mode("append")
+            .parquet(path)
+        )
+        new = [r for r in _st_data_files(path) if r not in pre]
+        untouched = [e for e in entries if e["file"] not in hits]
+        return _versioned_commit(
+            path,
+            level,
+            untouched + _day_tagged_stats(path, new),
+            "delete",
+            MANIFEST,
+            SNAP_DIR,
+            extra_summary={
+                "deleted_rows": int(sum(hits.values())),
+                "rewritten_files": len(hits),
+                "untouched_files": len(untouched),
+            },
+        )
+
+
 @dataclass(frozen=True)
 class STPruneStats:
     files_total: int

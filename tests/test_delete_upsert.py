@@ -156,6 +156,90 @@ def test_upsert_null_keys_insert_only(spark, table):
     assert _listed(spark, path).count() == n0 + 10
 
 
+def test_st_delete_two_axis_pruned(spark, sf_dir, tmp_path):
+    """delete_st_clustered prunes candidates on BOTH axes (day range +
+    cell cover) and rewrites only touched files; result equals the
+    plain-DataFrame baseline, days outside the window stay verbatim,
+    and time travel still sees the deleted rows."""
+    from spatial4n_spark.io import st_clustered as ST
+
+    path = str(tmp_path / "st_cow")
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts",
+        F.expr(
+            "timestampadd(SECOND, CAST((o_orderkey % 8) * 86400 "
+            "+ o_orderkey % 977 AS BIGINT), "
+            "TIMESTAMP_NTZ'2024-01-01 00:00:00')"
+        ),
+    )
+    ST.write_st_clustered(pts, path, level=14, files=8)
+    before = {e["file"]: (e["min"], e["max"], e["rows"]) for e in
+              ST.load_st_manifest(path)["files"]}
+
+    # --- two-axis delete: this circle, these days (800 km — the test
+    # lattice has only 4096 distinct sites, city radii can be empty) ---
+    t0, t1 = "2024-01-02 00:00:00", "2024-01-05 23:59:59"
+    r_km = 800.0
+    circle = Circle(QLON, QLAT, km_to_deg(r_km), geo=True)
+    pred = (
+        haversine_km(F.col("lon"), F.col("lat"), F.lit(QLON), F.lit(QLAT))
+        <= F.lit(r_km)
+    )
+    man = ST.delete_st_clustered(
+        spark, path, predicate=pred, t0=t0, t1=t1, shape=circle
+    )
+
+    in_window = (F.col("ts") >= F.lit(t0).cast("timestamp_ntz")) & (
+        F.col("ts") <= F.lit(t1).cast("timestamp_ntz")
+    )
+    want = _ids(pts.where(~(pred & in_window)))
+    got = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, e["file"]) for e in man["files"]]
+    )
+    assert _ids(got) == want
+    assert man["summary"]["deleted_rows"] == pts.count() - len(want) > 0
+
+    # two-axis minimal rewrite: every file of a day OUTSIDE the window
+    # is untouched verbatim
+    after = {e["file"]: (e["min"], e["max"], e["rows"]) for e in man["files"]}
+    window_days = {f"{ST.DAY_COL}=2024-01-0{d}" for d in (2, 3, 4, 5)}
+    out_of_window = [
+        f for f in before if f.split("/")[0] not in window_days
+    ]
+    assert out_of_window
+    for f in out_of_window:
+        assert after[f] == before[f]
+    assert man["summary"]["untouched_files"] >= len(out_of_window)
+
+    # one snapshot: travel back, and the query surface agrees
+    trav = ST.st_radius_query(spark, path, QLON, QLAT, r_km, t0, t1,
+                              snapshot_id=man["parent_id"])
+    assert trav.count() == man["summary"]["deleted_rows"]
+    cur = ST.st_radius_query(spark, path, QLON, QLAT, r_km, t0, t1)
+    assert cur.count() == 0
+
+    # --- window-only delete: drop two whole days (retention) ---
+    w0, w1 = "2024-01-07 00:00:00", "2024-01-08 23:59:59"
+    man2 = ST.delete_st_clustered(spark, path, t0=w0, t1=w1)
+    drop_days = {f"{ST.DAY_COL}=2024-01-0{d}" for d in (7, 8)}
+    assert all(e["file"].split("/")[0] not in drop_days for e in man2["files"])
+    in_w = (F.col("ts") >= F.lit(w0).cast("timestamp_ntz")) & (
+        F.col("ts") <= F.lit(w1).cast("timestamp_ntz")
+    )
+    want2 = _ids(pts.where(~(pred & in_window) & ~in_w))
+    got2 = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, e["file"]) for e in man2["files"]]
+    )
+    assert _ids(got2) == want2
+
+    # no-op forms commit nothing
+    sid = ST.load_st_manifest(path)["snapshot_id"]
+    res = ST.delete_st_clustered(spark, path, t0="2030-01-01", t1="2030-01-02")
+    assert res.get("noop") and ST.load_st_manifest(path)["snapshot_id"] == sid
+    with pytest.raises(ValueError, match="unconditioned"):
+        ST.delete_st_clustered(spark, path)
+
+
 def test_deleted_files_swept_only_after_expire(spark, table):
     path, pts = table
     pred = F.col("o_orderkey") % 2 == 0
