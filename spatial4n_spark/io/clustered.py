@@ -526,6 +526,11 @@ def append_clustered(
     (swept by the next compaction), never a wrong manifest. The whole
     read-extend-commit sequence holds ``table_lock`` so a concurrent
     appender/compactor errors instead of racing the manifest.
+
+    Add-column schema evolution: a batch may carry NEW columns (the
+    commit's schema grows, pre-evolution files read as NULL in them —
+    see ``_merge_schemas``) or OMIT existing ones (its rows read as
+    NULL there); a same-name type change is an error.
     """
     with table_lock(path):
         man = load_manifest(path)
@@ -533,6 +538,11 @@ def append_clustered(
         pre = set(_data_files(path))
         be = cell_backend("s2")
         out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+        old_schema = _manifest_schema(man)
+        schema_json = None
+        if old_schema is not None:
+            merged, _ = _merge_schemas(old_schema, out.schema)
+            schema_json = merged.json()
         (
             out.repartitionByRange(files, F.col(CELL_COL))
             .sortWithinPartitions(CELL_COL)
@@ -541,7 +551,11 @@ def append_clustered(
         )
         new = [n for n in _data_files(path) if n not in pre]
         _write_manifest(
-            path, level, man["files"] + _file_stats(path, new), operation="append"
+            path,
+            level,
+            man["files"] + _file_stats(path, new),
+            operation="append",
+            schema_json=schema_json,
         )
 
 
@@ -576,7 +590,11 @@ def compact_clustered(
         level = int(man["level"])
         listed = [e["file"] for e in man["files"]]
         if listed:
-            cur = spark.read.parquet(*[os.path.join(path, n) for n in listed])
+            # manifest-schema read: compaction MATERIALIZES evolved
+            # columns (pre-evolution files rewrite with explicit NULLs)
+            cur = _schema_reader(spark, man).parquet(
+                *[os.path.join(path, n) for n in listed]
+            )
             pre = set(_data_files(path))
             (
                 cur.repartitionByRange(files, F.col(CELL_COL))
@@ -604,13 +622,15 @@ def _src_file_col() -> "F.Column":
     return F.element_at(F.split(F.input_file_name(), "/"), -1)
 
 
-def _per_file_hits(spark: SparkSession, path: str, names, cond) -> dict:
+def _per_file_hits(spark: SparkSession, path: str, names, cond, man) -> dict:
     """rows-matching-``cond`` count per data file — the decision input
     for minimal-rewrite: a file with zero matches is NEVER rewritten.
     Driver result is bounded by the file count, not the row count."""
     if not names:
         return {}
-    cdf = spark.read.parquet(*[os.path.join(path, n) for n in names])
+    cdf = _schema_reader(spark, man).parquet(
+        *[os.path.join(path, n) for n in names]
+    )
     rows = (
         cdf.where(cond)
         .groupBy(_src_file_col().alias("_src"))
@@ -672,7 +692,7 @@ def delete_clustered(
                 rcond = c if rcond is None else (rcond | c)
             cond = (cond & rcond) if rcond is not None else F.lit(False)
         cond = F.coalesce(cond.cast("boolean"), F.lit(False))
-        hits = _per_file_hits(spark, path, [e["file"] for e in cand], cond)
+        hits = _per_file_hits(spark, path, [e["file"] for e in cand], cond, man)
         if not hits:
             return {
                 "operation": "delete",
@@ -681,9 +701,11 @@ def delete_clustered(
                 "snapshot_id": int(man["snapshot_id"]),
             }
         pre = set(_data_files(path))
-        keepdf = spark.read.parquet(
-            *[os.path.join(path, n) for n in hits]
-        ).where(~cond)
+        keepdf = (
+            _schema_reader(spark, man)
+            .parquet(*[os.path.join(path, n) for n in hits])
+            .where(~cond)
+        )
         (
             keepdf.repartitionByRange(max(1, len(hits)), F.col(CELL_COL))
             .sortWithinPartitions(CELL_COL)
@@ -737,9 +759,11 @@ def upsert_clustered(
         if entries:
             # _src is projected DIRECTLY over the scan: input_file_name()
             # is per-source, and the semi-join adds a second source above
-            cdf = spark.read.parquet(
-                *[os.path.join(path, e["file"]) for e in entries]
-            ).select(F.col(key), _src_file_col().alias("_src"))
+            cdf = (
+                _schema_reader(spark, man)
+                .parquet(*[os.path.join(path, e["file"]) for e in entries])
+                .select(F.col(key), _src_file_col().alias("_src"))
+            )
             rows = (
                 cdf.join(keys, on=key, how="left_semi")
                 .groupBy("_src")
@@ -749,9 +773,11 @@ def upsert_clustered(
             touched = {r["_src"]: int(r["count"]) for r in rows}
         pre = set(_data_files(path))
         if touched:
-            kdf = spark.read.parquet(
-                *[os.path.join(path, n) for n in touched]
-            ).join(keys, on=key, how="left_anti")
+            kdf = (
+                _schema_reader(spark, man)
+                .parquet(*[os.path.join(path, n) for n in touched])
+                .join(keys, on=key, how="left_anti")
+            )
             (
                 kdf.repartitionByRange(max(1, len(touched)), F.col(CELL_COL))
                 .sortWithinPartitions(CELL_COL)
@@ -761,6 +787,11 @@ def upsert_clustered(
         mid = set(_data_files(path))
         be = cell_backend("s2")
         out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+        old_schema = _manifest_schema(man)
+        schema_json = None
+        if old_schema is not None:  # same add-column evolution as append
+            merged, _ = _merge_schemas(old_schema, out.schema)
+            schema_json = merged.json()
         (
             out.repartitionByRange(files, F.col(CELL_COL))
             .sortWithinPartitions(CELL_COL)
@@ -776,6 +807,7 @@ def upsert_clustered(
             level,
             untouched + rewritten + inserted,
             operation="upsert",
+            schema_json=schema_json,
             extra_summary={
                 "replaced_rows": int(sum(touched.values())),
                 "incoming_rows": int(sum(e["rows"] for e in inserted)),
@@ -956,7 +988,9 @@ def read_pruned(
     if not keep or not ranges:
         empty = spark.createDataFrame([], _table_schema(spark, path, man))
         return empty, stats
-    df = spark.read.parquet(*[os.path.join(path, e["file"]) for e in keep])
+    df = _schema_reader(spark, man).parquet(
+        *[os.path.join(path, e["file"]) for e in keep]
+    )
     cond = None
     for lo, hi in ranges:
         c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
@@ -991,18 +1025,70 @@ def clustered_radius_query(
     return (out, stats) if with_stats else out
 
 
+def _manifest_schema(man: dict):
+    """The committed table schema, or None on a legacy manifest."""
+    sj = man.get("schema")
+    if not sj:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(sj))
+
+
 def _table_schema(spark: SparkSession, path: str, man: dict):
     """The table schema for empty-result reads: the manifest carries it
     (Iceberg metadata analog) so a zero-file table — or a query whose
     cover prunes every file — answers with the right columns without
     touching a single parquet footer. Legacy (pre-schema) manifests
     fall back to the directory read."""
-    sj = man.get("schema")
-    if sj:
-        from pyspark.sql.types import StructType
+    return _manifest_schema(man) or spark.read.parquet(path).schema
 
-        return StructType.fromJson(json.loads(sj))
-    return spark.read.parquet(path).schema
+
+def _schema_reader(spark: SparkSession, man: dict):
+    """A parquet reader pinned to the MANIFEST's schema (the Iceberg
+    semantic: the table schema lives in metadata, not in whichever file
+    happens to be read first). After an add-column append, files
+    written before the column existed are read with NULLs in it — and a
+    time-traveled read uses THAT snapshot's schema, so history keeps
+    its original shape. Legacy manifests fall back to file inference."""
+    schema = _manifest_schema(man)
+    return spark.read.schema(schema) if schema is not None else spark.read
+
+
+def _merge_schemas(old, new):
+    """Add-column schema evolution (Iceberg analog): fields are matched
+    BY NAME; new fields append to the end as nullable, fields the batch
+    omits stay (nullable — its rows read as NULL), same-name fields
+    must keep their exact type (no silent promotion — a type change is
+    an error, not a coercion). Returns (merged, changed)."""
+    from pyspark.sql.types import StructField, StructType
+
+    new_by_name = {f.name: f for f in new.fields}
+    fields, changed = [], False
+    for f in old.fields:
+        g = new_by_name.pop(f.name, None)
+        if g is None:
+            # batch omits this column: its rows read as NULL
+            fields.append(StructField(f.name, f.dataType, True, f.metadata))
+            changed = changed or not f.nullable
+        elif g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution supports adding columns, not changing "
+                f"types: column {f.name!r} is {f.dataType.simpleString()} "
+                f"in the table but {g.dataType.simpleString()} in the batch"
+            )
+        else:
+            fields.append(
+                StructField(
+                    f.name, f.dataType, f.nullable or g.nullable, f.metadata
+                )
+            )
+    for g in new.fields:  # preserve batch order for the added columns
+        if g.name in new_by_name:
+            # pre-evolution rows read as NULL in an added column
+            fields.append(StructField(g.name, g.dataType, True, g.metadata))
+            changed = True
+    return StructType(fields), changed
 
 
 def _read_listed(
@@ -1014,7 +1100,7 @@ def _read_listed(
     files = [os.path.join(path, e["file"]) for e in man["files"]]
     if not files:
         return spark.createDataFrame([], _table_schema(spark, path, man))
-    return spark.read.parquet(*files)
+    return _schema_reader(spark, man).parquet(*files)
 
 
 def clustered_knn_df(
