@@ -174,20 +174,50 @@ def _file_stats(path: str, names: list[str]) -> list[dict]:
     entries = []
     for name in sorted(names):
         md = pq.ParquetFile(os.path.join(path, name)).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[CELL_COL]
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:  # empty file part
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        # per-column [min,max] from the footers for every JSON-storable
+        # leaf (the Iceberg column-stats analog): `min`/`max` stay the
+        # CELL_COL bounds (the primary prune axis), `cols` carries the
+        # rest for secondary pruning (e.g. key ranges in upsert)
+        cols: dict = {}
+        for idx, cname in enumerate(names):
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:  # empty file part
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is None or not isinstance(lo, (int, float, str)):
+                continue  # no stats, or a type JSON can't carry faithfully
+            if isinstance(lo, float) and not (
+                lo == lo and hi == hi  # NaN bounds are not bounds
+            ):
                 continue
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if lo is None:
+            cols[cname] = [lo, hi]
+        if CELL_COL not in cols:
             continue  # file with no rows carries no bounds and never matches
+        clo, chi = cols.pop(CELL_COL)
         entries.append(
-            {"file": name, "min": int(lo), "max": int(hi), "rows": md.num_rows}
+            {
+                "file": name,
+                "min": int(clo),
+                "max": int(chi),
+                "rows": md.num_rows,
+                "cols": cols,
+            }
         )
     return entries
+
+
+def _col_range_keep(e: dict, col: str, lo, hi) -> bool:
+    """May this manifest entry hold rows with ``col`` in [lo, hi]?
+    Sound by construction: entries without stats for the column (legacy
+    manifests, unsupported types) are always kept."""
+    rng = e.get("cols", {}).get(col)
+    if rng is None:
+        return True
+    return not (hi < rng[0] or lo > rng[1])
 
 
 def _snap_file_in(path: str, snap_dir: str, snapshot_id: int) -> str:
@@ -755,13 +785,25 @@ def upsert_clustered(
         level = int(man["level"])
         entries = man["files"]
         keys = F.broadcast(df.select(key).distinct())
+        # key-range file pruning (the manifest's per-column stats): only
+        # files whose [min,max] of the KEY column intersects the batch's
+        # key range can hold a match — on tables whose keys correlate
+        # with layout (ingest order, region) the hit scan skips most
+        # files; entries without key stats are always scanned (sound).
+        row = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        klo, khi = row["lo"], row["hi"]
+        cand = (
+            []  # an all-NULL key batch matches nothing (SQL equality)
+            if klo is None
+            else [e for e in entries if _col_range_keep(e, key, klo, khi)]
+        )
         touched: dict = {}
-        if entries:
+        if cand:
             # _src is projected DIRECTLY over the scan: input_file_name()
             # is per-source, and the semi-join adds a second source above
             cdf = (
                 _schema_reader(spark, man)
-                .parquet(*[os.path.join(path, e["file"]) for e in entries])
+                .parquet(*[os.path.join(path, e["file"]) for e in cand])
                 .select(F.col(key), _src_file_col().alias("_src"))
             )
             rows = (
@@ -813,6 +855,7 @@ def upsert_clustered(
                 "incoming_rows": int(sum(e["rows"] for e in inserted)),
                 "rewritten_files": len(touched),
                 "untouched_files": len(untouched),
+                "hit_scan_files": len(cand),
             },
         )
 

@@ -141,6 +141,38 @@ def test_upsert_moves_and_inserts(spark, table):
     assert _ids(_listed(spark, path, snapshot_id=1)) == _ids(pts)
 
 
+def test_upsert_key_range_prunes_hit_scan(spark, sf_dir, tmp_path):
+    """The manifest's per-column stats (Iceberg column-stats analog)
+    prune the upsert hit scan by KEY RANGE: when appended batches carry
+    disjoint key ranges, an upsert of keys from one batch scans only
+    that batch's files."""
+    path = str(tmp_path / "keyprune")
+    pts = pts_orders(spark, sf_dir).limit(400)
+    C.write_clustered(pts, path, level=14, files=4)
+    for base in (10**10, 2 * 10**10):
+        b = pts.limit(50).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(base).cast("long")
+        )
+        C.append_clustered(b, path, files=2)
+    total_files = len(C.load_manifest(path)["files"])
+
+    # stats rode the commit for every column
+    e0 = C.load_manifest(path)["files"][0]
+    assert "o_orderkey" in e0["cols"] and "lon" in e0["cols"]
+
+    up = (
+        pts.limit(20)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(2 * 10**10).cast("long"))
+        .withColumn("lon", F.lit(QLON))
+        .withColumn("lat", F.lit(QLAT))
+    )
+    man = C.upsert_clustered(spark, up, path, key="o_orderkey")
+    assert man["summary"]["replaced_rows"] == 20
+    # only the second append's files were even scanned
+    assert man["summary"]["hit_scan_files"] < total_files
+    assert man["summary"]["hit_scan_files"] <= 2
+
+
 def test_upsert_null_keys_insert_only(spark, table):
     path, pts = table
     n0 = pts.count()
