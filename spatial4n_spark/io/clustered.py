@@ -1041,6 +1041,56 @@ def read_pruned(
     return df.where(cond), stats
 
 
+def clustered_scan(
+    spark: SparkSession,
+    path: str,
+    col_ranges: dict | None = None,
+    snapshot_id: int | None = None,
+    with_stats: bool = False,
+):
+    """Metadata-pruned scan on ANY stats-carrying column: only files
+    whose per-column [min,max] (manifest column stats) intersect every
+    requested ``{col: (lo, hi)}`` range are listed, and the residual
+    BETWEEN conjunction is pushed to the parquet reader so kept files
+    skip row groups too. The cell column prunes through the same stats
+    (its bounds are a manifest column like any other here). Files
+    without stats for a column are always kept — sound on legacy
+    manifests and unsupported types; the pushed predicate still makes
+    the RESULT exact."""
+    man = load_manifest(path, snapshot_id)
+    col_ranges = dict(col_ranges or {})
+    entries = man["files"]
+    keep = []
+    for e in entries:
+        ok = True
+        for col, (lo, hi) in col_ranges.items():
+            if col == CELL_COL:
+                if hi < e["min"] or lo > e["max"]:
+                    ok = False
+                    break
+            elif not _col_range_keep(e, col, lo, hi):
+                ok = False
+                break
+        if ok:
+            keep.append(e)
+    stats = PruneStats(
+        files_total=len(entries),
+        files_kept=len(keep),
+        rows_total=sum(e["rows"] for e in entries),
+        rows_kept_files=sum(e["rows"] for e in keep),
+        n_ranges=len(col_ranges),
+    )
+    if not keep:
+        out = spark.createDataFrame([], _table_schema(spark, path, man))
+        return (out, stats) if with_stats else out
+    df = _schema_reader(spark, man).parquet(
+        *[os.path.join(path, e["file"]) for e in keep]
+    )
+    for col, (lo, hi) in col_ranges.items():
+        df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return (df, stats) if with_stats else df
+
+
 def clustered_radius_query(
     spark: SparkSession,
     path: str,

@@ -173,6 +173,37 @@ def test_upsert_key_range_prunes_hit_scan(spark, sf_dir, tmp_path):
     assert man["summary"]["hit_scan_files"] <= 2
 
 
+def test_clustered_scan_prunes_on_any_stats_column(spark, sf_dir, tmp_path):
+    """clustered_scan prunes files by the manifest's per-column stats
+    on ANY column and stays exact: result equals the plain filtered
+    read, and a disjoint-batch table prunes to the matching batch."""
+    path = str(tmp_path / "colscan")
+    pts = pts_orders(spark, sf_dir).limit(400)
+    C.write_clustered(pts, path, level=14, files=4)
+    for base in (10**10, 2 * 10**10):
+        b = pts.limit(50).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(base).cast("long")
+        )
+        C.append_clustered(b, path, files=2)
+
+    lo, hi = 2 * 10**10, 3 * 10**10
+    got, st = C.clustered_scan(
+        spark, path, {"o_orderkey": (lo, hi)}, with_stats=True
+    )
+    assert st.files_kept < st.files_total and st.files_kept <= 2
+    want = _ids(
+        C._read_listed(spark, path).where(F.col("o_orderkey").between(lo, hi))
+    )
+    assert _ids(got) == want and len(want) == 50
+
+    # no matching range: empty with the right schema, zero files listed
+    got2, st2 = C.clustered_scan(
+        spark, path, {"o_orderkey": (9 * 10**10, 10 * 10**10)}, with_stats=True
+    )
+    assert st2.files_kept == 0 and got2.count() == 0
+    assert set(got2.columns) == set(pts.columns) | {C.CELL_COL}
+
+
 def test_upsert_null_keys_insert_only(spark, table):
     path, pts = table
     n0 = pts.count()
