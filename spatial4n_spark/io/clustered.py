@@ -593,6 +593,9 @@ def compact_clustered(
     spark: SparkSession,
     path: str,
     files: int = 16,
+    level: int | None = None,
+    lon: str = "lon",
+    lat: str = "lat",
 ) -> None:
     """Rewrite the table as one globally range-clustered run (the
     Iceberg rewrite-data-files / sort-compaction analog), in place and
@@ -614,10 +617,19 @@ def compact_clustered(
     A query at any crash point returns exactly the same rows; the only
     recoverable waste is orphaned disk, reclaimed by the next sweep.
     Holds ``table_lock`` end to end (same single-writer invariant as
-    append)."""
+    append).
+
+    Passing ``level`` RE-CLUSTERS the table at a new cell level — the
+    Iceberg partition-spec-evolution analog, as one snapshot commit:
+    the run is re-encoded from ``lon``/``lat`` at the new level and the
+    manifest's level changes with the same cut-over, so every reader
+    plans covers against the level of the snapshot it reads (a
+    time-traveled query still prunes with the OLD level over the OLD
+    files)."""
     with table_lock(path):
         man = load_manifest(path)
-        level = int(man["level"])
+        cur_level = int(man["level"])
+        new_level = cur_level if level is None else int(level)
         listed = [e["file"] for e in man["files"]]
         if listed:
             # manifest-schema read: compaction MATERIALIZES evolved
@@ -625,6 +637,11 @@ def compact_clustered(
             cur = _schema_reader(spark, man).parquet(
                 *[os.path.join(path, n) for n in listed]
             )
+            if new_level != cur_level:
+                be = cell_backend("s2")
+                cur = cur.drop(CELL_COL).withColumn(
+                    CELL_COL, be.udf(new_level)(F.col(lat), F.col(lon))
+                )
             pre = set(_data_files(path))
             (
                 cur.repartitionByRange(files, F.col(CELL_COL))
@@ -633,7 +650,11 @@ def compact_clustered(
                 .parquet(path)
             )
             new = [n for n in _data_files(path) if n not in pre]
-            _write_manifest(path, level, _file_stats(path, new), operation="replace")
+            _write_manifest(
+                path, new_level, _file_stats(path, new), operation="replace"
+            )
+        elif new_level != cur_level:  # empty table: metadata-only change
+            _write_manifest(path, new_level, [], operation="replace")
         keep = _referenced_files(path)
         for n in _data_files(path):
             if n not in keep:

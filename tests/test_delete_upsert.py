@@ -303,6 +303,50 @@ def test_st_delete_two_axis_pruned(spark, sf_dir, tmp_path):
         ST.delete_st_clustered(spark, path)
 
 
+def test_compact_evolves_cluster_level(spark, sf_dir, tmp_path):
+    """compact_clustered(level=) re-clusters at a new cell level in one
+    snapshot commit (partition-spec evolution): results stay bit-exact,
+    the manifest's level cuts over atomically, and a time-traveled
+    query plans covers with the OLD level over the OLD files."""
+    path = str(tmp_path / "levelup")
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=8, files=8)
+    pred = (
+        haversine_km(F.col("lon"), F.col("lat"), F.lit(QLON), F.lit(QLAT))
+        <= F.lit(R_KM)
+    )
+    want = _ids(pts.where(pred))
+    before = sorted(
+        r[0]
+        for r in C.clustered_radius_query(spark, path, QLON, QLAT, R_KM)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert before == want
+
+    C.compact_clustered(spark, path, files=8, level=14)
+    man = C.load_manifest(path)
+    assert man["level"] == 14 and man["operation"] == "replace"
+    after = sorted(
+        r[0]
+        for r in C.clustered_radius_query(spark, path, QLON, QLAT, R_KM)
+        .select("o_orderkey")
+        .collect()
+    )
+    assert after == want
+    # time travel: the pre-evolution snapshot prunes at level 8, exact
+    trav = sorted(
+        r[0]
+        for r in C.clustered_radius_query(
+            spark, path, QLON, QLAT, R_KM, snapshot_id=1
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+    assert trav == want
+    assert C.load_manifest(path, snapshot_id=1)["level"] == 8
+
+
 def test_deleted_files_swept_only_after_expire(spark, table):
     path, pts = table
     pred = F.col("o_orderkey") % 2 == 0
