@@ -384,6 +384,108 @@ def delete_st_clustered(
         )
 
 
+def upsert_st_clustered(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    files: int = 4,
+) -> dict:
+    """MERGE by key on the day-partitioned layout — the ST twin of the
+    flat layout's ``upsert_clustered``, as ONE snapshot commit: current
+    rows whose ``key`` appears in ``df`` are replaced by ``df``'s
+    version (which may have moved in SPACE and/or TIME — new rows land
+    in their new day directory and cell), other keys insert.
+
+    The hit scan reads only the key column and is pruned by the
+    manifest's per-column key stats when present (entries without
+    stats are always scanned — sound on pre-stats tables); only
+    matched files are rewritten, untouched manifest entries survive
+    verbatim. NULL keys never match and insert as new rows."""
+    _require_wallclock_ts(df, ts)
+    from spatial4n_spark.io.clustered import _col_range_keep
+
+    with table_lock(path, MANIFEST + ".lock"):
+        man = load_st_manifest(path)
+        level = int(man["level"])
+        entries = man["files"]
+        keys = F.broadcast(df.select(key).distinct())
+        row = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        klo, khi = row["lo"], row["hi"]
+        cand = (
+            []
+            if klo is None
+            else [e for e in entries if _col_range_keep(e, key, klo, khi)]
+        )
+        touched: dict = {}
+        if cand:
+            parts = F.split(F.input_file_name(), "/")
+            src = F.concat_ws(
+                "/", F.element_at(parts, -2), F.element_at(parts, -1)
+            )
+            cdf = (
+                spark.read.option("basePath", path)
+                .parquet(*[os.path.join(path, e["file"]) for e in cand])
+                .select(F.col(key), src.alias("_src"))
+            )
+            rows = (
+                cdf.join(keys, on=key, how="left_semi")
+                .groupBy("_src")
+                .count()
+                .collect()
+            )
+            touched = {r["_src"]: int(r["count"]) for r in rows}
+        pre = set(_st_data_files(path))
+        if touched:
+            kdf = (
+                spark.read.option("basePath", path)
+                .parquet(*[os.path.join(path, n) for n in touched])
+                .join(keys, on=key, how="left_anti")
+            )
+            (
+                kdf.repartitionByRange(max(1, len(touched)), F.col(CELL_COL))
+                .sortWithinPartitions(CELL_COL)
+                .write.partitionBy(DAY_COL)
+                .mode("append")
+                .parquet(path)
+            )
+        mid = set(_st_data_files(path))
+        be = cell_backend("s2")
+        out = (
+            df.withColumn(DAY_COL, F.date_format(F.col(ts), "yyyy-MM-dd"))
+            .withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+        )
+        (
+            out.repartitionByRange(files, F.col(DAY_COL), F.col(CELL_COL))
+            .sortWithinPartitions(DAY_COL, CELL_COL)
+            .write.partitionBy(DAY_COL)
+            .mode("append")
+            .parquet(path)
+        )
+        post = _st_data_files(path)
+        rewritten = _day_tagged_stats(path, sorted(mid - pre))
+        inserted = _day_tagged_stats(path, [r for r in post if r not in mid])
+        untouched = [e for e in entries if e["file"] not in touched]
+        return _versioned_commit(
+            path,
+            level,
+            untouched + rewritten + inserted,
+            "upsert",
+            MANIFEST,
+            SNAP_DIR,
+            extra_summary={
+                "replaced_rows": int(sum(touched.values())),
+                "incoming_rows": int(sum(e["rows"] for e in inserted)),
+                "rewritten_files": len(touched),
+                "untouched_files": len(untouched),
+                "hit_scan_files": len(cand),
+            },
+        )
+
+
 @dataclass(frozen=True)
 class STPruneStats:
     files_total: int
