@@ -340,11 +340,27 @@ def _atomic_json_write(target: str, obj: dict) -> None:
     os.replace(tmp, target)
 
 
+# parsed-manifest cache: keyed by the manifest file's identity
+# (path, mtime_ns, size) — os.replace() commits give every new manifest
+# a fresh identity, so stale entries can't be served; bounded FIFO so a
+# long-lived process scanning many tables can't grow without bound.
+_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE_CAP = 64
+
+
 def _load_versioned(
     path: str, snapshot_id: int | None, manifest: str, snap_dir: str
 ) -> dict:
-    with open(os.path.join(path, manifest)) as f:
-        cur = json.load(f)
+    mpath = os.path.join(path, manifest)
+    st = os.stat(mpath)  # FileNotFoundError propagates, as before
+    ck = (os.path.abspath(mpath), st.st_mtime_ns, st.st_size)
+    cur = _MANIFEST_CACHE.get(ck)
+    if cur is None:
+        with open(mpath) as f:
+            cur = json.load(f)
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_CAP:
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        _MANIFEST_CACHE[ck] = cur
     if snapshot_id is None:
         return cur
     sid = int(snapshot_id)
