@@ -16,6 +16,13 @@ import sys
 sys.path.insert(0, ".")
 
 COMMENTS = {
+    "clustered_scan": (
+        "Generic metadata-pruned scan (manifest per-column stats): the table was "
+        "built from batches with DISJOINT o_orderkey ranges; scanning one range "
+        "must list only that batch's files (2 of 6) and push the residual BETWEEN "
+        "to the reader. No joins, no shuffles — a pure scan whose file list was "
+        "decided at plan time from JSON metadata."
+    ),
     "pip_join": (
         "Point-in-polygon join. Wanted shape: scan -> derive -> geohash Arrow UDF -> "
         "ONE BroadcastHashJoin carrying BOTH the cell equi-key and the native bbox "
@@ -114,6 +121,28 @@ COMMENTS = {
 }
 
 
+def _q_clustered_scan(spark, sf_dir):
+    """Generic metadata-pruned scan on a NON-spatial stats column: a
+    table built from batches with disjoint o_orderkey ranges, scanned
+    for one batch's range — the plan must list ONLY that batch's files
+    and push the residual BETWEEN."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.io import clustered as C
+    from spatial4n_spark.suite import pts_orders
+
+    path = tempfile.mkdtemp(prefix="plans_scan_")
+    pts = pts_orders(spark, sf_dir).limit(2000)
+    C.write_clustered(pts, path, level=14, files=4)
+    b = pts.limit(200).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**10).cast("long")
+    )
+    C.append_clustered(b, path, files=2)
+    return C.clustered_scan(spark, path, {"o_orderkey": (10**10, 2 * 10**10)})
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -146,6 +175,7 @@ def main() -> int:
         "pip_join_clustered": suite.q_pip_join_clustered,
         "st_radius_join": suite.q_st_radius_join,
         "doc_neardup_pairs": suite_text.q_doc_neardup_pairs,
+        "clustered_scan": _q_clustered_scan,
     }
 
     out = [
