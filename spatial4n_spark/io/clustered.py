@@ -1621,3 +1621,230 @@ def clustered_candidates(
     df, stats = read_pruned(spark, path, ranges, snapshot_id=snapshot_id)
     out = df.drop(CELL_COL)
     return (out, stats) if with_stats else out
+
+
+# ---------------------------------------------------------------------------
+# incremental (CDC-style) scans, resumable consumer, metadata tables
+# ---------------------------------------------------------------------------
+
+
+def _incremental_added(
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int,
+    manifest: str,
+    snap_dir: str,
+) -> list[tuple[dict, list[str]]]:
+    """Per-snapshot ADDED data files over ``(from, to]`` — the shared
+    core of both layouts' incremental scans.  Walks the snapshot chain
+    and diffs consecutive file lists; raises if the range crosses a
+    commit whose row-level effect is not pure insertion, or if any
+    snapshot in the range was expired (same failure mode as Iceberg:
+    an incremental consumer that falls behind the retention window
+    must re-bootstrap from a full scan)."""
+    frm, to = int(from_snapshot), int(to_snapshot)
+    if to < frm:
+        raise ValueError(
+            f"incremental scan of {path}: to_snapshot {to} precedes "
+            f"from_snapshot {frm}"
+        )
+    prev = (
+        _load_versioned(path, frm, manifest, snap_dir) if frm > 0 else None
+    )
+    prev_files = {e["file"] for e in prev["files"]} if prev is not None else set()
+    out: list[tuple[dict, list[str]]] = []
+    for sid in range(frm + 1, to + 1):
+        man = _load_versioned(path, sid, manifest, snap_dir)
+        op = man.get("operation", "overwrite")
+        files = {e["file"] for e in man["files"]}
+        if op == "append" or (op == "overwrite" and not prev_files):
+            # an overwrite of an EMPTY table (the initial write) is
+            # pure insertion; any other overwrite replaces rows
+            added = sorted(files - prev_files)
+            if added:
+                out.append((man, added))
+        elif op == "replace":
+            pass  # compaction / re-cluster reorganizes existing rows
+        else:
+            raise ValueError(
+                f"incremental scan of {path}: snapshot {sid} is a "
+                f"{op!r} commit, whose row-level effect is not "
+                "expressible as appended rows — scan ranges must not "
+                "cross overwrite/delete/upsert/rollback commits "
+                "(re-bootstrap the consumer from a full scan instead)"
+            )
+        prev_files = files
+    return out
+
+
+def incremental_scan(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    snapshot_col: str | None = None,
+) -> DataFrame:
+    """Rows ADDED to the table over ``(from_snapshot, to_snapshot]`` —
+    the Iceberg incremental-append-scan analog, and the read half of
+    the resumable-pipeline contract (``next_increment``): a downstream
+    consumer that remembers the last snapshot it processed reads
+    exactly the new rows, never rescanning the table.  Cost scales
+    with the increment (only the added files are listed in the scan),
+    not with table size — the property that makes a 10^12-row table's
+    derived pipelines incremental.
+
+    Semantics (per commit operation, matching Iceberg's
+    IncrementalAppendScan):
+
+    - ``append`` commits contribute exactly their added files;
+    - ``replace`` (compaction / re-cluster) contributes nothing — it
+      reorganizes rows that already streamed past the consumer;
+    - ``overwrite``/``delete``/``upsert``/``rollback`` RAISE: their
+      row-level effect is not a set of inserted rows.  The one allowed
+      overwrite is the initial write of an empty table
+      (``from_snapshot=0`` on a fresh table), which is pure insertion.
+
+    Each contributing batch is read with ITS OWN commit's schema and
+    batches are aligned by name (add-column evolution mid-range yields
+    NULLs for rows that predate the column); ``snapshot_col`` adds the
+    committing snapshot id to every row (per-batch lineage)."""
+    cur = load_manifest(path)
+    to = int(cur["snapshot_id"]) if to_snapshot is None else int(to_snapshot)
+    batches = _incremental_added(
+        path, int(from_snapshot), to, MANIFEST, SNAP_DIR
+    )
+    parts = []
+    for man, added in batches:
+        df = _schema_reader(spark, man).parquet(
+            *[os.path.join(path, n) for n in added]
+        )
+        if snapshot_col is not None:
+            df = df.withColumn(
+                snapshot_col, F.lit(int(man["snapshot_id"])).cast("long")
+            )
+        parts.append(df)
+    if not parts:
+        to_man = cur if to == int(cur["snapshot_id"]) else load_manifest(path, to)
+        schema = _table_schema(spark, path, to_man)
+        if snapshot_col is not None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                list(schema.fields) + [StructField(snapshot_col, LongType(), True)]
+            )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+@dataclass
+class Increment:
+    """One unprocessed increment of a clustered table, handed out by
+    ``next_increment``.  ``commit()`` advances the consumer state to
+    ``to_snapshot`` — call it AFTER the downstream sink has durably
+    accepted ``df``.  A crash before commit re-delivers this same
+    increment on the next call (at-least-once); pair with an
+    idempotent / fingerprinted sink (``checkpoint.SnapshotStore``) for
+    end-to-end exactly-once."""
+
+    df: DataFrame
+    from_snapshot: int
+    to_snapshot: int
+    state_path: str
+
+    def commit(self) -> None:
+        _atomic_json_write(
+            self.state_path,
+            {
+                "snapshot_id": int(self.to_snapshot),
+                "committed_at": time.time(),
+            },
+        )
+
+
+def _consumer_position(state_path: str) -> int:
+    try:
+        with open(state_path) as f:
+            return int(json.load(f)["snapshot_id"])
+    except FileNotFoundError:
+        return 0
+
+
+def next_increment(
+    spark: SparkSession,
+    path: str,
+    state_path: str,
+    snapshot_col: str | None = None,
+) -> Increment | None:
+    """The resumable-consumer loop step (north_rule: "resumable from
+    Iceberg snapshot checkpoints"): read the last-processed snapshot id
+    from ``state_path`` (0 if absent — a fresh consumer), and return the
+    unprocessed increment up to the table's CURRENT snapshot, or None
+    when the consumer is caught up.  The caller processes
+    ``increment.df``, lands the result durably, THEN calls
+    ``increment.commit()`` — the state write is atomic, so the consumer
+    resumes correctly from any crash point:
+
+        while (inc := next_increment(spark, table, state)) is not None:
+            sink(inc.df)      # idempotent sink => exactly-once
+            inc.commit()
+    """
+    last = _consumer_position(state_path)
+    cur = int(load_manifest(path)["snapshot_id"])
+    if cur <= last:
+        return None
+    df = incremental_scan(spark, path, last, cur, snapshot_col=snapshot_col)
+    return Increment(
+        df=df, from_snapshot=last, to_snapshot=cur, state_path=state_path
+    )
+
+
+def _files_df_from(spark: SparkSession, man: dict) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("file", StringType(), False),
+            StructField("day", StringType(), True),
+            StructField("rows", LongType(), False),
+            StructField("cell_min", LongType(), False),
+            StructField("cell_max", LongType(), False),
+            StructField("column_stats", StringType(), True),
+        ]
+    )
+    rows = [
+        (
+            e["file"],
+            e.get("day"),
+            int(e["rows"]),
+            int(e["min"]),
+            int(e["max"]),
+            json.dumps(e["cols"], sort_keys=True, default=str)
+            if e.get("cols")
+            else None,
+        )
+        for e in man["files"]
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def files_df(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The table's file-level metadata as a DataFrame — the Iceberg
+    ``.files`` metadata-table analog: one row per manifest entry with
+    its row count, primary cell bounds, per-column [min,max] stats
+    (JSON), and the day partition where the layout has one (NULL on the
+    flat layout).  Answered entirely from the manifest — no data file
+    is opened — and time-travels with ``snapshot_id`` like every other
+    reader.  Together with ``snapshot_log_df`` (the ``.snapshots`` /
+    ``.history`` analog) this completes the metadata-table surface the
+    north rule's "per-partition lineage and metrics tables" names."""
+    return _files_df_from(spark, load_manifest(path, snapshot_id))

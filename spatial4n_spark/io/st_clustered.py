@@ -26,8 +26,12 @@ from spatial4n_spark.cellindex import cell_backend
 from spatial4n_spark.functions.native import haversine_km
 from spatial4n_spark.io.clustered import (
     CELL_COL,
+    Increment,
+    _consumer_position,
     _expire_versioned,
     _file_stats,
+    _files_df_from,
+    _incremental_added,
     _load_versioned,
     _log_df,
     _referenced_in,
@@ -585,3 +589,84 @@ def st_radius_query(
         .drop(CELL_COL, DAY_COL)
     )
     return (out, stats) if with_stats else out
+
+
+def st_incremental_scan(
+    spark: SparkSession,
+    path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    snapshot_col: str | None = None,
+) -> DataFrame:
+    """Rows ADDED to the ST table over ``(from, to]`` — the
+    spatio-temporal twin of ``clustered.incremental_scan`` (same
+    operation semantics: append contributes, replace is skipped,
+    row-replacing commits raise).  Files are read under ``basePath`` so
+    the day partition column materializes on every row."""
+    cur = load_st_manifest(path)
+    to = int(cur["snapshot_id"]) if to_snapshot is None else int(to_snapshot)
+    batches = _incremental_added(
+        path, int(from_snapshot), to, MANIFEST, SNAP_DIR
+    )
+    parts = []
+    for man, added in batches:
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, n) for n in added]
+        )
+        if snapshot_col is not None:
+            df = df.withColumn(
+                snapshot_col, F.lit(int(man["snapshot_id"])).cast("long")
+            )
+        parts.append(df)
+    if not parts:
+        files = cur["files"] if to == int(cur["snapshot_id"]) else (
+            load_st_manifest(path, to)["files"]
+        )
+        if files:
+            schema = (
+                spark.read.option("basePath", path)
+                .parquet(os.path.join(path, files[0]["file"]))
+                .schema
+            )
+        else:
+            schema = spark.read.option("basePath", path).parquet(path).schema
+        if snapshot_col is not None:
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                list(schema.fields) + [StructField(snapshot_col, LongType(), True)]
+            )
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def st_next_increment(
+    spark: SparkSession,
+    path: str,
+    state_path: str,
+    snapshot_col: str | None = None,
+) -> Increment | None:
+    """Resumable-consumer step over the ST layout (see
+    ``clustered.next_increment`` — same state file contract and
+    at-least-once/commit-after-sink semantics)."""
+    last = _consumer_position(state_path)
+    cur = int(load_st_manifest(path)["snapshot_id"])
+    if cur <= last:
+        return None
+    df = st_incremental_scan(spark, path, last, cur, snapshot_col=snapshot_col)
+    return Increment(
+        df=df, from_snapshot=last, to_snapshot=cur, state_path=state_path
+    )
+
+
+def st_files_df(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The ST table's file-level metadata (the Iceberg ``.files``
+    metadata-table analog): one row per manifest entry with its day
+    partition, row count, cell bounds, and per-column stats — answered
+    from the manifest alone, time-traveling with ``snapshot_id``."""
+    return _files_df_from(spark, load_st_manifest(path, snapshot_id))

@@ -522,12 +522,22 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     - mode='cow': the same join on CURRENT state, where the decoys were
       removed by a row-level ``delete_clustered`` (the Iceberg
       copy-on-write delete analog, minimal rewrite) — the delete must
-      remove exactly the decoys and nothing else.
+      remove exactly the decoys and nothing else;
+    - mode='inc': the radius join over ``incremental_scan(1, 2)`` — the
+      Iceberg incremental-append-scan analog must return EXACTLY the
+      rows the append committed (the decoy batch: original coordinates,
+      keys shifted by 4e9), nothing from the base write and nothing
+      from the later delete.
 
-    Both arms therefore equal the plain radius join; the oracle is
-    sql_radius_join tagged per mode — leakage of decoys (bad pin, bad
-    delete) or over-deletion fails rows+hash."""
-    from spatial4n_spark.io.clustered import clustered_radius_query
+    The first two arms equal the plain radius join; the third equals it
+    with the decoy key shift. The oracle is sql_radius_join tagged per
+    mode (key-shifted for 'inc') — leakage of decoys (bad pin, bad
+    delete), over-deletion, or a mis-diffed increment fails rows+hash."""
+    from spatial4n_spark.functions.native import haversine_km
+    from spatial4n_spark.io.clustered import (
+        clustered_radius_query,
+        incremental_scan,
+    )
 
     path = _snapshot_table_path(spark, sf_dir)
     out = None
@@ -541,6 +551,19 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderkey",
             )
             out = part if out is None else out.unionAll(part)
+    inc = incremental_scan(spark, path, 1, 2)
+    for qid, qlon, qlat, r_km in RADIUS_CENTERS:
+        part = inc.where(
+            haversine_km(
+                F.col("lon"), F.col("lat"), F.lit(float(qlon)), F.lit(float(qlat))
+            )
+            <= F.lit(float(r_km))
+        ).select(
+            F.lit("inc").alias("mode"),
+            F.lit(qid).alias("query_id"),
+            "o_orderkey",
+        )
+        out = out.unionAll(part)
     return out
 
 
@@ -1873,11 +1896,19 @@ def spatial_oracles() -> dict[str, str]:
                     sql_radius_join(), ["s2", "h3"]
                 ),
                 "radius_join_clustered": sql_radius_join(),
-                # both arms — time travel to snapshot 1, and current
-                # state after the COW delete of the decoys — must return
-                # exactly the plain radius join
+                # travel + cow arms — time travel to snapshot 1, and
+                # current state after the COW delete of the decoys —
+                # must return exactly the plain radius join; the inc
+                # arm (incremental scan of the append commit) returns
+                # the decoy batch: same rows, keys shifted by 4e9
                 "radius_join_snapshot": _sql_tag_union(
                     sql_radius_join(), ["travel", "cow"], col="mode"
+                )
+                + (
+                    "\nUNION ALL\nSELECT 'inc' AS mode, query_id, "
+                    "o_orderkey + 4000000000 AS o_orderkey FROM ("
+                    + sql_radius_join()
+                    + ")"
                 ),
                 "pip_join_clustered": sql_pip_join(),
                 "knn_clustered": sql_knn(),
