@@ -58,6 +58,12 @@ CELL_COL = "cell_r"
 MANIFEST = "_cluster_manifest.json"
 LOCKFILE = "_cluster.lock"
 SNAP_DIR = "_snapshots"
+DELETE_DIR = "_deletes"
+# a pending-delete set at or under this many positions rides a
+# broadcast to the scan's anti-join; larger sets shuffle (both are one
+# join — the threshold only picks the physical strategy)
+BROADCAST_DELETE_ROWS = 2_000_000
+_DFILE, _DPOS = "__s4n_file", "__s4n_pos"
 
 
 def lock_path(path: str, lockfile: str = LOCKFILE) -> str:
@@ -238,6 +244,7 @@ def _versioned_commit(
     extra_summary: dict | None = None,
     schema_json: str | None = None,
     inherit_schema: bool = True,
+    deletes: list[dict] | None = None,
 ) -> dict:
     """Snapshot-versioned manifest commit — the Iceberg snapshot analog,
     shared by the flat and spatio-temporal layouts (parameterized on
@@ -285,12 +292,26 @@ def _versioned_commit(
     # the current one may describe a later overwrite's shape.
     if schema_json is None and inherit_schema and cur is not None:
         schema_json = cur.get("schema")
+    # pending merge-on-read delete files ride the manifest like data
+    # files do.  Commits that don't pass a list inherit the parent's;
+    # either way each entry's targets are PRUNED to files this commit
+    # still lists — a rewritten/compacted file gets a new name, so its
+    # pending deletes (already applied by the rewrite's delete-aware
+    # scan) fall away here, and a full replace empties the list.
+    if deletes is None and cur is not None:
+        deletes = cur.get("deletes") or []
+    pruned_dels = []
+    for d in deletes or []:
+        targets = [t for t in d["targets"] if t in new_files]
+        if targets:
+            pruned_dels.append({**d, "targets": targets})
     man = {
         "cell_col": CELL_COL,
         "index": "s2",
         "level": level,
         "schema": schema_json,
         "files": entries,
+        "deletes": pruned_dels,
         "snapshot_id": sid,
         "parent_id": parent,
         "operation": operation,
@@ -300,6 +321,10 @@ def _versioned_commit(
             "n_rows": int(sum(e["rows"] for e in entries)),
             "added_files": len(new_files - prev_files),
             "removed_files": len(prev_files - new_files),
+            "pending_delete_files": len(pruned_dels),
+            "pending_delete_rows": int(
+                sum(int(d["rows"]) for d in pruned_dels)
+            ),
             **(extra_summary or {}),
         },
     }
@@ -315,13 +340,14 @@ def _write_manifest(
     operation: str = "overwrite",
     extra_summary: dict | None = None,
     schema_json: str | None = None,
+    deletes: list[dict] | None = None,
 ) -> dict:
     """Flat-layout commit: see ``_versioned_commit``."""
     if entries is None:
         entries = _file_stats(path, _data_files(path))
     return _versioned_commit(
         path, level, entries, operation, MANIFEST, SNAP_DIR, extra_summary,
-        schema_json=schema_json,
+        schema_json=schema_json, deletes=deletes,
     )
 
 
@@ -475,6 +501,42 @@ def _referenced_files(path: str) -> set[str]:
     return _referenced_in(path, MANIFEST, SNAP_DIR)
 
 
+def _referenced_delete_files(path: str, manifest: str, snap_dir: str) -> set[str]:
+    """Every MOR delete file referenced by the current manifest or any
+    snapshot file on disk — the sweep-retention set for ``_deletes/``
+    (mirrors ``_referenced_in`` for data files)."""
+    cur = _load_versioned(path, None, manifest, snap_dir)
+    ref = {d["file"] for d in (cur.get("deletes") or [])}
+    sd = os.path.join(path, snap_dir)
+    if os.path.isdir(sd):
+        for n in os.listdir(sd):
+            if n.startswith("snap-") and n.endswith(".json"):
+                with open(os.path.join(sd, n)) as f:
+                    ref.update(
+                        d["file"] for d in (json.load(f).get("deletes") or [])
+                    )
+    return ref
+
+
+def _sweep_delete_dir(path: str, manifest: str, snap_dir: str) -> list[str]:
+    """Remove every MOR delete file under ``_deletes/`` that NO retained
+    snapshot references (applied-and-expired history, or crash orphans
+    from a delete that died before its commit)."""
+    import shutil
+
+    dd = os.path.join(path, DELETE_DIR)
+    if not os.path.isdir(dd):
+        return []
+    ref = _referenced_delete_files(path, manifest, snap_dir)
+    removed = []
+    for n in os.listdir(dd):
+        rel = os.path.join(DELETE_DIR, n)
+        if rel not in ref:
+            shutil.rmtree(os.path.join(dd, n), ignore_errors=True)
+            removed.append(rel)
+    return removed
+
+
 def _rollback_versioned(
     path: str, snapshot_id: int, manifest: str, snap_dir: str
 ) -> dict:
@@ -483,6 +545,10 @@ def _rollback_versioned(
         e["file"]
         for e in target["files"]
         if not os.path.exists(os.path.join(path, e["file"]))
+    ] + [
+        d["file"]
+        for d in (target.get("deletes") or [])
+        if not os.path.exists(os.path.join(path, d["file"]))
     ]
     if missing:
         raise ValueError(
@@ -499,6 +565,7 @@ def _rollback_versioned(
         extra_summary={"rolled_back_to": int(snapshot_id)},
         schema_json=target.get("schema"),
         inherit_schema=False,
+        deletes=target.get("deletes") or [],
     )
 
 
@@ -533,6 +600,7 @@ def _expire_versioned(
     removed = [n for n in data_files if n not in ref]
     for n in removed:
         os.remove(os.path.join(path, n))
+    removed += _sweep_delete_dir(path, manifest, snap_dir)
     return {"expired_snapshots": expired, "removed_files": removed}
 
 
@@ -650,9 +718,11 @@ def compact_clustered(
         if listed:
             # manifest-schema read: compaction MATERIALIZES evolved
             # columns (pre-evolution files rewrite with explicit NULLs)
-            cur = _schema_reader(spark, man).parquet(
-                *[os.path.join(path, n) for n in listed]
-            )
+            # AND pending MOR deletes (the delete-aware scan drops their
+            # rows; the rewritten files get new names, so the commit's
+            # target pruning retires the delete entries — the Iceberg
+            # rewrite-data-files contract)
+            cur = _read_files(spark, path, man, listed)
             if new_level != cur_level:
                 be = cell_backend("s2")
                 cur = cur.drop(CELL_COL).withColumn(
@@ -675,6 +745,7 @@ def compact_clustered(
         for n in _data_files(path):
             if n not in keep:
                 os.remove(os.path.join(path, n))
+        _sweep_delete_dir(path, MANIFEST, SNAP_DIR)
 
 
 # ---------------------------------------------------------------------------
@@ -682,29 +753,41 @@ def compact_clustered(
 # ---------------------------------------------------------------------------
 
 
-def _src_file_col() -> "F.Column":
-    """The source data file of each row, as the manifest-relative name
-    (data files are flat in the table directory, so basename == the
-    manifest entry)."""
-    return F.element_at(F.split(F.input_file_name(), "/"), -1)
-
-
 def _per_file_hits(spark: SparkSession, path: str, names, cond, man) -> dict:
     """rows-matching-``cond`` count per data file — the decision input
     for minimal-rewrite: a file with zero matches is NEVER rewritten.
-    Driver result is bounded by the file count, not the row count."""
+    Driver result is bounded by the file count, not the row count.
+    Counts LIVE rows only (pending MOR deletes applied), so an already-
+    deleted row never triggers a rewrite or re-deletes."""
     if not names:
         return {}
-    cdf = _schema_reader(spark, man).parquet(
-        *[os.path.join(path, n) for n in names]
-    )
-    rows = (
-        cdf.where(cond)
-        .groupBy(_src_file_col().alias("_src"))
-        .count()
-        .collect()
-    )
+    cdf = _read_files(spark, path, man, names, keep_src="_src")
+    rows = cdf.where(cond).groupBy("_src").count().collect()
     return {r["_src"]: int(r["count"]) for r in rows}
+
+
+def _delete_scope(man: dict, predicate, shape):
+    """The shared delete-planning step: the candidate manifest entries
+    (manifest-pruned by the shape's cell cover when given) and the
+    NULL-safe match condition (restricted to the cover's cell ranges,
+    which loses nothing — the cover is a superset of the shape)."""
+    entries = man["files"]
+    cond = predicate
+    cand = entries
+    if shape is not None:
+        level = int(man["level"])
+        ranges = cover_ranges(shape, level)
+        cand = [
+            e
+            for e in entries
+            if any(not (hi < e["min"] or lo > e["max"]) for lo, hi in ranges)
+        ]
+        rcond = None
+        for lo, hi in ranges:
+            c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
+            rcond = c if rcond is None else (rcond | c)
+        cond = (cond & rcond) if rcond is not None else F.lit(False)
+    return cand, F.coalesce(cond.cast("boolean"), F.lit(False))
 
 
 def delete_clustered(
@@ -712,9 +795,22 @@ def delete_clustered(
     path: str,
     predicate,
     shape=None,
+    strategy: str = "cow",
 ) -> dict:
-    """Row-level DELETE on a clustered table, copy-on-write with
-    MINIMAL rewrite — the Iceberg copy-on-write delete analog.
+    """Row-level DELETE on a clustered table — both Iceberg delete
+    strategies:
+
+    - ``strategy='cow'`` (copy-on-write, the default): rewrite ONLY the
+      files holding matches, minus the matching rows — reads pay
+      nothing afterwards; right when deletes are rare or large.
+    - ``strategy='mor'`` (merge-on-read): write a POSITION-DELETE file
+      — (data file, row position) pairs under ``_deletes/`` — and
+      commit it in the manifest; no data file is rewritten, so the
+      delete costs one pruned scan + a delete file proportional to the
+      MATCHES, and every subsequent read applies the pending set as an
+      anti-join at scan time (``_read_files``).  Right for frequent /
+      small deletes on a huge table; ``compact_clustered`` materializes
+      pending deletes and drops them (the rewrite-data-files contract).
 
     ``predicate`` is a pyspark Column; rows where it evaluates TRUE are
     deleted (NULL counts as no-match, i.e. the row survives — SQL
@@ -724,41 +820,36 @@ def delete_clustered(
     table; because the cover is a superset of the shape, passing the
     shape's own exact predicate + the shape loses nothing.
 
-    Execution, all under ``table_lock``:
+    COW execution, all under ``table_lock``:
 
     1. count predicate matches PER FILE (one pruned scan; driver state
        bounded by the file count) — files with zero matches keep their
        manifest entries VERBATIM, bytes untouched on disk;
-    2. rewrite only the touched files minus the matching rows, new
-       files land beside the old (a crash here leaves orphans, never
-       damage);
+    2. rewrite only the touched files minus the matching rows (pending
+       MOR deletes applied — a rewrite never resurrects), new files
+       land beside the old (a crash here leaves orphans, never damage);
     3. one atomic snapshot-versioned manifest commit
        (operation='delete'). The superseded files stay on disk while
        any retained snapshot references them (snapshot isolation —
        time travel to the pre-delete snapshot still sees the rows);
        compaction's sweep / ``expire_snapshots`` reclaims them.
 
+    MOR execution differs only in step 2: the matching (file, position)
+    pairs are written as a delete file (crash-safe the same way — a
+    delete file is invisible until the manifest lists it), and step 3
+    commits the SAME data entries plus the new delete entry.
+
     Zero matches commits nothing (returns a no-op summary). Returns
     the committed manifest (or the no-op summary)."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"delete strategy must be 'cow' or 'mor', got {strategy!r}")
     with table_lock(path):
         man = load_manifest(path)
         level = int(man["level"])
         entries = man["files"]
-        cond = predicate
-        cand = entries
-        if shape is not None:
-            ranges = cover_ranges(shape, level)
-            cand = [
-                e
-                for e in entries
-                if any(not (hi < e["min"] or lo > e["max"]) for lo, hi in ranges)
-            ]
-            rcond = None
-            for lo, hi in ranges:
-                c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
-                rcond = c if rcond is None else (rcond | c)
-            cond = (cond & rcond) if rcond is not None else F.lit(False)
-        cond = F.coalesce(cond.cast("boolean"), F.lit(False))
+        cand, cond = _delete_scope(man, predicate, shape)
+        if strategy == "mor":
+            return _delete_mor(spark, path, man, cand, cond)
         hits = _per_file_hits(spark, path, [e["file"] for e in cand], cond, man)
         if not hits:
             return {
@@ -768,11 +859,7 @@ def delete_clustered(
                 "snapshot_id": int(man["snapshot_id"]),
             }
         pre = set(_data_files(path))
-        keepdf = (
-            _schema_reader(spark, man)
-            .parquet(*[os.path.join(path, n) for n in hits])
-            .where(~cond)
-        )
+        keepdf = _read_files(spark, path, man, sorted(hits)).where(~cond)
         (
             keepdf.repartitionByRange(max(1, len(hits)), F.col(CELL_COL))
             .sortWithinPartitions(CELL_COL)
@@ -787,11 +874,62 @@ def delete_clustered(
             untouched + _file_stats(path, new),
             operation="delete",
             extra_summary={
+                "strategy": "cow",
                 "deleted_rows": int(sum(hits.values())),
                 "rewritten_files": len(hits),
                 "untouched_files": len(untouched),
             },
         )
+
+
+def _delete_mor(
+    spark: SparkSession, path: str, man: dict, cand, cond
+) -> dict:
+    """The merge-on-read arm of ``delete_clustered`` (holds the caller's
+    lock): write the matching (file, position) pairs as a position-
+    delete file, commit it in the manifest, rewrite nothing."""
+    import uuid
+
+    names = [e["file"] for e in cand]
+    scan = _read_files(
+        spark, path, man, names, keep_src=_DFILE, keep_pos=_DPOS
+    )
+    pairs = scan.where(cond).select(
+        F.col(_DFILE).alias("_file"), F.col(_DPOS).alias("_pos")
+    )
+    # one pass over the matches: per-file counts (bounded by file
+    # count) decide targets + summary; zero matches commits nothing
+    per_file = pairs.groupBy("_file").count().collect()
+    if not per_file:
+        return {
+            "operation": "delete",
+            "noop": True,
+            "deleted_rows": 0,
+            "snapshot_id": int(man["snapshot_id"]),
+        }
+    targets = sorted(r["_file"] for r in per_file)
+    n_rows = int(sum(r["count"] for r in per_file))
+    rel = os.path.join(DELETE_DIR, f"del-{uuid.uuid4().hex[:16]}")
+    (
+        pairs.repartition(max(1, n_rows // 4_000_000 + 1), "_file")
+        .sortWithinPartitions("_file", "_pos")
+        .write.mode("error")
+        .parquet(os.path.join(path, rel))
+    )
+    new_entry = {"file": rel, "rows": n_rows, "targets": targets}
+    return _write_manifest(
+        path,
+        int(man["level"]),
+        man["files"],
+        operation="delete",
+        deletes=(man.get("deletes") or []) + [new_entry],
+        extra_summary={
+            "strategy": "mor",
+            "deleted_rows": n_rows,
+            "rewritten_files": 0,
+            "delete_file_targets": len(targets),
+        },
+    )
 
 
 def upsert_clustered(
@@ -836,13 +974,12 @@ def upsert_clustered(
         )
         touched: dict = {}
         if cand:
-            # _src is projected DIRECTLY over the scan: input_file_name()
-            # is per-source, and the semi-join adds a second source above
-            cdf = (
-                _schema_reader(spark, man)
-                .parquet(*[os.path.join(path, e["file"]) for e in cand])
-                .select(F.col(key), _src_file_col().alias("_src"))
-            )
+            # hit detection over LIVE rows only (pending MOR deletes
+            # applied): a deleted row's key must neither trigger a
+            # rewrite nor resurrect through one
+            cdf = _read_files(
+                spark, path, man, [e["file"] for e in cand], keep_src="_src"
+            ).select(F.col(key), F.col("_src"))
             rows = (
                 cdf.join(keys, on=key, how="left_semi")
                 .groupBy("_src")
@@ -852,10 +989,8 @@ def upsert_clustered(
             touched = {r["_src"]: int(r["count"]) for r in rows}
         pre = set(_data_files(path))
         if touched:
-            kdf = (
-                _schema_reader(spark, man)
-                .parquet(*[os.path.join(path, n) for n in touched])
-                .join(keys, on=key, how="left_anti")
+            kdf = _read_files(spark, path, man, sorted(touched)).join(
+                keys, on=key, how="left_anti"
             )
             (
                 kdf.repartitionByRange(max(1, len(touched)), F.col(CELL_COL))
@@ -1068,9 +1203,7 @@ def read_pruned(
     if not keep or not ranges:
         empty = spark.createDataFrame([], _table_schema(spark, path, man))
         return empty, stats
-    df = _schema_reader(spark, man).parquet(
-        *[os.path.join(path, e["file"]) for e in keep]
-    )
+    df = _read_files(spark, path, man, [e["file"] for e in keep])
     cond = None
     for lo, hi in ranges:
         c = F.col(CELL_COL).between(F.lit(lo), F.lit(hi))
@@ -1120,9 +1253,7 @@ def clustered_scan(
     if not keep:
         out = spark.createDataFrame([], _table_schema(spark, path, man))
         return (out, stats) if with_stats else out
-    df = _schema_reader(spark, man).parquet(
-        *[os.path.join(path, e["file"]) for e in keep]
-    )
+    df = _read_files(spark, path, man, [e["file"] for e in keep])
     for col, (lo, hi) in col_ranges.items():
         df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
     return (df, stats) if with_stats else df
@@ -1185,6 +1316,72 @@ def _schema_reader(spark: SparkSession, man: dict):
     return spark.read.schema(schema) if schema is not None else spark.read
 
 
+def _applicable_deletes(man: dict, names) -> list[dict]:
+    """The snapshot's pending MOR delete files whose target set
+    intersects the files being read — a scan that prunes to untouched
+    files never pays the anti-join."""
+    nm = set(names)
+    return [d for d in man.get("deletes", []) if nm & set(d["targets"])]
+
+
+def _read_files(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    names: list[str],
+    keep_src: str | None = None,
+    keep_pos: str | None = None,
+) -> DataFrame:
+    """THE data-file read: the listed files under the manifest's pinned
+    schema, with the snapshot's pending merge-on-read delete files
+    applied — an anti-join on (file, position), broadcast when the
+    pending set is small (the Iceberg MOR read path: eager apply at
+    scan, so every reader above this sees only live rows).  Positions
+    come from the parquet reader's ``_metadata.row_index`` (stable under
+    predicate pushdown), so a delete file written against a data file
+    matches it at any later read regardless of filters.
+
+    ``keep_src``/``keep_pos`` retain the source file name / in-file row
+    position as named output columns — the inputs a MOR delete writer
+    or a per-file hit counter needs (``input_file_name()`` is unreliable
+    above a join, so callers take the columns from here instead)."""
+    if not names:
+        df = spark.createDataFrame([], _table_schema(spark, path, man))
+        if keep_src is not None:
+            df = df.withColumn(keep_src, F.lit(None).cast("string"))
+        if keep_pos is not None:
+            df = df.withColumn(keep_pos, F.lit(None).cast("long"))
+        return df
+    df = _schema_reader(spark, man).parquet(
+        *[os.path.join(path, n) for n in names]
+    )
+    dels = _applicable_deletes(man, names)
+    want_meta = dels or keep_src is not None or keep_pos is not None
+    if want_meta:
+        df = df.select(
+            "*",
+            F.col("_metadata.file_name").alias(_DFILE),
+            F.col("_metadata.row_index").alias(_DPOS),
+        )
+    if dels:
+        ddf = spark.read.parquet(
+            *[os.path.join(path, d["file"]) for d in dels]
+        ).select(F.col("_file").alias(_DFILE), F.col("_pos").alias(_DPOS))
+        if sum(int(d["rows"]) for d in dels) <= BROADCAST_DELETE_ROWS:
+            ddf = F.broadcast(ddf)
+        df = df.join(ddf, on=[_DFILE, _DPOS], how="left_anti")
+    if want_meta:
+        out_cols = [c for c in df.columns if c not in (_DFILE, _DPOS)]
+        if keep_src is not None:
+            df = df.withColumn(keep_src, F.col(_DFILE))
+            out_cols.append(keep_src)
+        if keep_pos is not None:
+            df = df.withColumn(keep_pos, F.col(_DPOS))
+            out_cols.append(keep_pos)
+        df = df.select(*out_cols)
+    return df
+
+
 def _merge_schemas(old, new):
     """Add-column schema evolution (Iceberg analog): fields are matched
     BY NAME; new fields append to the end as nullable, fields the batch
@@ -1227,10 +1424,7 @@ def _read_listed(
     """All manifest-listed files (crash-orphans excluded) — the full-scan
     fallback surface."""
     man = load_manifest(path, snapshot_id)
-    files = [os.path.join(path, e["file"]) for e in man["files"]]
-    if not files:
-        return spark.createDataFrame([], _table_schema(spark, path, man))
-    return _schema_reader(spark, man).parquet(*files)
+    return _read_files(spark, path, man, [e["file"] for e in man["files"]])
 
 
 def clustered_knn_df(

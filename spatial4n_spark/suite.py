@@ -467,19 +467,21 @@ _SNAPSHOT_CACHE: dict[str, str] = {}
 
 def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once clustered table WITH HISTORY for the time-travel +
-    copy-on-write gate: snapshot 1 = the real orders points, snapshot 2
-    = an appended decoy batch (same coordinates, keys offset by 4e9)
-    that WOULD match every query circle, snapshot 3 = a row-level
-    ``delete_clustered`` of exactly the decoys (Iceberg COW-delete
-    analog). A reader that fails the snapshot pin, or a delete that
-    misses/overshoots, returns wrong rows and the oracle hash catches
-    it."""
+    row-level-delete gate: snapshot 1 = the real orders points, snapshot
+    2 = an appended decoy batch (same coordinates, keys offset by 4e9)
+    that WOULD match every query circle, snapshot 3 = a copy-on-write
+    ``delete_clustered`` of exactly the decoys, snapshot 4 = the decoys
+    appended AGAIN, snapshot 5 = a merge-on-read delete of them (a
+    position-delete file, no data rewrite). A reader that fails the
+    snapshot pin, a delete that misses/overshoots, or a scan that skips
+    the pending delete file returns wrong rows and the oracle hash
+    catches it."""
     import hashlib
     import os
     import tempfile
 
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
-    key = f"{src}:{os.path.getmtime(src)}:snapcow:{CLUSTER_LEVEL}"
+    key = f"{src}:{os.path.getmtime(src)}:snapmor:{CLUSTER_LEVEL}"
     if key not in _SNAPSHOT_CACHE:
         from spatial4n_spark.io.buildonce import ensure_built
         from spatial4n_spark.io.clustered import (
@@ -501,11 +503,18 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
                 p,
                 F.col("o_orderkey") >= F.lit(4_000_000_000).cast("long"),
             )
+            append_clustered(decoys, p, files=4)
+            delete_clustered(
+                spark,
+                p,
+                F.col("o_orderkey") >= F.lit(4_000_000_000).cast("long"),
+                strategy="mor",
+            )
 
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_clustered",
-            hashlib.md5(f"{src}:snapcow:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
+            hashlib.md5(f"{src}:snapmor:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
         )
         _SNAPSHOT_CACHE[key] = ensure_built(path, key, _build, ready_file=MANIFEST)
     return _SNAPSHOT_CACHE[key]
@@ -523,16 +532,22 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       removed by a row-level ``delete_clustered`` (the Iceberg
       copy-on-write delete analog, minimal rewrite) — the delete must
       remove exactly the decoys and nothing else;
+    - mode='mor': the join on CURRENT state, where a SECOND decoy batch
+      (appended after the COW delete) was removed by a merge-on-read
+      ``delete_clustered(strategy='mor')`` — no data file rewritten,
+      the reader must apply the pending position-delete file (the
+      Iceberg MOR delete-file analog);
     - mode='inc': the radius join over ``incremental_scan(1, 2)`` — the
       Iceberg incremental-append-scan analog must return EXACTLY the
       rows the append committed (the decoy batch: original coordinates,
       keys shifted by 4e9), nothing from the base write and nothing
-      from the later delete.
+      from the later deletes.
 
-    The first two arms equal the plain radius join; the third equals it
-    with the decoy key shift. The oracle is sql_radius_join tagged per
-    mode (key-shifted for 'inc') — leakage of decoys (bad pin, bad
-    delete), over-deletion, or a mis-diffed increment fails rows+hash."""
+    The first three arms equal the plain radius join; the fourth equals
+    it with the decoy key shift. The oracle is sql_radius_join tagged
+    per mode (key-shifted for 'inc') — leakage of decoys (bad pin, bad
+    COW delete, unapplied MOR delete file), over-deletion, or a
+    mis-diffed increment fails rows+hash."""
     from spatial4n_spark.functions.native import haversine_km
     from spatial4n_spark.io.clustered import (
         clustered_radius_query,
@@ -541,7 +556,7 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _snapshot_table_path(spark, sf_dir)
     out = None
-    for mode, snap in (("travel", 1), ("cow", None)):
+    for mode, snap in (("travel", 1), ("cow", 3), ("mor", None)):
         for qid, qlon, qlat, r_km in RADIUS_CENTERS:
             part = clustered_radius_query(
                 spark, path, qlon, qlat, r_km, snapshot_id=snap
@@ -1896,13 +1911,14 @@ def spatial_oracles() -> dict[str, str]:
                     sql_radius_join(), ["s2", "h3"]
                 ),
                 "radius_join_clustered": sql_radius_join(),
-                # travel + cow arms — time travel to snapshot 1, and
-                # current state after the COW delete of the decoys —
-                # must return exactly the plain radius join; the inc
+                # travel/cow/mor arms — time travel to snapshot 1, the
+                # post-COW-delete snapshot, and current state after the
+                # merge-on-read delete of a second decoy batch — must
+                # each return exactly the plain radius join; the inc
                 # arm (incremental scan of the append commit) returns
                 # the decoy batch: same rows, keys shifted by 4e9
                 "radius_join_snapshot": _sql_tag_union(
-                    sql_radius_join(), ["travel", "cow"], col="mode"
+                    sql_radius_join(), ["travel", "cow", "mor"], col="mode"
                 )
                 + (
                     "\nUNION ALL\nSELECT 'inc' AS mode, query_id, "

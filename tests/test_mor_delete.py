@@ -1,0 +1,198 @@
+"""Merge-on-read (position-delete) row-level DELETE on the clustered
+layout (io/clustered.py, ``delete_clustered(strategy='mor')``) — the
+Iceberg MOR delete-file analog beside the existing copy-on-write path.
+
+Contract under test:
+- a MOR delete rewrites NO data file: manifest data entries survive
+  byte-verbatim (mtimes included), only a position-delete file under
+  ``_deletes/`` plus one snapshot commit land;
+- every reader (pruned scan, full scan, radius query, kNN candidates)
+  applies the pending set — results equal the COW-deleted twin;
+- overlapping deletes never double-count; COW rewrites and upserts over
+  files with pending deletes never resurrect rows;
+- compaction MATERIALIZES pending deletes (rewrites live rows, retires
+  the delete entries) while snapshot isolation keeps the delete files
+  on disk until ``expire_snapshots``;
+- rollback across a MOR delete restores the pending set verbatim;
+- incremental scans refuse to cross a MOR delete commit (its row-level
+  effect is not appended rows).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.io import clustered as C
+from spatial4n_spark.suite import pts_orders
+
+QLON, QLAT, R_KM = 2.3125, 48.875, 150.0
+DEL_LO = 4_000_000_000
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("o_orderkey").collect())
+
+
+def _radius_ids(spark, path, snapshot_id=None):
+    out = C.clustered_radius_query(
+        spark, path, QLON, QLAT, R_KM, snapshot_id=snapshot_id
+    )
+    return _ids(out)
+
+
+@pytest.fixture(scope="module")
+def table(spark, sf_dir, tmp_path_factory):
+    """snapshot 1 = base + decoys (decoys = every point duplicated with
+    keys shifted into [4e9, ...) — inside every query circle), snapshot
+    2 = MOR delete of exactly the decoys."""
+    path = str(tmp_path_factory.mktemp("mor"))
+    pts = pts_orders(spark, sf_dir)
+    decoys = pts.withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(DEL_LO).cast("long")
+    )
+    C.write_clustered(pts.unionAll(decoys), path, level=14, files=8)
+    man = C.delete_clustered(
+        spark, path, F.col("o_orderkey") >= DEL_LO, strategy="mor"
+    )
+    return path, pts, man
+
+
+def test_mor_delete_rewrites_nothing(spark, table):
+    path, _, man = table
+    pre = C.load_manifest(path, snapshot_id=1)
+    # data entries byte-verbatim, bytes untouched on disk
+    assert man["files"] == pre["files"]
+    assert man["summary"]["rewritten_files"] == 0
+    assert man["summary"]["added_files"] == 0
+    dels = man["deletes"]
+    assert len(dels) == 1 and dels[0]["rows"] > 0
+    assert dels[0]["file"].startswith(C.DELETE_DIR + os.sep)
+    assert os.path.isdir(os.path.join(path, dels[0]["file"]))
+    # targets are a subset of the table's data files
+    names = {e["file"] for e in man["files"]}
+    assert set(dels[0]["targets"]) <= names
+
+
+def test_every_reader_applies_pending_deletes(spark, table):
+    path, pts, _ = table
+    want = _ids(
+        pts.where(
+            haversine_km(F.col("lon"), F.col("lat"), F.lit(QLON), F.lit(QLAT))
+            <= F.lit(R_KM)
+        )
+    )
+    assert _radius_ids(spark, path) == want  # pruned radius read
+    full = C._read_listed(spark, path)  # full-scan surface
+    assert full.count() == pts.count()
+    assert full.where(F.col("o_orderkey") >= DEL_LO).count() == 0
+    scan = C.clustered_scan(  # generic stats-pruned scan
+        spark, path, {"o_orderkey": (DEL_LO - 10, DEL_LO + 10**12)}
+    )
+    assert scan.count() == 0
+
+
+def test_snapshot_isolation_and_travel(spark, table):
+    path, pts, _ = table
+    # time travel to the pre-delete snapshot sees the decoys
+    pre = C._read_listed(spark, path, snapshot_id=1)
+    assert pre.count() == 2 * pts.count()
+    # and the pruned radius read at snapshot 1 returns both row sets
+    got = _radius_ids(spark, path, snapshot_id=1)
+    live = _radius_ids(spark, path)
+    assert got == sorted(live + [i + DEL_LO for i in live])
+
+
+def test_overlapping_mor_deletes_do_not_double_count(spark, table, tmp_path):
+    path, pts, man = table
+    # a second MOR delete over a SUPERSET predicate must only count
+    # rows still live (zero here: all >= DEL_LO rows already deleted)
+    m2 = C.delete_clustered(
+        spark, path, F.col("o_orderkey") >= DEL_LO - 0, strategy="mor"
+    )
+    assert m2.get("noop") is True
+    assert int(C.load_manifest(path)["snapshot_id"]) == int(man["snapshot_id"])
+
+
+def test_cow_rewrite_over_pending_deletes_never_resurrects(
+    spark, sf_dir, tmp_path_factory
+):
+    path = str(tmp_path_factory.mktemp("morcow"))
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=14, files=4)
+    n = pts.count()
+    # MOR-delete keys % 10 == 0, then COW-delete keys % 10 == 1: the
+    # COW rewrite scans files that also hold pending MOR positions
+    C.delete_clustered(spark, path, F.col("o_orderkey") % 10 == 0, strategy="mor")
+    C.delete_clustered(spark, path, F.col("o_orderkey") % 10 == 1, strategy="cow")
+    man = C.load_manifest(path)
+    live = C._read_listed(spark, path)
+    assert live.where(F.col("o_orderkey") % 10 <= 1).count() == 0
+    want = pts.where(F.col("o_orderkey") % 10 >= 2).count()
+    assert live.count() == want
+    # the rewritten files carry no pending deletes; targets pruned to
+    # surviving (untouched) files only
+    names = {e["file"] for e in man["files"]}
+    for d in man["deletes"]:
+        assert set(d["targets"]) <= names
+
+
+def test_upsert_over_pending_deletes_never_resurrects(
+    spark, sf_dir, tmp_path_factory
+):
+    path = str(tmp_path_factory.mktemp("morup"))
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=14, files=4)
+    C.delete_clustered(spark, path, F.col("o_orderkey") % 10 == 0, strategy="mor")
+    # upsert batch: move every key % 10 == 1 row east by 1 degree
+    batch = (
+        pts.where(F.col("o_orderkey") % 10 == 1)
+        .withColumn("lon", F.col("lon") + F.lit(1.0))
+    )
+    C.upsert_clustered(spark, batch, path, key="o_orderkey")
+    live = C._read_listed(spark, path)
+    assert live.where(F.col("o_orderkey") % 10 == 0).count() == 0
+    assert live.count() == pts.where(F.col("o_orderkey") % 10 != 0).count()
+
+
+def test_compaction_materializes_and_expire_reclaims(
+    spark, sf_dir, tmp_path_factory
+):
+    path = str(tmp_path_factory.mktemp("morcmp"))
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=14, files=4)
+    C.delete_clustered(spark, path, F.col("o_orderkey") % 7 == 0, strategy="mor")
+    dfile = C.load_manifest(path)["deletes"][0]["file"]
+    want = pts.where(F.col("o_orderkey") % 7 != 0).count()
+    C.compact_clustered(spark, path, files=2)
+    man = C.load_manifest(path)
+    assert man["deletes"] == []  # materialized
+    assert C._read_listed(spark, path).count() == want
+    # snapshot isolation: the delete file survives compaction's sweep
+    # while the MOR snapshot is retained...
+    assert os.path.isdir(os.path.join(path, dfile))
+    got = C._read_listed(spark, path, snapshot_id=2).count()
+    assert got == want  # history still answers with deletes applied
+    # ...and only expire reclaims it
+    res = C.expire_snapshots(path, keep_last=1)
+    assert dfile in res["removed_files"]
+    assert not os.path.isdir(os.path.join(path, dfile))
+    assert C._read_listed(spark, path).count() == want
+
+
+def test_rollback_restores_the_pending_set(spark, table):
+    path, pts, man = table
+    sid = int(man["snapshot_id"])
+    C.rollback_clustered(path, 1)  # pre-delete: decoys back
+    assert C._read_listed(spark, path).count() == 2 * pts.count()
+    C.rollback_clustered(path, sid)  # re-delete via the SAME delete file
+    cur = C.load_manifest(path)
+    assert cur["deletes"] == man["deletes"]
+    assert C._read_listed(spark, path).count() == pts.count()
+
+
+def test_incremental_scan_refuses_to_cross_mor_delete(spark, table):
+    path = table[0]
+    with pytest.raises(ValueError, match="delete"):
+        C.incremental_scan(spark, path, 0, 2)
