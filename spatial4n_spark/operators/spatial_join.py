@@ -296,6 +296,74 @@ def spatial_join_points_polygons_df(
     return cand.mapInPandas(refine, out_schema)
 
 
+def spatial_join_points_polygons_rtree(
+    points: DataFrame,
+    polygons: list[tuple[str, object]],
+    lon: str = "lon",
+    lat: str = "lat",
+    geo: bool = True,
+) -> DataFrame:
+    """PIP join via a broadcast STR-packed R-tree (plans.rtree) — the
+    north star's literally-named plan ("broadcast R-tree … plus an
+    exact PIP refinement pass"), beside the cell-cover equi-join.
+
+    Plan shape: NO join and NO shuffle at all — one ``mapInPandas``
+    stage over the points. Per Arrow batch:
+
+    1. the broadcast tree (built once driver-side over the layer's
+       bboxes, shipped in the task closure) answers candidate
+       (point, polygon) pairs in ~log_B(n_polys) vectorized frontier
+       expansions — candidate quality adapts PER FEATURE (each polygon
+       indexed by its own bbox), where the cover join's is fixed by the
+       global cell level;
+    2. exact refinement groups the pairs by polygon and runs the same
+       vectorized covers kernel (kernels.polygon.points_covered) as
+       every other PIP path — results are plan-invariant
+       (pytest-pinned against spatial_join_points_polygons).
+
+    Right for broadcastable layers with wildly mixed feature sizes;
+    for beyond-broadcast layers use spatial_join_points_polygons_df.
+    Returns the points' columns + ``poly_id``.
+    """
+    import pandas as pd
+
+    from spatial4n_spark.kernels.polygon import points_covered
+    from spatial4n_spark.plans.rtree import layer_rtree
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    tree, pids = layer_rtree(polygons, geo)
+    shapes = [s for _, s in polygons]
+    out_schema = StructType(
+        list(points.schema.fields) + [StructField("poly_id", StringType(), False)]
+    )
+    cols = list(points.columns)
+
+    def gen(it):
+        import numpy as np
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = pdf[lon].to_numpy(np.float64)
+            y = pdf[lat].to_numpy(np.float64)
+            pi, owner = tree.query_batch(x, y)
+            if not len(pi):
+                continue
+            keep = np.zeros(len(pi), dtype=bool)
+            for o in np.unique(owner):
+                m = owner == o
+                keep[m] = points_covered(x[pi[m]], y[pi[m]], shapes[o], geo)
+            pi, owner = pi[keep], owner[keep]
+            if not len(pi):
+                continue
+            out = pdf.iloc[pi].copy()
+            out["poly_id"] = pd.array([pids[o] for o in owner], dtype="string")
+            yield out[cols + ["poly_id"]]
+
+    return points.mapInPandas(gen, out_schema)
+
+
 def spatial_join_polygons(
     spark,
     layer_a: list[tuple[str, str]],

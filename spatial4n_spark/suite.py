@@ -1750,16 +1750,25 @@ def q_tile_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_join_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship PIP join through the S2 and H3 cover planners under
-    one `backend` column — join results are index-invariant, so the
-    oracle is sql_pip_join per branch."""
+    """The flagship PIP join through the S2 and H3 cover planners AND
+    the broadcast STR R-tree (plans.rtree — no join, no shuffle:
+    per-batch tree probe + the same exact covers kernel) under one
+    `backend` column — join results are plan-invariant, so the oracle
+    is sql_pip_join per branch."""
+    from spatial4n_spark.operators.spatial_join import (
+        spatial_join_points_polygons_rtree,
+    )
+
     s = q_pip_join_s2(spark, sf_dir).select(
         F.lit("s2").alias("backend"), "o_orderkey", "poly_id"
     )
     h = q_pip_join_h3(spark, sf_dir).select(
         F.lit("h3").alias("backend"), "o_orderkey", "poly_id"
     )
-    return s.unionByName(h)
+    r = spatial_join_points_polygons_rtree(
+        pts_orders(spark, sf_dir), layer()
+    ).select(F.lit("rtree").alias("backend"), "o_orderkey", "poly_id")
+    return s.unionByName(h).unionByName(r)
 
 
 def q_radius_join_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1900,7 +1909,9 @@ def spatial_oracles() -> dict[str, str]:
                 # same oracle as pip_join/knn: the at-scale paths must
                 # return exactly the rows the broadcast/list paths do
                 "pip_join_cover": sql_pip_join(),
-                "pip_join_backends": _sql_tag_union(sql_pip_join(), ["s2", "h3"]),
+                "pip_join_backends": _sql_tag_union(
+                    sql_pip_join(), ["s2", "h3", "rtree"]
+                ),
                 "knn_df": sql_knn(),
                 "knn_backends": _sql_tag_union(sql_knn(), ["s2", "h3", "s2_df"]),
                 "tile_stats": sql_tile_stats_all(),
