@@ -940,21 +940,38 @@ def upsert_clustered(
     lon: str = "lon",
     lat: str = "lat",
     files: int = 4,
+    strategy: str = "cow",
 ) -> dict:
     """MERGE by key: every current row whose ``key`` appears in ``df``
     is replaced by ``df``'s version (which may have MOVED — new
     lat/lon lands in its new cell), and keys not present are inserted —
-    Iceberg's copy-on-write MERGE analog, as ONE snapshot commit.
+    Iceberg's MERGE analog, as ONE snapshot commit, in both write
+    strategies:
 
-    The key set is broadcast (left_semi for per-file hit detection,
-    left_anti for the rewrite), so hit detection reads only the key
-    column of each file and only touched files are rewritten —
-    untouched manifest entries survive verbatim, same minimal-rewrite
-    contract as ``delete_clustered``. NULL keys never match (SQL join
-    equality) and are inserted as new rows. Atomicity: data files
-    first, one manifest commit last; a crash mid-way leaves orphans,
-    and a reader at any point sees either the whole merge or none of
-    it."""
+    - ``strategy='cow'`` (default): per-file hit detection + rewrite of
+      only the touched files. The key set is broadcast (left_semi for
+      hit detection, left_anti for the rewrite), so hit detection reads
+      only the key column of each file and only touched files are
+      rewritten — untouched manifest entries survive verbatim, same
+      minimal-rewrite contract as ``delete_clustered``.
+    - ``strategy='mor'``: NO scan of the table at all — the batch's
+      keys land as an EQUALITY-DELETE file (the Iceberg eq-delete
+      analog) targeting the files whose manifest key stats could hold
+      them, and the batch's rows append as ordinary data files; one
+      commit. Cost is O(batch) regardless of table size — the
+      streaming-CDC MERGE shape — paid back at read time (every scan of
+      a target file anti-joins the key set, key-restricted to target
+      files so the batch's own re-inserted rows survive) and retired by
+      compaction.
+
+    NULL keys never match (SQL join equality) and are inserted as new
+    rows. Atomicity: data/delete files first, one manifest commit last;
+    a crash mid-way leaves orphans, and a reader at any point sees
+    either the whole merge or none of it."""
+    if strategy not in ("cow", "mor"):
+        raise ValueError(f"upsert strategy must be 'cow' or 'mor', got {strategy!r}")
+    if strategy == "mor":
+        return _upsert_mor(spark, df, path, key, lon, lat, files)
     with table_lock(path):
         man = load_manifest(path)
         level = int(man["level"])
@@ -1028,6 +1045,97 @@ def upsert_clustered(
                 "rewritten_files": len(touched),
                 "untouched_files": len(untouched),
                 "hit_scan_files": len(cand),
+            },
+        )
+
+
+def _upsert_mor(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    key: str,
+    lon: str,
+    lat: str,
+    files: int,
+) -> dict:
+    """The merge-on-read arm of ``upsert_clustered``: equality-delete
+    file (batch keys, distinct, NULLs dropped) + ordinary data append,
+    one commit, zero reads of the table's data files."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    with table_lock(path):
+        man = load_manifest(path)
+        level = int(man["level"])
+        entries = man["files"]
+        # targets: every current file whose key-range stats could hold a
+        # batch key (files without stats are targeted — sound); an
+        # all-NULL key batch replaces nothing
+        row = df.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+        targets = (
+            []
+            if row["lo"] is None
+            else sorted(
+                e["file"]
+                for e in entries
+                if _col_range_keep(e, key, row["lo"], row["hi"])
+            )
+        )
+        deletes = man.get("deletes") or []
+        n_keys = 0
+        if targets:
+            rel = os.path.join(DELETE_DIR, f"eq-{uuid.uuid4().hex[:16]}")
+            full = os.path.join(path, rel)
+            (
+                df.select(F.col(key).alias("_key"))
+                .where(F.col("_key").isNotNull())
+                .distinct()
+                .write.mode("error")
+                .parquet(full)
+            )
+            n_keys = sum(  # row count from the written footers — no job
+                pq.ParquetFile(os.path.join(full, f)).metadata.num_rows
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            )
+            deletes = deletes + [
+                {
+                    "file": rel,
+                    "rows": n_keys,
+                    "targets": targets,
+                    "kind": "eq",
+                    "key": key,
+                }
+            ]
+        be = cell_backend("s2")
+        out = df.withColumn(CELL_COL, be.udf(level)(F.col(lat), F.col(lon)))
+        old_schema = _manifest_schema(man)
+        schema_json = None
+        if old_schema is not None:  # same add-column evolution as append
+            merged, _ = _merge_schemas(old_schema, out.schema)
+            schema_json = merged.json()
+        pre = set(_data_files(path))
+        (
+            out.repartitionByRange(files, F.col(CELL_COL))
+            .sortWithinPartitions(CELL_COL)
+            .write.mode("append")
+            .parquet(path)
+        )
+        inserted = _file_stats(path, [n for n in _data_files(path) if n not in pre])
+        return _write_manifest(
+            path,
+            level,
+            entries + inserted,
+            operation="upsert",
+            schema_json=schema_json,
+            deletes=deletes,
+            extra_summary={
+                "strategy": "mor",
+                "incoming_rows": int(sum(e["rows"] for e in inserted)),
+                "eq_delete_keys": n_keys,
+                "eq_delete_targets": len(targets),
+                "rewritten_files": 0,
             },
         )
 
@@ -1356,6 +1464,8 @@ def _read_files(
         *[os.path.join(path, n) for n in names]
     )
     dels = _applicable_deletes(man, names)
+    pos_dels = [d for d in dels if d.get("kind", "pos") == "pos"]
+    eq_dels = [d for d in dels if d.get("kind") == "eq"]
     want_meta = dels or keep_src is not None or keep_pos is not None
     if want_meta:
         df = df.select(
@@ -1363,13 +1473,28 @@ def _read_files(
             F.col("_metadata.file_name").alias(_DFILE),
             F.col("_metadata.row_index").alias(_DPOS),
         )
-    if dels:
+    if pos_dels:
         ddf = spark.read.parquet(
-            *[os.path.join(path, d["file"]) for d in dels]
+            *[os.path.join(path, d["file"]) for d in pos_dels]
         ).select(F.col("_file").alias(_DFILE), F.col("_pos").alias(_DPOS))
-        if sum(int(d["rows"]) for d in dels) <= BROADCAST_DELETE_ROWS:
+        if sum(int(d["rows"]) for d in pos_dels) <= BROADCAST_DELETE_ROWS:
             ddf = F.broadcast(ddf)
         df = df.join(ddf, on=[_DFILE, _DPOS], how="left_anti")
+    for d in eq_dels:
+        # equality deletes kill BY KEY but only in their TARGET files
+        # (files written before the delete's commit): a later re-insert
+        # of the same key lands in a non-target file and must survive.
+        # The target restriction rides as a residual condition on the
+        # broadcast anti-join (the equi key keeps it a hash join); one
+        # join per pending eq file — bounded, retired by compaction.
+        kdf = spark.read.parquet(os.path.join(path, d["file"])).select(
+            F.col("_key").alias("__s4n_key")
+        )
+        if int(d["rows"]) <= BROADCAST_DELETE_ROWS:
+            kdf = F.broadcast(kdf)
+        tgt = sorted(set(d["targets"]) & set(names))
+        cond = (F.col(d["key"]) == F.col("__s4n_key")) & F.col(_DFILE).isin(tgt)
+        df = df.join(kdf, cond, "left_anti")
     if want_meta:
         out_cols = [c for c in df.columns if c not in (_DFILE, _DPOS)]
         if keep_src is not None:

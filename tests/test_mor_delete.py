@@ -196,3 +196,84 @@ def test_incremental_scan_refuses_to_cross_mor_delete(spark, table):
     path = table[0]
     with pytest.raises(ValueError, match="delete"):
         C.incremental_scan(spark, path, 0, 2)
+
+
+@pytest.fixture(scope="module")
+def eq_table(spark, sf_dir, tmp_path_factory):
+    """A table MOR-upserted twice with the SAME key set (keys %10==1
+    moved east by 1 then by 2 degrees) — the equality-delete chain."""
+    path = str(tmp_path_factory.mktemp("eq"))
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=14, files=4)
+    b1 = pts.where(F.col("o_orderkey") % 10 == 1).withColumn(
+        "lon", F.col("lon") + F.lit(1.0)
+    )
+    m1 = C.upsert_clustered(spark, b1, path, key="o_orderkey", strategy="mor")
+    b2 = pts.where(F.col("o_orderkey") % 10 == 1).withColumn(
+        "lon", F.col("lon") + F.lit(2.0)
+    )
+    C.upsert_clustered(spark, b2, path, key="o_orderkey", strategy="mor")
+    return path, pts, m1
+
+
+def test_eq_upsert_scans_nothing_and_replaces_by_key(spark, eq_table):
+    path, pts, m1 = eq_table
+    assert m1["summary"]["strategy"] == "mor"
+    assert m1["summary"]["rewritten_files"] == 0
+    # the base files survive byte-verbatim in the manifest
+    base = {e["file"] for e in C.load_manifest(path, snapshot_id=1)["files"]}
+    cur = {e["file"] for e in C.load_manifest(path)["files"]}
+    assert base <= cur
+    live = C._read_listed(spark, path)
+    assert live.count() == pts.count()  # replaced, not duplicated
+    moved = {
+        (r["o_orderkey"], r["lon"])
+        for r in live.where(F.col("o_orderkey") % 10 == 1).collect()
+    }
+    want = {
+        (r["o_orderkey"], r["lon"] + 2.0)  # the SECOND upsert wins
+        for r in pts.where(F.col("o_orderkey") % 10 == 1).collect()
+    }
+    assert moved == want
+
+
+def test_eq_delete_respects_targets_reinsert_survives(spark, eq_table):
+    # the second upsert's keys equal the first's: if the eq anti-join
+    # ignored its target list, the second batch's own rows would be
+    # killed by the first delete file — count proves they survive
+    path, pts, _ = eq_table
+    man = C.load_manifest(path)
+    eqs = [d for d in man["deletes"] if d.get("kind") == "eq"]
+    assert len(eqs) == 2
+    names = {e["file"] for e in man["files"]}
+    for d in eqs:
+        assert set(d["targets"]) <= names
+    # first upsert's data files ARE targeted by the second's eq file
+    snap2 = {e["file"] for e in C.load_manifest(path, snapshot_id=2)["files"]}
+    first_batch_files = snap2 - {
+        e["file"] for e in C.load_manifest(path, snapshot_id=1)["files"]
+    }
+    assert first_batch_files <= set(eqs[1]["targets"])
+
+
+def test_eq_chain_compacts_and_time_travels(spark, eq_table):
+    path, pts, _ = eq_table
+    # travel to snapshot 2: first upsert applied, second not
+    mid = C._read_listed(spark, path, snapshot_id=2)
+    got = {
+        (r["o_orderkey"], r["lon"])
+        for r in mid.where(F.col("o_orderkey") % 10 == 1).collect()
+    }
+    want = {
+        (r["o_orderkey"], r["lon"] + 1.0)
+        for r in pts.where(F.col("o_orderkey") % 10 == 1).collect()
+    }
+    assert got == want
+    before = C._read_listed(spark, path)
+    rows, cnt = sorted(map(tuple, before.collect())), before.count()
+    C.compact_clustered(spark, path, files=2)
+    man = C.load_manifest(path)
+    assert man["deletes"] == []
+    after = C._read_listed(spark, path)
+    assert after.count() == cnt
+    assert sorted(map(tuple, after.select(*before.columns).collect())) == rows

@@ -189,6 +189,38 @@ def main() -> int:
         rec["mor_vs_cow_speedup"] = round(cow_s / max(mor_s, 1e-9), 2)
         report["patterns"][pattern] = rec
 
+    # --- MERGE: O(batch) equality-delete upsert vs COW hit-scan+rewrite.
+    # The batch scatters across the key space (every 1000th key, moved
+    # east), so COW's hit scan must read the key column of every file
+    # and rewrite every touched one; MOR writes keys + data, reads
+    # nothing. ---
+    batch_src = tempfile.mkdtemp(prefix="mor_cap_upbatch_")
+    pts.where(F.col("pid") % 1000 == 1).withColumn(
+        "lon", F.least(F.col("lon") + F.lit(1.0), F.lit(179.9))
+    ).write.mode("overwrite").parquet(batch_src)
+    batch = spark.read.parquet(batch_src)
+    n_batch = batch.count()
+    up_want_rows = n_total  # pure replacement, no inserts
+    report["upsert"] = {"batch_rows": n_batch}
+    for strat in ("mor", "cow"):
+        p = build(f"mor_cap_up_{strat}_")
+        t0 = time.time()
+        man_u = C.upsert_clustered(spark, batch, p, key="pid", strategy=strat)
+        wall = time.time() - t0
+        got = C._read_listed(spark, p)
+        assert got.count() == up_want_rows, (strat, got.count(), up_want_rows)
+        moved = got.where(F.col("pid") % 1000 == 1).count()
+        assert moved == n_batch, (strat, moved, n_batch)
+        report["upsert"][strat] = {
+            "wall_s": round(wall, 2),
+            "rewritten_files": man_u["summary"].get("rewritten_files", 0),
+        }
+    report["upsert"]["mor_vs_cow_speedup"] = round(
+        report["upsert"]["cow"]["wall_s"]
+        / max(report["upsert"]["mor"]["wall_s"], 1e-9),
+        2,
+    )
+
     out = json.dumps(report)
     print(out)
     if args.out:
