@@ -19,4 +19,5 @@ from spatial4n_spark.streaming.dedup_stream import (  # noqa: F401
 from spatial4n_spark.streaming.clustered_sink import (  # noqa: F401
     stream_to_clustered,
     stream_to_st_clustered,
+    stream_upsert_to_clustered,
 )

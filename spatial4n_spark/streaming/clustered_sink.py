@@ -106,3 +106,64 @@ def stream_to_st_clustered(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_upsert_to_clustered(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    files_per_batch: int = 2,
+    strategy: str = "mor",
+):
+    """Streaming CDC MERGE into the clustered table: every micro-batch
+    UPSERTS by ``key`` (``io.clustered.upsert_clustered``) instead of
+    appending — the latest version of each key wins across batches, the
+    Iceberg upsert-sink analog.
+
+    ``strategy='mor'`` (default) is the shape built for streams: each
+    batch commits an equality-delete file + its data files in O(batch)
+    without ever reading the table, so sink latency is independent of
+    table size; a periodic ``compact_clustered`` retires the pending
+    chain. ``strategy='cow'`` trades that for zero read-side overhead.
+
+    Replay is doubly protected: the (checkpoint, batch_id) ledger skips
+    a batch already applied, and an MOR upsert replay is itself
+    idempotent on the ROW SET (re-deleting the keys and re-appending
+    reproduces the same live rows) — the ledger's job is to avoid the
+    duplicate snapshot, not to rescue correctness. Rows within one
+    micro-batch are upserted as given: a batch carrying several
+    versions of one key lands them all (deduplicate upstream, e.g.
+    ``dropDuplicatesWithinWatermark`` on the key, if the source can
+    emit intra-batch duplicates)."""
+    import hashlib
+
+    from spatial4n_spark.io.clustered import upsert_clustered
+
+    ck = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:12]
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        bkey = f"{ck}:{batch_id}"
+        if bkey in _seen_batches(path):
+            return
+        upsert_clustered(
+            batch_df.sparkSession,
+            batch_df,
+            path,
+            key=key,
+            lon=lon,
+            lat=lat,
+            files=files_per_batch,
+            strategy=strategy,
+        )
+        with open(os.path.join(path, BATCH_LEDGER), "a") as f:
+            f.write(f"{bkey}\n")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

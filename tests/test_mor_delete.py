@@ -277,3 +277,82 @@ def test_eq_chain_compacts_and_time_travels(spark, eq_table):
     after = C._read_listed(spark, path)
     assert after.count() == cnt
     assert sorted(map(tuple, after.select(*before.columns).collect())) == rows
+
+
+def test_stream_upsert_cdc_equals_batch_and_replay_is_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """Streaming CDC MERGE (streaming/clustered_sink.py::
+    stream_upsert_to_clustered, strategy='mor'): micro-batches of key
+    moves applied in order equal the same upserts applied in batch; a
+    replayed stream (lost checkpoint) changes nothing (ledger + MOR
+    row-set idempotence); compaction retires the pending chain."""
+    import shutil
+
+    from spatial4n_spark.streaming.clustered_sink import (
+        stream_upsert_to_clustered,
+    )
+
+    pts = pts_orders(spark, sf_dir)
+    table = str(tmp_path / "table")
+    C.write_clustered(pts, table, level=14, files=4)
+
+    # CDC source: two change files (forced into separate micro-batches)
+    # moving DISJOINT key sets east by 1 and 2 degrees
+    src = str(tmp_path / "cdc")
+    c1 = pts.where(F.col("o_orderkey") % 10 == 3).withColumn(
+        "lon", F.col("lon") + F.lit(1.0)
+    )
+    c2 = pts.where(F.col("o_orderkey") % 10 == 4).withColumn(
+        "lon", F.col("lon") + F.lit(2.0)
+    )
+    c1.coalesce(1).write.parquet(src)
+    c2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_upsert_to_clustered(
+        stream, table, str(tmp_path / "ckpt"), key="o_orderkey"
+    )
+    q.awaitTermination(300)
+
+    def snapshot_rows():
+        return sorted(
+            map(tuple, C._read_listed(spark, table).drop(C.CELL_COL).collect())
+        )
+
+    want = sorted(
+        map(
+            tuple,
+            pts.where(F.col("o_orderkey") % 10 != 3)
+            .where(F.col("o_orderkey") % 10 != 4)
+            .unionAll(c1)
+            .unionAll(c2)
+            .collect(),
+        )
+    )
+    got = snapshot_rows()
+    assert got == want
+
+    # replay: lost streaming checkpoint, same table -> ledger dedupes
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    stream2 = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sid = int(C.load_manifest(table)["snapshot_id"])
+    q2 = stream_upsert_to_clustered(
+        stream2, table, str(tmp_path / "ckpt"), key="o_orderkey"
+    )
+    q2.awaitTermination(300)
+    assert int(C.load_manifest(table)["snapshot_id"]) == sid
+    assert snapshot_rows() == want
+
+    # compaction retires the pending eq chain, same rows
+    C.compact_clustered(spark, table, files=4)
+    assert C.load_manifest(table)["deletes"] == []
+    assert snapshot_rows() == want
