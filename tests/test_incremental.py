@@ -195,3 +195,63 @@ def test_st_incremental_and_files(spark, sf_dir, tmp_path):
     ST.delete_st_clustered(spark, path, F.col("o_orderkey") % 10 == 0)
     with pytest.raises(ValueError, match="delete"):
         ST.st_incremental_scan(spark, path, 2)
+
+
+def test_incremental_pip_job_resumes_and_is_exactly_once(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """jobs/incremental_pip.py (the spark-submit consumer job) driven
+    in-process: seed run drains (0,1], append run drains only (1,2],
+    a third run is a no-op; a simulated crash BETWEEN the result write
+    and the consumer commit re-delivers the increment and the
+    range-keyed output overwrites itself (exactly-once); the derived
+    table equals the batch PIP join of the full source."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, ".")
+    job = importlib.import_module("jobs.incremental_pip")
+    work = str(tmp_path / "w")
+
+    def run(*extra):
+        monkeypatch.setattr(
+            sys, "argv", ["incremental_pip.py", "--work", work, "--rows", "20000"]
+            + list(extra),
+        )
+        assert job.main() == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return json.loads(out)
+
+    r1 = run()
+    assert r1["increments_drained"] == [[0, 1]]
+    r2 = run("--append", "10000")
+    assert r2["increments_drained"] == [[1, 2]]
+    assert r2["total_result_rows"] == r1["total_result_rows"] + r2["new_result_rows"]
+    r3 = run()
+    assert r3["increments_drained"] == []
+    assert r3["total_result_rows"] == r2["total_result_rows"]
+
+    # crash window: roll the consumer state back to 1 (as if the commit
+    # never happened after the (1,2] output landed) — the rerun must
+    # re-deliver (1,2] and converge to the same totals, not double them
+    with open(os.path.join(work, "consumer_state.json"), "w") as f:
+        json.dump({"snapshot_id": 1}, f)
+    r4 = run()
+    assert r4["increments_drained"] == [[1, 2]]
+    assert r4["total_result_rows"] == r2["total_result_rows"]
+
+    # the derived table equals the batch join over the full source
+    from spatial4n_spark.io.clustered import CELL_COL, _read_listed
+    from spatial4n_spark.operators.spatial_join import (
+        spatial_join_points_polygons,
+    )
+    from spatial4n_spark.suite import layer
+
+    full = spatial_join_points_polygons(
+        _read_listed(spark, os.path.join(work, "source")).drop(CELL_COL),
+        layer(), level=3, index="s2",
+    ).select("pid", "poly_id")
+    got = spark.read.parquet(
+        *[str(p) for p in (tmp_path / "w" / "result").iterdir()]
+    ).select("pid", "poly_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, full.collect()))
