@@ -468,7 +468,8 @@ _SNAPSHOT_CACHE: dict[str, str] = {}
 def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     """Build-once clustered table WITH HISTORY for the time-travel +
     row-level-delete gate: snapshot 1 = the real orders points, snapshot
-    2 = an appended decoy batch (same coordinates, keys offset by 4e9)
+    2 = an appended decoy batch (same coordinates, keys offset past
+    the table's key space)
     that WOULD match every query circle, snapshot 3 = a copy-on-write
     ``delete_clustered`` of exactly the decoys, snapshot 4 = the decoys
     appended AGAIN, snapshot 5 = a merge-on-read delete of them (a
@@ -481,7 +482,7 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
-    key = f"{src}:{os.path.getmtime(src)}:snapmor:{CLUSTER_LEVEL}"
+    key = f"{src}:{os.path.getmtime(src)}:snapmor2:{CLUSTER_LEVEL}"
     if key not in _SNAPSHOT_CACHE:
         from spatial4n_spark.io.buildonce import ensure_built
         from spatial4n_spark.io.clustered import (
@@ -494,30 +495,43 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
         def _build(p: str) -> None:
             pts = pts_orders(spark, sf_dir)
             write_clustered(pts, p, level=CLUSTER_LEVEL, files=8)
+            # the decoy key shift sits just past the table's real key
+            # space (NOT a hardcoded constant: an sf1-style table whose
+            # replicated keys reach 9e9 must not have base rows caught
+            # by the decoy-delete predicate) — same derivation as the
+            # oracle's scalar subquery
+            off = _decoy_offset(spark, sf_dir)
             decoys = pts.withColumn(
-                "o_orderkey", F.col("o_orderkey") + F.lit(4_000_000_000).cast("long")
+                "o_orderkey", F.col("o_orderkey") + F.lit(off).cast("long")
+            )
+            append_clustered(decoys, p, files=4)
+            delete_clustered(
+                spark, p, F.col("o_orderkey") >= F.lit(off).cast("long")
             )
             append_clustered(decoys, p, files=4)
             delete_clustered(
                 spark,
                 p,
-                F.col("o_orderkey") >= F.lit(4_000_000_000).cast("long"),
-            )
-            append_clustered(decoys, p, files=4)
-            delete_clustered(
-                spark,
-                p,
-                F.col("o_orderkey") >= F.lit(4_000_000_000).cast("long"),
+                F.col("o_orderkey") >= F.lit(off).cast("long"),
                 strategy="mor",
             )
 
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_clustered",
-            hashlib.md5(f"{src}:snapmor:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
+            hashlib.md5(f"{src}:snapmor2:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
         )
         _SNAPSHOT_CACHE[key] = ensure_built(path, key, _build, ready_file=MANIFEST)
     return _SNAPSHOT_CACHE[key]
+
+
+def _decoy_offset(spark: SparkSession, sf_dir: str) -> int:
+    """max(o_orderkey) + 1 of the sf's orders points — the decoy key
+    shift used by the snapshot fixture AND recomputed by its oracle as
+    ``(SELECT max(o_orderkey) + 1 FROM orders)``."""
+    return int(
+        pts_orders(spark, sf_dir).agg(F.max("o_orderkey")).collect()[0][0]
+    ) + 1
 
 
 def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +554,7 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     - mode='inc': the radius join over ``incremental_scan(1, 2)`` — the
       Iceberg incremental-append-scan analog must return EXACTLY the
       rows the append committed (the decoy batch: original coordinates,
-      keys shifted by 4e9), nothing from the base write and nothing
+      keys shifted past the key space), nothing from the base write and nothing
       from the later deletes.
 
     The first three arms equal the plain radius join; the fourth equals
@@ -1927,13 +1941,15 @@ def spatial_oracles() -> dict[str, str]:
                 # merge-on-read delete of a second decoy batch — must
                 # each return exactly the plain radius join; the inc
                 # arm (incremental scan of the append commit) returns
-                # the decoy batch: same rows, keys shifted by 4e9
+                # the decoy batch: same rows, keys shifted by the
+                # oracle-recomputed offset (max(o_orderkey)+1)
                 "radius_join_snapshot": _sql_tag_union(
                     sql_radius_join(), ["travel", "cow", "mor"], col="mode"
                 )
                 + (
                     "\nUNION ALL\nSELECT 'inc' AS mode, query_id, "
-                    "o_orderkey + 4000000000 AS o_orderkey FROM ("
+                    "o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)"
+                    " AS o_orderkey FROM ("
                     + sql_radius_join()
                     + ")"
                 ),
