@@ -2167,3 +2167,43 @@ def files_df(
     ``.history`` analog) this completes the metadata-table surface the
     north rule's "per-partition lineage and metrics tables" names."""
     return _files_df_from(spark, load_manifest(path, snapshot_id))
+
+
+def delete_files_df(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """The snapshot's PENDING merge-on-read delete files as a DataFrame
+    — the Iceberg ``.delete_files`` metadata-table analog: one row per
+    delete file with its kind ('pos' = position pairs, 'eq' = key
+    values), the equality key column (NULL for position files), row
+    count, and target-file count. Answered from the manifest alone;
+    empty after compaction materializes the chain."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    man = load_manifest(path, snapshot_id)
+    schema = StructType(
+        [
+            StructField("file", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("key", StringType(), True),
+            StructField("rows", LongType(), False),
+            StructField("n_targets", IntegerType(), False),
+        ]
+    )
+    rows = [
+        (
+            d["file"],
+            d.get("kind", "pos"),
+            d.get("key"),
+            int(d["rows"]),
+            len(d["targets"]),
+        )
+        for d in man.get("deletes") or []
+    ]
+    return spark.createDataFrame(rows, schema)

@@ -356,3 +356,16 @@ def test_stream_upsert_cdc_equals_batch_and_replay_is_idempotent(
     C.compact_clustered(spark, table, files=4)
     assert C.load_manifest(table)["deletes"] == []
     assert snapshot_rows() == want
+
+
+def test_delete_files_metadata_table(spark, eq_table):
+    # runs AFTER the compaction test on the shared table: current state
+    # has an empty pending set, history keeps the chain — both visible
+    # through the metadata table
+    path = eq_table[0]
+    assert C.delete_files_df(spark, path).count() == 0  # post-compact
+    assert C.delete_files_df(spark, path, snapshot_id=1).count() == 0
+    rows = C.delete_files_df(spark, path, snapshot_id=3).collect()
+    assert len(rows) == 2  # both eq-upsert commits pending at snapshot 3
+    assert all(r["kind"] == "eq" and r["key"] == "o_orderkey" for r in rows)
+    assert all(r["rows"] > 0 and r["n_targets"] > 0 for r in rows)
