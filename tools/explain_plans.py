@@ -23,6 +23,18 @@ COMMENTS = {
         "to the reader. No joins, no shuffles — a pure scan whose file list was "
         "decided at plan time from JSON metadata."
     ),
+    "mor_scan": (
+        "Radius query with a PENDING merge-on-read delete file: the pruned scan "
+        "keeps its pushed cell BETWEEN (pushdown survives the anti-join) and the "
+        "pending position set applies as ONE BroadcastHashJoin LeftAnti on "
+        "(file, row position) — no shuffle, no second pass; compaction retires it."
+    ),
+    "rtree_pip_join": (
+        "Broadcast STR R-tree PIP join: the entire join is ONE mapInPandas stage "
+        "over the points — no join operator, no Exchange; candidates come from the "
+        "closure-broadcast tree probe, exact refinement from the same covers "
+        "kernel, inside a single Arrow pass."
+    ),
     "pip_join": (
         "Point-in-polygon join. Wanted shape: scan -> derive -> geohash Arrow UDF -> "
         "ONE BroadcastHashJoin carrying BOTH the cell equi-key and the native bbox "
@@ -121,6 +133,43 @@ COMMENTS = {
 }
 
 
+def _q_mor_scan(spark, sf_dir):
+    """Radius query over a clustered table carrying a PENDING
+    merge-on-read position-delete file: the plan must keep the pruned
+    scan's pushed cell BETWEEN (the anti-join must not block pushdown)
+    and apply the pending set as ONE BroadcastHashJoin LeftAnti on
+    (file, row position) — no shuffle, no second pass."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.io import clustered as C
+    from spatial4n_spark.suite import pts_orders
+
+    path = tempfile.mkdtemp(prefix="plans_mor_")
+    pts = pts_orders(spark, sf_dir).limit(5000)
+    C.write_clustered(pts, path, level=14, files=4)
+    C.delete_clustered(
+        spark, path, F.col("o_orderkey") % 10 == 0, strategy="mor"
+    )
+    return C.clustered_radius_query(spark, path, 2.3125, 48.875, 300.0)
+
+
+def _q_rtree_pip_join(spark, sf_dir):
+    """Broadcast STR R-tree PIP join: the whole join must compile to a
+    single mapInPandas stage over the points — NO join operator and NO
+    Exchange anywhere (candidates come from the closure-broadcast tree,
+    refinement from the same covers kernel, inside one Arrow pass)."""
+    from spatial4n_spark.operators.spatial_join import (
+        spatial_join_points_polygons_rtree,
+    )
+    from spatial4n_spark.suite import layer, pts_orders
+
+    return spatial_join_points_polygons_rtree(
+        pts_orders(spark, sf_dir), layer()
+    ).select("o_orderkey", "poly_id")
+
+
 def _q_clustered_scan(spark, sf_dir):
     """Generic metadata-pruned scan on a NON-spatial stats column: a
     table built from batches with disjoint o_orderkey ranges, scanned
@@ -176,6 +225,8 @@ def main() -> int:
         "st_radius_join": suite.q_st_radius_join,
         "doc_neardup_pairs": suite_text.q_doc_neardup_pairs,
         "clustered_scan": _q_clustered_scan,
+        "mor_scan": _q_mor_scan,
+        "rtree_pip_join": _q_rtree_pip_join,
     }
 
     out = [
