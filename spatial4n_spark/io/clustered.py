@@ -375,7 +375,7 @@ _MANIFEST_CACHE_CAP = 64
 
 
 def _load_versioned(
-    path: str, snapshot_id: int | None, manifest: str, snap_dir: str
+    path: str, snapshot_id: int | str | None, manifest: str, snap_dir: str
 ) -> dict:
     mpath = os.path.join(path, manifest)
     st = os.stat(mpath)  # FileNotFoundError propagates, as before
@@ -389,6 +389,15 @@ def _load_versioned(
         _MANIFEST_CACHE[ck] = cur
     if snapshot_id is None:
         return cur
+    if isinstance(snapshot_id, str) and not snapshot_id.lstrip("-").isdigit():
+        # a named ref (tag): resolve to its pinned snapshot id
+        refs = _load_refs(path, snap_dir)
+        if snapshot_id not in refs:
+            raise ValueError(
+                f"unknown ref {snapshot_id!r} on {path}; "
+                f"known refs: {sorted(refs)}"
+            )
+        snapshot_id = refs[snapshot_id]
     sid = int(snapshot_id)
     if int(cur.get("snapshot_id", 0)) == sid:
         return cur
@@ -480,6 +489,168 @@ def snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
     """The snapshot log as a DataFrame — the queryable metrics/lineage
     table the north rule asks checkpointed pipelines to carry."""
     return _log_df(spark, snapshots(path))
+
+
+# --- named refs (tags) ------------------------------------------------
+#
+# The Iceberg tag analog: a named, immutable pointer to a snapshot id,
+# stored beside the snapshot files (``<snap_dir>/refs.json``, atomic
+# commits under the table lock).  Every reader that takes
+# ``snapshot_id`` also accepts a ref NAME (resolved in
+# ``_load_versioned``), and ``expire_snapshots`` retains tagged
+# snapshots — and the data files they reference — regardless of
+# ``keep_last``, so a tag is a retention anchor ("audit-2026Q3") as
+# well as a readable name.  Branches (writable refs) are intentionally
+# absent: this table's lineage is linear, and Iceberg-style
+# branch-and-merge is out of scope; ``rollback_clustered`` (restore as
+# NEW lineage) covers the fork-back use case.
+
+REFS_FILE = "refs.json"
+
+
+def _refs_path(path: str, snap_dir: str) -> str:
+    return os.path.join(path, snap_dir, REFS_FILE)
+
+
+def _load_refs(path: str, snap_dir: str) -> dict[str, int]:
+    try:
+        with open(_refs_path(path, snap_dir)) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+    except FileNotFoundError:
+        return {}
+
+
+def _set_ref_versioned(
+    path: str,
+    name: str,
+    snapshot_id: int | None,
+    manifest: str,
+    snap_dir: str,
+    lockfile: str,
+) -> int:
+    name = str(name)
+    if not name or name.lstrip("-").isdigit():
+        raise ValueError(
+            f"invalid ref name {name!r}: must be non-empty and not "
+            "purely numeric (numeric strings read as snapshot ids)"
+        )
+    with table_lock(path, lockfile):
+        if snapshot_id is None:
+            snapshot_id = int(
+                _load_versioned(path, None, manifest, snap_dir).get(
+                    "snapshot_id", 0
+                )
+            )
+        else:
+            # must name an existing (retained) snapshot
+            _load_versioned(path, int(snapshot_id), manifest, snap_dir)
+        refs = _load_refs(path, snap_dir)
+        refs[name] = int(snapshot_id)
+        os.makedirs(os.path.join(path, snap_dir), exist_ok=True)
+        _atomic_json_write(_refs_path(path, snap_dir), refs)
+        return int(snapshot_id)
+
+
+def _drop_ref_versioned(
+    path: str, name: str, snap_dir: str, lockfile: str
+) -> int:
+    with table_lock(path, lockfile):
+        refs = _load_refs(path, snap_dir)
+        if name not in refs:
+            raise ValueError(
+                f"unknown ref {name!r} on {path}; known refs: {sorted(refs)}"
+            )
+        sid = refs.pop(name)
+        _atomic_json_write(_refs_path(path, snap_dir), refs)
+        return sid
+
+
+def create_tag(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Tag a snapshot (default: the current one) with ``name``.  The tag
+    is readable everywhere ``snapshot_id`` is (``load_manifest(path,
+    "name")``, every query surface) and anchors the snapshot — and the
+    files it references — against ``expire_snapshots`` until dropped.
+    Returns the pinned snapshot id."""
+    return _set_ref_versioned(path, name, snapshot_id, MANIFEST, SNAP_DIR, LOCKFILE)
+
+
+def drop_tag(path: str, name: str) -> int:
+    """Remove a tag; its snapshot becomes expirable again.  Returns the
+    snapshot id the tag pointed at."""
+    return _drop_ref_versioned(path, name, SNAP_DIR, LOCKFILE)
+
+
+def table_refs(path: str) -> dict[str, int]:
+    """All named refs on the table: ``{name: snapshot_id}``."""
+    return dict(_load_refs(path, SNAP_DIR))
+
+
+def refs_df(spark: SparkSession, path: str) -> DataFrame:
+    """The refs as a DataFrame — the Iceberg ``.refs`` metadata-table
+    analog (all refs here are tags; branches are out of scope)."""
+    rows = [(k, v, "tag") for k, v in sorted(table_refs(path).items())]
+    return spark.createDataFrame(
+        rows, "name string, snapshot_id int, type string"
+    )
+
+
+def _added_map(
+    path: str, manifest: str, snap_dir: str, upto: int | None = None
+) -> dict[str, int]:
+    """``file -> snapshot id that FIRST listed it`` — per-file lineage,
+    walked oldest-first over the retained snapshot files (the Iceberg
+    ``added_snapshot_id`` analog).  After ``expire_snapshots`` the walk
+    starts at the earliest retained snapshot, so a file added before
+    that reports the earliest snapshot that still references it —
+    lineage truncates where history does, it never invents ids."""
+    cur = _load_versioned(path, None, manifest, snap_dir)
+    cid = int(cur.get("snapshot_id", 0))
+    cap = cid if upto is None else min(cid, int(upto))
+    mans: list[tuple[int, dict]] = []
+    sd = os.path.join(path, snap_dir)
+    if os.path.isdir(sd):
+        for n in os.listdir(sd):
+            if not (n.startswith("snap-") and n.endswith(".json")):
+                continue
+            with open(os.path.join(sd, n)) as f:
+                m = json.load(f)
+            sid = int(m.get("snapshot_id", 0))
+            if sid <= cap:
+                mans.append((sid, m))
+    if cap == cid and not any(s == cid for s, _ in mans):
+        mans.append((cid, cur))
+    added: dict[str, int] = {}
+    for sid, m in sorted(mans, key=lambda t: t[0]):
+        for e in m["files"]:
+            added.setdefault(e["file"], sid)
+    return added
+
+
+def _remove_orphans_versioned(
+    path: str, manifest: str, snap_dir: str, data_files: list[str]
+) -> dict:
+    ref = _referenced_in(path, manifest, snap_dir)
+    removed = [n for n in data_files if n not in ref]
+    for n in removed:
+        os.remove(os.path.join(path, n))
+    return {
+        "removed_files": removed,
+        "removed_delete_files": _sweep_delete_dir(path, manifest, snap_dir),
+    }
+
+
+def remove_orphan_files(path: str) -> dict:
+    """Standalone maintenance sweep (the Iceberg remove-orphan-files
+    analog): delete data files and MOR delete files that NO snapshot —
+    current, historical, or dangling — references.  Such files are
+    crash leftovers (a writer that died between its data write and its
+    manifest commit, whose id was then reused); they are invisible to
+    every reader, so unlike ``expire_snapshots`` this reclaims disk
+    without touching readable history.  Safe against in-flight writers
+    because every writer holds ``table_lock`` across its data write AND
+    its commit, and this sweep takes the same lock."""
+    with table_lock(path):
+        return _remove_orphans_versioned(path, MANIFEST, SNAP_DIR, _data_files(path))
 
 
 def _referenced_in(path: str, manifest: str, snap_dir: str) -> set[str]:
@@ -589,7 +760,10 @@ def _expire_versioned(
     cur = _load_versioned(path, None, manifest, snap_dir)
     cid = int(cur.get("snapshot_id", 0))
     ids = [s["snapshot_id"] for s in _snapshot_list(path, manifest, snap_dir)]
-    retain = set(sorted(ids)[-max(int(keep_last), 1):]) | {cid}
+    # tagged snapshots are retention anchors: never expired (nor their
+    # files swept) while the tag exists, regardless of keep_last
+    tagged = set(_load_refs(path, snap_dir).values())
+    retain = set(sorted(ids)[-max(int(keep_last), 1):]) | {cid} | tagged
     expired = []
     for sid in ids:
         if sid not in retain:
@@ -2120,8 +2294,11 @@ def next_increment(
     )
 
 
-def _files_df_from(spark: SparkSession, man: dict) -> DataFrame:
+def _files_df_from(
+    spark: SparkSession, man: dict, added: dict[str, int] | None = None
+) -> DataFrame:
     from pyspark.sql.types import (
+        IntegerType,
         LongType,
         StringType,
         StructField,
@@ -2135,9 +2312,11 @@ def _files_df_from(spark: SparkSession, man: dict) -> DataFrame:
             StructField("rows", LongType(), False),
             StructField("cell_min", LongType(), False),
             StructField("cell_max", LongType(), False),
+            StructField("added_snapshot_id", IntegerType(), True),
             StructField("column_stats", StringType(), True),
         ]
     )
+    added = added or {}
     rows = [
         (
             e["file"],
@@ -2145,6 +2324,7 @@ def _files_df_from(spark: SparkSession, man: dict) -> DataFrame:
             int(e["rows"]),
             int(e["min"]),
             int(e["max"]),
+            added.get(e["file"]),
             json.dumps(e["cols"], sort_keys=True, default=str)
             if e.get("cols")
             else None,
@@ -2165,8 +2345,16 @@ def files_df(
     is opened — and time-travels with ``snapshot_id`` like every other
     reader.  Together with ``snapshot_log_df`` (the ``.snapshots`` /
     ``.history`` analog) this completes the metadata-table surface the
-    north rule's "per-partition lineage and metrics tables" names."""
-    return _files_df_from(spark, load_manifest(path, snapshot_id))
+    north rule's "per-partition lineage and metrics tables" names.
+
+    ``added_snapshot_id`` is the per-file lineage column — the snapshot
+    that first listed the file (see ``_added_map``).  On this flat
+    layout the range-clustered FILE is the partition unit, so this
+    table doubles as the ``.partitions`` analog; the day-partitioned ST
+    layout additionally rolls it up per day in ``st_partitions_df``."""
+    man = load_manifest(path, snapshot_id)
+    added = _added_map(path, MANIFEST, SNAP_DIR, int(man.get("snapshot_id", 0)))
+    return _files_df_from(spark, man, added)
 
 
 def delete_files_df(

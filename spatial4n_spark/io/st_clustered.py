@@ -27,15 +27,20 @@ from spatial4n_spark.functions.native import haversine_km
 from spatial4n_spark.io.clustered import (
     CELL_COL,
     Increment,
+    _added_map,
     _consumer_position,
+    _drop_ref_versioned,
     _expire_versioned,
     _file_stats,
     _files_df_from,
     _incremental_added,
+    _load_refs,
     _load_versioned,
     _log_df,
     _referenced_in,
+    _remove_orphans_versioned,
     _rollback_versioned,
+    _set_ref_versioned,
     _snapshot_list,
     _versioned_commit,
     cover_ranges,
@@ -667,6 +672,86 @@ def st_files_df(
 ) -> DataFrame:
     """The ST table's file-level metadata (the Iceberg ``.files``
     metadata-table analog): one row per manifest entry with its day
-    partition, row count, cell bounds, and per-column stats — answered
-    from the manifest alone, time-traveling with ``snapshot_id``."""
-    return _files_df_from(spark, load_st_manifest(path, snapshot_id))
+    partition, row count, cell bounds, per-file lineage
+    (``added_snapshot_id``), and per-column stats — answered from the
+    manifest alone, time-traveling with ``snapshot_id``."""
+    man = load_st_manifest(path, snapshot_id)
+    added = _added_map(path, MANIFEST, SNAP_DIR, int(man.get("snapshot_id", 0)))
+    return _files_df_from(spark, man, added)
+
+
+def st_partitions_df(
+    spark: SparkSession, path: str, snapshot_id: int | str | None = None
+) -> DataFrame:
+    """Per-PARTITION lineage + metrics — the Iceberg ``.partitions``
+    metadata-table analog, rolled up over the layout's true partition
+    axis (the day directory): file count, row count, the cell span the
+    day's files cover, the snapshot that last changed the day
+    (``last_updated_snapshot`` = max of its files' lineage ids), and
+    the count of pending MOR delete files targeting the day.  Answered
+    from the manifest alone; time-travels (id or tag name) like every
+    other reader."""
+    man = load_st_manifest(path, snapshot_id)
+    added = _added_map(path, MANIFEST, SNAP_DIR, int(man.get("snapshot_id", 0)))
+    del_targets: dict[str, int] = {}
+    for d in man.get("deletes") or []:
+        for t in d["targets"]:
+            del_targets[t] = del_targets.get(t, 0) + 1
+    days: dict[str, dict] = {}
+    for e in man["files"]:
+        day = e.get("day") or ""
+        p = days.setdefault(
+            day,
+            {"n_files": 0, "n_rows": 0, "cell_min": None, "cell_max": None,
+             "last_updated_snapshot": None, "n_pending_delete_files": 0},
+        )
+        p["n_files"] += 1
+        p["n_rows"] += int(e["rows"])
+        lo, hi = int(e["min"]), int(e["max"])
+        p["cell_min"] = lo if p["cell_min"] is None else min(p["cell_min"], lo)
+        p["cell_max"] = hi if p["cell_max"] is None else max(p["cell_max"], hi)
+        sid = added.get(e["file"])
+        if sid is not None:
+            last = p["last_updated_snapshot"]
+            p["last_updated_snapshot"] = sid if last is None else max(last, sid)
+        p["n_pending_delete_files"] += del_targets.get(e["file"], 0)
+    rows = [
+        (day, p["n_files"], p["n_rows"], p["cell_min"], p["cell_max"],
+         p["last_updated_snapshot"], p["n_pending_delete_files"])
+        for day, p in sorted(days.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "day string, n_files int, n_rows bigint, cell_min bigint, "
+        "cell_max bigint, last_updated_snapshot int, "
+        "n_pending_delete_files int",
+    )
+
+
+def create_st_tag(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Tag an ST snapshot — see ``clustered.create_tag``.  The tag name
+    is readable wherever ``snapshot_id`` is (``st_radius_query``,
+    ``st_files_df``, …) and anchors the snapshot against
+    ``expire_st_snapshots``."""
+    return _set_ref_versioned(
+        path, name, snapshot_id, MANIFEST, SNAP_DIR, MANIFEST + ".lock"
+    )
+
+
+def drop_st_tag(path: str, name: str) -> int:
+    """Remove an ST tag; its snapshot becomes expirable again."""
+    return _drop_ref_versioned(path, name, SNAP_DIR, MANIFEST + ".lock")
+
+
+def st_table_refs(path: str) -> dict[str, int]:
+    """All named refs on the ST table: ``{name: snapshot_id}``."""
+    return dict(_load_refs(path, SNAP_DIR))
+
+
+def remove_orphan_st_files(path: str) -> dict:
+    """Standalone crash-orphan sweep for the ST layout — see
+    ``clustered.remove_orphan_files``; history is untouched."""
+    with table_lock(path, MANIFEST + ".lock"):
+        return _remove_orphans_versioned(
+            path, MANIFEST, SNAP_DIR, _st_data_files(path)
+        )
