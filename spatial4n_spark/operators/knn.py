@@ -259,6 +259,15 @@ def knn_join_df(
     thr_sel = max(4, 2 * k) if cell_cap is None else cell_cap
     thr = max(32, 4 * k) if cell_cap is None else cell_cap
 
+    import sys
+    import time as _time
+
+    def _dbg(msg: str, t0: float | None = None):
+        if debug:
+            dt = f" [{_time.time() - t0:.1f}s]" if t0 is not None else ""
+            print(f"knn_join_df: {msg}{dt}", file=sys.stderr)
+
+    _t = _time.time()
     ptsF = points.withColumn("_cellF", geohash_udf(enc_level)(F.col(lat), F.col(lon)))
     ptsF = ptsF.select(id_col, lon, lat, "_cellF").persist()
 
@@ -276,13 +285,65 @@ def knn_join_df(
         F.col(qlat).cast("double").alias("_qlat"),
     )
     q0 = q0.withColumn("_qcellF", geohash_udf(enc_level)(F.col("_qlat"), F.col("_qlon")))
-    for lv in levels:
-        counts_lv = cnt.groupBy(F.substring("_cellF", 1, lv).alias(f"_c{lv}")).agg(
+    if len(levels) == 1:
+        lv = levels[0]
+        counts_lv = cnt.groupBy(F.substring("_cellF", 1, lv).alias("_pc")).agg(
             F.sum("_n").alias(f"_n{lv}")
         )
-        q0 = q0.withColumn(f"_c{lv}", F.substring("_qcellF", 1, lv)).join(
-            counts_lv, f"_c{lv}", "left"
-        ).drop(f"_c{lv}")
+        q0 = q0.withColumn("_pc", F.substring("_qcellF", 1, lv)).join(
+            counts_lv, "_pc", "left"
+        ).drop("_pc")
+    else:
+        # the whole pyramid in ONE aggregation (explode each fine cell
+        # into its per-level prefixes) and ONE query-side join on the
+        # exploded (level, prefix) keys, pivoted back per query — vs a
+        # join per level, which costs a broadcast build (a whole Spark
+        # job) per level and dominates small-batch latency
+        pyr = (
+            cnt.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(lv).alias("_plv"),
+                                F.substring("_cellF", 1, lv).alias("_pc"),
+                            )
+                            for lv in levels
+                        ]
+                    )
+                ).alias("_k"),
+                "_n",
+            )
+            .groupBy("_k._plv", "_k._pc")
+            .agg(F.sum("_n").alias("_pn"))
+        )
+        keys = q0.select(
+            "query_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lv).alias("_plv"),
+                            F.substring("_qcellF", 1, lv).alias("_pc"),
+                        )
+                        for lv in levels
+                    ]
+                )
+            ).alias("_k"),
+        ).select("query_id", "_k._plv", "_k._pc")
+        hits = (
+            keys.join(pyr, ["_plv", "_pc"], "left")
+            .groupBy("query_id")
+            .agg(
+                *[
+                    F.max(F.when(F.col("_plv") == lv, F.col("_pn"))).alias(
+                        f"_n{lv}"
+                    )
+                    for lv in levels
+                ]
+            )
+        )
+        q0 = q0.join(hits, "query_id", "left")
 
     # finest level whose own cell already holds ~thr candidates; else the
     # coarsest level (density-presized rings below)
@@ -308,6 +369,8 @@ def knn_join_df(
     # lazy checkpoint: the _pending_stats collect right below materializes
     # it — an eager one would spend a whole extra Spark job on the same
     # plan (job count, not data volume, dominates small-batch latency)
+    _dbg("plans built", _t)
+    _t = _time.time()
     pending = (
         q0.withColumn(
             "_rings",
@@ -316,6 +379,7 @@ def knn_join_df(
         .select("query_id", "_qlon", "_qlat", "_level", "_rings")
         .localCheckpoint(eager=False)
     )
+    _dbg("pending checkpoint declared", _t)
 
     def _pending_stats(pdf: DataFrame):
         rows = pdf.groupBy("_level").agg(
@@ -326,14 +390,6 @@ def knn_join_df(
         cells = sum(int(r["cells"] or 0) for r in rows)
         act = sorted(int(r["_level"]) for r in rows)
         return n, cells, act
-
-    import sys
-    import time as _time
-
-    def _dbg(msg: str, t0: float | None = None):
-        if debug:
-            dt = f" [{_time.time() - t0:.1f}s]" if t0 is not None else ""
-            print(f"knn_join_df: {msg}{dt}", file=sys.stderr)
 
     _t = _time.time()
     n_pending, est_cells, active_levels = _pending_stats(pending)
@@ -385,12 +441,14 @@ def knn_join_df(
         if n_pending == 0:
             break
         cells = pending.mapInPandas(cells_gen(), cells_schema)
-        if len(active_levels) > 1:
+        if len(active_levels) > 1 and n_pending > 10_000:
             # the per-level join branches below each re-read this plan;
             # Spark does not dedupe common subplans across unionAll
             # branches, so without materialization the Python ring
             # enumeration of ALL pending queries would re-run once per
-            # active level
+            # active level.  For small pending sets the re-enumeration
+            # (O(n_pending x levels) numpy work) is far cheaper than the
+            # extra Spark job an eager checkpoint costs.
             cells = cells.localCheckpoint(eager=True)
         # one prefix-keyed join per ACTIVE level against the same cached
         # encode; at scale each is the standard shuffle-by-cell plan (AQE
