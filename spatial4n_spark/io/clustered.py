@@ -1837,12 +1837,59 @@ def clustered_knn_df(
         _qcell_gen,
         f"query_id {qid_type}, _qlon double, _qlat double, _qc long",
     )
-    for lv in pyr:
-        cnt_lv = cnt.groupBy(
-            F.shiftright(F.col("_c"), 2 * (max_p - lv)).alias(f"_qc{lv}")
-        ).agg(F.sum("_n").alias(f"_n{lv}"))
-        q0 = q0.withColumn(f"_qc{lv}", F.shiftright(F.col("_qc"), 2 * (max_p - lv)))
-        q0 = q0.join(cnt_lv, f"_qc{lv}", "left").drop(f"_qc{lv}")
+    # the whole pyramid in ONE explode-aggregate over the cell counts
+    # and ONE query-side join on the exploded (level, prefix-cell) keys,
+    # pivoted back per query — a join per level costs a broadcast-build
+    # job per level (see operators/knn.knn_join_df, same rework)
+    pyrdf = (
+        cnt.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lv).alias("_plv"),
+                            F.shiftright(
+                                F.col("_c"), 2 * (max_p - lv)
+                            ).alias("_pc"),
+                        )
+                        for lv in pyr
+                    ]
+                )
+            ).alias("_k"),
+            "_n",
+        )
+        .groupBy("_k._plv", "_k._pc")
+        .agg(F.sum("_n").alias("_pn"))
+    )
+    keys = q0.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lv).alias("_plv"),
+                        F.shiftright(F.col("_qc"), 2 * (max_p - lv)).alias(
+                            "_pc"
+                        ),
+                    )
+                    for lv in pyr
+                ]
+            )
+        ).alias("_k"),
+    ).select("query_id", "_k._plv", "_k._pc")
+    hits = (
+        keys.join(pyrdf, ["_plv", "_pc"], "left")
+        .groupBy("query_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("_plv") == lv, F.col("_pn"))).alias(
+                    f"_n{lv}"
+                )
+                for lv in pyr
+            ]
+        )
+    )
+    q0 = q0.join(hits, "query_id", "left")
 
     # finest pyramid level whose own cell holds ~thr_sel points; its
     # radius targets ~thr candidates at that cell's density.  Queries
