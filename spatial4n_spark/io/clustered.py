@@ -414,10 +414,12 @@ def _load_versioned(
         ) from None
 
 
-def load_manifest(path: str, snapshot_id: int | None = None) -> dict:
+def load_manifest(path: str, snapshot_id: int | str | None = None) -> dict:
     """Current manifest, or — with ``snapshot_id`` — the immutable
-    manifest of that snapshot (time travel).  Unknown/expired ids raise
-    ValueError naming the surviving range."""
+    manifest of that snapshot (time travel).  A non-numeric string is
+    resolved as a TAG name (see ``create_tag``); every reader that
+    forwards ``snapshot_id`` here accepts either form.  Unknown/expired
+    ids and unknown refs raise ValueError naming the surviving range."""
     return _load_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
 
 
@@ -535,14 +537,24 @@ def _set_ref_versioned(
             "purely numeric (numeric strings read as snapshot ids)"
         )
     with table_lock(path, lockfile):
-        if snapshot_id is None:
-            snapshot_id = int(
-                _load_versioned(path, None, manifest, snap_dir).get(
-                    "snapshot_id", 0
-                )
+        cid = int(
+            _load_versioned(path, None, manifest, snap_dir).get(
+                "snapshot_id", 0
             )
+        )
+        if snapshot_id is None:
+            snapshot_id = cid
         else:
-            # must name an existing (retained) snapshot
+            # must name an existing (retained) HISTORY snapshot — a
+            # dangling snapshot file (id above the current manifest's,
+            # from a crashed commit) is not history and its id will be
+            # reused by the next commit
+            if int(snapshot_id) > cid:
+                raise ValueError(
+                    f"snapshot {int(snapshot_id)} of {path} does not exist "
+                    f"(current is {cid}); available snapshots: "
+                    f"{[s['snapshot_id'] for s in _snapshot_list(path, manifest, snap_dir)]}"
+                )
             _load_versioned(path, int(snapshot_id), manifest, snap_dir)
         refs = _load_refs(path, snap_dir)
         refs[name] = int(snapshot_id)

@@ -93,7 +93,7 @@ def write_st_clustered(
     _commit_st_manifest(path, level, entries)
 
 
-def load_st_manifest(path: str, snapshot_id: int | None = None) -> dict:
+def load_st_manifest(path: str, snapshot_id: int | str | None = None) -> dict:
     """Current ST manifest, or — with ``snapshot_id`` — the immutable
     manifest of that snapshot (time travel); same semantics as the flat
     layout's ``load_manifest``."""

@@ -21,3 +21,7 @@ from spatial4n_spark.streaming.clustered_sink import (  # noqa: F401
     stream_to_st_clustered,
     stream_upsert_to_clustered,
 )
+from spatial4n_spark.streaming.clustered_source import (  # noqa: F401
+    ClusteredAppendsSource,
+    read_clustered_stream,
+)

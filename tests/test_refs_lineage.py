@@ -84,6 +84,16 @@ def test_tag_create_resolve_drop(spark, table3):
     # tagging a snapshot that doesn't exist is rejected
     with pytest.raises(ValueError, match="available snapshots"):
         C.create_tag(path, "v9", 99)
+    # ... including a DANGLING snapshot file (crashed commit, id above
+    # the current manifest's — not history, its id will be reused)
+    import json as _json
+    import os as _os
+
+    with open(C._snap_file(path, 4), "w") as f:
+        _json.dump(C.load_manifest(path) | {"snapshot_id": 4}, f)
+    with pytest.raises(ValueError, match="does not exist"):
+        C.create_tag(path, "dangling", 4)
+    _os.remove(C._snap_file(path, 4))
 
 
 def test_tag_anchors_snapshot_against_expire(spark, table3):
