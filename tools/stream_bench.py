@@ -174,9 +174,71 @@ def bench_pip(spark, args, work: str) -> dict:
     }
 
 
+def bench_table_source(spark, args, work: str) -> dict:
+    """Throughput of the native clustered-table streaming SOURCE
+    (streaming/clustered_source.py): a snapshot-versioned table built
+    as seed + 3 append commits, streamed end-to-end (snapshot-id
+    offsets -> per-file partitions -> Arrow batches) into a
+    checkpointed parquet sink. Drained with processAllAvailable (the
+    Python stream-reader API has no availableNow hook)."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.io.clustered import append_clustered, write_clustered
+    from spatial4n_spark.streaming import read_clustered_stream
+
+    df = (
+        spark.range(args.rows)
+        .withColumnRenamed("id", "pid")
+        .withColumn(
+            "lon", (F.pmod(F.xxhash64("pid"), F.lit(360000)) / 1000.0) - 180.0
+        )
+        .withColumn(
+            "lat",
+            (F.pmod(F.xxhash64("pid", F.lit(1)), F.lit(170000)) / 1000.0)
+            - 85.0,
+        )
+    )
+    path = f"{work}/tbl"
+    write_clustered(
+        df.where(F.col("pid") % 4 == 0), path, level=14, files=args.files
+    )
+    for i in (1, 2, 3):
+        append_clustered(
+            df.where(F.col("pid") % 4 == i),
+            path,
+            files=max(args.files // 4, 1),
+        )
+
+    t0 = time.time()
+    q = (
+        read_clustered_stream(spark, path)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/sink")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    dt = time.time() - t0
+    got = spark.read.parquet(f"{work}/sink").count()
+    assert got == args.rows, f"streamed {got} of {args.rows} rows"
+    return {
+        "bench": "clustered-table streaming source (snapshot-id offsets)",
+        "commits_streamed": 4,
+        "sec": round(dt, 2),
+        "rows_per_sec": round(args.rows / dt, 1),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pipeline", choices=["image", "dedup", "pip"], default="image")
+    ap.add_argument(
+        "--pipeline",
+        choices=["image", "dedup", "pip", "table_source"],
+        default="image",
+    )
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--files", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=32)
@@ -197,9 +259,12 @@ def main() -> int:
 
     work = tempfile.mkdtemp(prefix="streambench_")
     try:
-        fn = {"image": bench_image, "dedup": bench_dedup, "pip": bench_pip}[
-            args.pipeline
-        ]
+        fn = {
+            "image": bench_image,
+            "dedup": bench_dedup,
+            "pip": bench_pip,
+            "table_source": bench_table_source,
+        }[args.pipeline]
         rec = fn(spark, args, work)
         rec.update(
             {
