@@ -17,6 +17,7 @@ timestamps still filter rows within boundary days).
 
 from __future__ import annotations
 
+import json as _json
 import os
 from dataclasses import dataclass
 
@@ -35,6 +36,7 @@ from spatial4n_spark.io.clustered import (
     _files_df_from,
     _incremental_added,
     _load_refs,
+    _merge_schemas,
     _load_versioned,
     _log_df,
     _referenced_in,
@@ -90,7 +92,9 @@ def write_st_clustered(
         .parquet(path)
     )
     entries = _day_tagged_stats(path, _st_data_files(path))
-    _commit_st_manifest(path, level, entries)
+    _commit_st_manifest(
+        path, level, entries, schema_json=_st_file_schema_json(out)
+    )
 
 
 def load_st_manifest(path: str, snapshot_id: int | str | None = None) -> dict:
@@ -141,12 +145,31 @@ def _st_data_files(path: str) -> list[str]:
 
 
 def _commit_st_manifest(
-    path: str, level: int, entries: list[dict], operation: str = "overwrite"
+    path: str,
+    level: int,
+    entries: list[dict],
+    operation: str = "overwrite",
+    schema_json: str | None = None,
 ) -> dict:
     """Snapshot-versioned commit (shared machinery with the flat layout:
     immutable per-commit snapshot file first, atomic temp-file +
-    os.replace manifest cut-over last)."""
-    return _versioned_commit(path, level, entries, operation, MANIFEST, SNAP_DIR)
+    os.replace manifest cut-over last).  ``schema_json`` is the FILE
+    schema (without the day partition column); commits that don't pass
+    one inherit the parent's."""
+    return _versioned_commit(
+        path, level, entries, operation, MANIFEST, SNAP_DIR,
+        schema_json=schema_json,
+    )
+
+
+def _st_file_schema_json(out: DataFrame) -> str:
+    """The schema of the DATA FILES: the written frame minus the day
+    partition column (stored as a directory name, not in the files)."""
+    from pyspark.sql.types import StructType
+
+    return StructType(
+        [f for f in out.schema.fields if f.name != DAY_COL]
+    ).json()
 
 
 def _require_wallclock_ts(df: DataFrame, ts: str) -> None:
@@ -217,11 +240,27 @@ def append_st_clustered(
             .parquet(path)
         )
         new = [r for r in _st_data_files(path) if r not in pre]
+        from pyspark.sql.types import StructType
+
+        old_schema = (
+            StructType.fromJson(_json.loads(man["schema"]))
+            if man.get("schema")
+            else None
+        )
+        batch_schema = StructType(
+            [f for f in out.schema.fields if f.name != DAY_COL]
+        )
+        schema_json = (
+            _merge_schemas(old_schema, batch_schema)[0].json()
+            if old_schema is not None
+            else batch_schema.json()
+        )
         _commit_st_manifest(
             path,
             level,
             man["files"] + _day_tagged_stats(path, new),
             operation="append",
+            schema_json=schema_json,
         )
 
 
@@ -746,6 +785,15 @@ def drop_st_tag(path: str, name: str) -> int:
 def st_table_refs(path: str) -> dict[str, int]:
     """All named refs on the ST table: ``{name: snapshot_id}``."""
     return dict(_load_refs(path, SNAP_DIR))
+
+
+def st_refs_df(spark: SparkSession, path: str) -> DataFrame:
+    """The ST table's refs as a DataFrame — the ``.refs``
+    metadata-table analog (all refs are tags; see ``clustered.refs_df``)."""
+    rows = [(k, v, "tag") for k, v in sorted(st_table_refs(path).items())]
+    return spark.createDataFrame(
+        rows, "name string, snapshot_id int, type string"
+    )
 
 
 def remove_orphan_st_files(path: str) -> dict:

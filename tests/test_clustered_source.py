@@ -97,6 +97,32 @@ def test_stream_skips_compaction_and_fails_on_row_replacing(
         _drain(read_clustered_stream(spark, path), out, ckpt)
 
 
+def test_stream_st_layout(spark, sf_dir, tmp_path):
+    """The ST (day-partitioned) layout streams through the same source
+    with layout='st': day-directory files, same snapshot-id offsets."""
+    from spatial4n_spark.io import st_clustered as ST
+
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("o_orderkey") % 4) * 86400
+            + F.col("o_orderkey") % 977
+        ).cast("timestamp_ntz"),
+    )
+    half = [pts.where(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    path, out, ckpt = (
+        str(tmp_path / "st"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    ST.write_st_clustered(half[0], path, level=14, files=4)
+    _drain(read_clustered_stream(spark, path, layout="st"), out, ckpt)
+    assert _ids(spark, out) == _want(half[0])
+    # restart picks up only the new commit, across day directories
+    ST.append_st_clustered(half[1], path, files=2)
+    _drain(read_clustered_stream(spark, path, layout="st"), out, ckpt)
+    assert _ids(spark, out) == _want(pts)
+
+
 def test_stream_from_snapshot_and_schema_evolution(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tbl")
     pts = pts_orders(spark, sf_dir)
