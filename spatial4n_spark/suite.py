@@ -482,12 +482,13 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
-    key = f"{src}:{os.path.getmtime(src)}:snapmor2:{CLUSTER_LEVEL}"
+    key = f"{src}:{os.path.getmtime(src)}:snapmor3:{CLUSTER_LEVEL}"
     if key not in _SNAPSHOT_CACHE:
         from spatial4n_spark.io.buildonce import ensure_built
         from spatial4n_spark.io.clustered import (
             MANIFEST,
             append_clustered,
+            create_tag,
             delete_clustered,
             write_clustered,
         )
@@ -515,11 +516,15 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
                 F.col("o_orderkey") >= F.lit(off).cast("long"),
                 strategy="mor",
             )
+            # named ref for the 'tag' arm: time travel by NAME must
+            # resolve to the pre-decoy state (and anchors snapshot 1
+            # against any future expire of this fixture)
+            create_tag(p, "pre-decoys", 1)
 
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_clustered",
-            hashlib.md5(f"{src}:snapmor2:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
+            hashlib.md5(f"{src}:snapmor3:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
         )
         _SNAPSHOT_CACHE[key] = ensure_built(path, key, _build, ready_file=MANIFEST)
     return _SNAPSHOT_CACHE[key]
@@ -542,6 +547,9 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       table whose history holds a decoy batch inside every query circle
       (the Iceberg snapshot-read analog) — planning against the pinned
       snapshot's manifest must return exactly the pre-append rows;
+    - mode='tag': the same read pinned BY NAME (``snapshot_id=
+      "pre-decoys"``, the Iceberg tag analog) — ref resolution must
+      land on the identical snapshot;
     - mode='cow': the same join on CURRENT state, where the decoys were
       removed by a row-level ``delete_clustered`` (the Iceberg
       copy-on-write delete analog, minimal rewrite) — the delete must
@@ -557,11 +565,11 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       keys shifted past the key space), nothing from the base write and nothing
       from the later deletes.
 
-    The first three arms equal the plain radius join; the fourth equals
+    The first four arms equal the plain radius join; the fifth equals
     it with the decoy key shift. The oracle is sql_radius_join tagged
     per mode (key-shifted for 'inc') — leakage of decoys (bad pin, bad
-    COW delete, unapplied MOR delete file), over-deletion, or a
-    mis-diffed increment fails rows+hash."""
+    ref resolution, bad COW delete, unapplied MOR delete file),
+    over-deletion, or a mis-diffed increment fails rows+hash."""
     from spatial4n_spark.functions.native import haversine_km
     from spatial4n_spark.io.clustered import (
         clustered_radius_query,
@@ -570,7 +578,12 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _snapshot_table_path(spark, sf_dir)
     out = None
-    for mode, snap in (("travel", 1), ("cow", 3), ("mor", None)):
+    for mode, snap in (
+        ("travel", 1),
+        ("tag", "pre-decoys"),  # time travel by NAME (the refs surface)
+        ("cow", 3),
+        ("mor", None),
+    ):
         for qid, qlon, qlat, r_km in RADIUS_CENTERS:
             part = clustered_radius_query(
                 spark, path, qlon, qlat, r_km, snapshot_id=snap
@@ -1944,7 +1957,8 @@ def spatial_oracles() -> dict[str, str]:
                 # the decoy batch: same rows, keys shifted by the
                 # oracle-recomputed offset (max(o_orderkey)+1)
                 "radius_join_snapshot": _sql_tag_union(
-                    sql_radius_join(), ["travel", "cow", "mor"], col="mode"
+                    sql_radius_join(), ["travel", "tag", "cow", "mor"],
+                    col="mode",
                 )
                 + (
                     "\nUNION ALL\nSELECT 'inc' AS mode, query_id, "
