@@ -245,6 +245,7 @@ def _versioned_commit(
     schema_json: str | None = None,
     inherit_schema: bool = True,
     deletes: list[dict] | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Snapshot-versioned manifest commit — the Iceberg snapshot analog,
     shared by the flat and spatio-temporal layouts (parameterized on
@@ -273,15 +274,46 @@ def _versioned_commit(
     table still reads as its parent, and the NEXT commit reuses id N,
     overwriting the dangling file.  Until then sweeps retain the files
     it references — bounded waste, never damage.
+
+    With ``branch`` set (the Iceberg branch-write / WAP-staging analog,
+    see ``create_branch``), the commit's base is the BRANCH HEAD, step 3
+    updates the branch ref instead of the current-manifest pointer, and
+    the main table is untouched — staged state is invisible to every
+    reader that doesn't name the branch until ``fast_forward_clustered``
+    publishes it.  Snapshot ids are allocated globally (1 + the max over
+    the main head and every branch head), so lineages interleaving in
+    one ``<snap_dir>`` never collide; the dangling-reuse contract is
+    preserved because a crashed commit's id is exactly the next global
+    allocation until some commit lands.
     """
-    cur = None
+    main = None
     with contextlib.suppress(FileNotFoundError):
-        cur = _load_versioned(path, None, manifest, snap_dir)
+        main = _load_versioned(path, None, manifest, snap_dir)
+    refs = _load_refs(path, snap_dir)
+    if branch is not None:
+        r = refs.get(branch)
+        if r is None or r["type"] != "branch":
+            kinds = {k: v["type"] for k, v in refs.items()}
+            raise ValueError(
+                f"cannot commit to {branch!r} on {path}: not a branch "
+                f"(known refs: {kinds})"
+            )
+        cur = _load_versioned(path, int(r["snapshot_id"]), manifest, snap_dir)
+    else:
+        cur = main
     parent = int(cur.get("snapshot_id", 0)) if cur is not None else None
     os.makedirs(os.path.join(path, snap_dir), exist_ok=True)
-    if cur is not None and not os.path.exists(_snap_file_in(path, snap_dir, parent)):
-        _atomic_json_write(_snap_file_in(path, snap_dir, parent), cur)
-    sid = (parent or 0) + 1
+    if main is not None:
+        mid = int(main.get("snapshot_id", 0))
+        if not os.path.exists(_snap_file_in(path, snap_dir, mid)):
+            _atomic_json_write(_snap_file_in(path, snap_dir, mid), main)
+    heads = [int(main.get("snapshot_id", 0))] if main is not None else [0]
+    heads += [
+        int(r2["snapshot_id"])
+        for r2 in refs.values()
+        if r2["type"] == "branch"
+    ]
+    sid = max([parent or 0] + heads) + 1
     prev_files = {e["file"] for e in cur["files"]} if cur is not None else set()
     new_files = {e["file"] for e in entries}
     # the table schema rides in the manifest (Iceberg metadata analog):
@@ -329,7 +361,15 @@ def _versioned_commit(
         },
     }
     _atomic_json_write(_snap_file_in(path, snap_dir, sid), man)
-    _atomic_json_write(os.path.join(path, manifest), man)
+    if branch is not None:
+        # the branch's cut-over: advance the ref, never the manifest —
+        # a crash before this line leaves a dangling snapshot exactly
+        # like a crashed main commit (id reused next time)
+        refs = _load_refs(path, snap_dir)
+        refs[branch] = {"type": "branch", "snapshot_id": sid}
+        _write_refs(path, snap_dir, refs)
+    else:
+        _atomic_json_write(os.path.join(path, manifest), man)
     return man
 
 
@@ -341,13 +381,14 @@ def _write_manifest(
     extra_summary: dict | None = None,
     schema_json: str | None = None,
     deletes: list[dict] | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Flat-layout commit: see ``_versioned_commit``."""
     if entries is None:
         entries = _file_stats(path, _data_files(path))
     return _versioned_commit(
         path, level, entries, operation, MANIFEST, SNAP_DIR, extra_summary,
-        schema_json=schema_json, deletes=deletes,
+        schema_json=schema_json, deletes=deletes, branch=branch,
     )
 
 
@@ -390,14 +431,14 @@ def _load_versioned(
     if snapshot_id is None:
         return cur
     if isinstance(snapshot_id, str) and not snapshot_id.lstrip("-").isdigit():
-        # a named ref (tag): resolve to its pinned snapshot id
+        # a named ref (tag or branch): resolve to its pinned/head id
         refs = _load_refs(path, snap_dir)
         if snapshot_id not in refs:
             raise ValueError(
                 f"unknown ref {snapshot_id!r} on {path}; "
                 f"known refs: {sorted(refs)}"
             )
-        snapshot_id = refs[snapshot_id]
+        snapshot_id = refs[snapshot_id]["snapshot_id"]
     sid = int(snapshot_id)
     if int(cur.get("snapshot_id", 0)) == sid:
         return cur
@@ -414,47 +455,126 @@ def _load_versioned(
         ) from None
 
 
-def load_manifest(path: str, snapshot_id: int | str | None = None) -> dict:
+def load_manifest(
+    path: str,
+    snapshot_id: int | str | None = None,
+    as_of: float | None = None,
+) -> dict:
     """Current manifest, or — with ``snapshot_id`` — the immutable
     manifest of that snapshot (time travel).  A non-numeric string is
-    resolved as a TAG name (see ``create_tag``); every reader that
-    forwards ``snapshot_id`` here accepts either form.  Unknown/expired
-    ids and unknown refs raise ValueError naming the surviving range."""
+    resolved as a ref name — a tag's pinned snapshot or a branch's head
+    (see ``create_tag`` / ``create_branch``); every reader that
+    forwards ``snapshot_id`` here accepts any of these forms.
+    ``as_of`` (a unix timestamp, exclusive with ``snapshot_id``) travels
+    to the snapshot that was current AT that time — the Iceberg
+    ``FOR SYSTEM_TIME AS OF`` analog (see ``snapshot_as_of``).
+    Unknown/expired ids and unknown refs raise ValueError naming the
+    surviving range."""
+    if as_of is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or as_of, not both")
+        snapshot_id = _as_of_versioned(path, as_of, MANIFEST, SNAP_DIR)
     return _load_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
 
 
-def _snapshot_list(path: str, manifest: str, snap_dir: str) -> list[dict]:
-    cur = _load_versioned(path, None, manifest, snap_dir)
-    cid = int(cur.get("snapshot_id", 0))
-    out = []
-    sd = os.path.join(path, snap_dir)
-    if os.path.isdir(sd):
-        for n in sorted(os.listdir(sd)):
-            if not (n.startswith("snap-") and n.endswith(".json")):
-                continue
-            with open(os.path.join(sd, n)) as f:
-                m = json.load(f)
-            if int(m.get("snapshot_id", 0)) <= cid:
-                out.append(
-                    {
-                        "snapshot_id": int(m.get("snapshot_id", 0)),
-                        "parent_id": m.get("parent_id"),
-                        "operation": m.get("operation", "overwrite"),
-                        "committed_at": m.get("committed_at"),
-                        "summary": m.get("summary", {}),
-                    }
-                )
-    if not any(s["snapshot_id"] == cid for s in out):
-        out.append(
-            {
-                "snapshot_id": cid,
-                "parent_id": cur.get("parent_id"),
-                "operation": cur.get("operation", "overwrite"),
-                "committed_at": cur.get("committed_at"),
-                "summary": cur.get("summary", {}),
-            }
+def _as_of_versioned(
+    path: str, ts: float, manifest: str, snap_dir: str
+) -> int:
+    """The snapshot id that was the table's state at unix time ``ts``:
+    the newest MAIN-history snapshot with ``committed_at`` ≤ ts.
+    Raises if ts precedes the earliest retained snapshot (that state
+    was expired — same failure mode as Iceberg) or sits in a gap the
+    chain can't certify."""
+    chain = _history_chain(path, manifest, snap_dir, None)
+    ts = float(ts)
+    best = None
+    for m in chain:
+        at = m.get("committed_at")
+        if at is not None and float(at) <= ts:
+            best = m
+    if best is None:
+        lo = chain[0].get("committed_at") if chain else None
+        raise ValueError(
+            f"no snapshot of {path} existed at {ts}: the earliest "
+            f"retained snapshot {chain[0].get('snapshot_id') if chain else '?'} "
+            f"was committed at {lo} (earlier history was expired or the "
+            "table is younger than ts)"
         )
-    return sorted(out, key=lambda s: s["snapshot_id"])
+    return int(best.get("snapshot_id", 0))
+
+
+def snapshot_as_of(path: str, ts: float) -> int:
+    """Resolve a unix timestamp to the snapshot id current at that time
+    (the Iceberg timestamp-travel analog).  Pass the result as
+    ``snapshot_id=`` to any reader: ``clustered_radius_query(spark, t,
+    ..., snapshot_id=snapshot_as_of(t, ts))`` — or use
+    ``load_manifest(path, as_of=ts)`` directly."""
+    return _as_of_versioned(path, ts, MANIFEST, SNAP_DIR)
+
+
+def _history_chain(
+    path: str,
+    manifest: str,
+    snap_dir: str,
+    head: int | str | None = None,
+) -> list[dict]:
+    """The snapshot MANIFESTS reachable from ``head`` (default: the
+    current manifest) by following parent pointers, oldest first.
+
+    This walk — not an id scan — is what defines a lineage's history:
+    with branches, snapshot ids from different lineages interleave in
+    one ``<snap_dir>``, so "id ≤ head" would claim another branch's
+    commits.  The walk stops where a parent's snapshot file is missing
+    (expired history, or a legacy pre-snapshot manifest): lineage
+    truncates where history does.  Dangling snapshots (a crashed
+    commit's file, unreachable from any head) are excluded naturally.
+    """
+    cur = _load_versioned(path, head, manifest, snap_dir)
+    out = [cur]
+    seen = {int(cur.get("snapshot_id", 0))}
+    parent = cur.get("parent_id")
+    while parent is not None and int(parent) not in seen:
+        try:
+            with open(_snap_file_in(path, snap_dir, int(parent))) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            break
+        out.append(m)
+        seen.add(int(parent))
+        parent = m.get("parent_id")
+    out.reverse()
+    return out
+
+
+def _snapshot_list(
+    path: str, manifest: str, snap_dir: str, head: int | str | None = None
+) -> list[dict]:
+    mans = _history_chain(path, manifest, snap_dir, head)
+    if head is None:
+        # tag-anchored snapshots survive expire even when the chain
+        # between them and the head was reclaimed (a gap the walk can't
+        # cross) — they are still readable history, so list them.
+        have = {int(m.get("snapshot_id", 0)) for m in mans}
+        for r in _load_refs(path, snap_dir).values():
+            sid = int(r["snapshot_id"])
+            if r["type"] == "tag" and sid not in have:
+                with contextlib.suppress(FileNotFoundError):
+                    with open(_snap_file_in(path, snap_dir, sid)) as f:
+                        mans.append(json.load(f))
+                    have.add(sid)
+    return sorted(
+        (
+            {
+                "snapshot_id": int(m.get("snapshot_id", 0)),
+                "parent_id": m.get("parent_id"),
+                "operation": m.get("operation", "overwrite"),
+                "committed_at": m.get("committed_at"),
+                "summary": m.get("summary", {}),
+            }
+            for m in mans
+        ),
+        key=lambda s: s["snapshot_id"],
+    )
 
 
 def snapshots(path: str) -> list[dict]:
@@ -493,19 +613,29 @@ def snapshot_log_df(spark: SparkSession, path: str) -> DataFrame:
     return _log_df(spark, snapshots(path))
 
 
-# --- named refs (tags) ------------------------------------------------
+# --- named refs (tags + branches) -------------------------------------
 #
-# The Iceberg tag analog: a named, immutable pointer to a snapshot id,
-# stored beside the snapshot files (``<snap_dir>/refs.json``, atomic
-# commits under the table lock).  Every reader that takes
-# ``snapshot_id`` also accepts a ref NAME (resolved in
-# ``_load_versioned``), and ``expire_snapshots`` retains tagged
-# snapshots — and the data files they reference — regardless of
-# ``keep_last``, so a tag is a retention anchor ("audit-2026Q3") as
-# well as a readable name.  Branches (writable refs) are intentionally
-# absent: this table's lineage is linear, and Iceberg-style
-# branch-and-merge is out of scope; ``rollback_clustered`` (restore as
-# NEW lineage) covers the fork-back use case.
+# The Iceberg refs analog, stored beside the snapshot files
+# (``<snap_dir>/refs.json``, atomic commits under the table lock):
+#
+# - a TAG is a named, immutable pointer to a snapshot id.  Every reader
+#   that takes ``snapshot_id`` also accepts a ref NAME (resolved in
+#   ``_load_versioned``), and ``expire_snapshots`` retains tagged
+#   snapshots — and the data files they reference — regardless of
+#   ``keep_last``, so a tag is a retention anchor ("audit-2026Q3") as
+#   well as a readable name.
+# - a BRANCH is a named, WRITABLE head: ``append_clustered`` /
+#   ``delete_clustered`` / ``upsert_clustered`` with ``branch=`` commit
+#   against it (new snapshots whose parent chain forks from where the
+#   branch was created) without moving the main table, readers audit it
+#   by name (``snapshot_id="staging"``), and
+#   ``fast_forward_clustered`` publishes it — the Iceberg
+#   write-audit-publish (WAP) flow.  Lineages share one id sequence
+#   (globally allocated in ``_versioned_commit``) and one directory;
+#   expire retains every snapshot a branch can reach, so drop stale
+#   branches to release history.  Merging diverged lineages is out of
+#   scope (fast-forward requires main to be an ancestor of the branch
+#   head); ``rollback_clustered`` covers the fork-back use case.
 
 REFS_FILE = "refs.json"
 
@@ -514,12 +644,57 @@ def _refs_path(path: str, snap_dir: str) -> str:
     return os.path.join(path, snap_dir, REFS_FILE)
 
 
-def _load_refs(path: str, snap_dir: str) -> dict[str, int]:
+def _load_refs(path: str, snap_dir: str) -> dict[str, dict]:
+    """Normalized refs: ``{name: {"type": "tag"|"branch", "snapshot_id": N}}``.
+    Legacy files (round-4 tags were stored as plain ints) read as tags,
+    so every existing table keeps working unmodified."""
     try:
         with open(_refs_path(path, snap_dir)) as f:
-            return {k: int(v) for k, v in json.load(f).items()}
+            raw = json.load(f)
     except FileNotFoundError:
         return {}
+    out: dict[str, dict] = {}
+    for k, v in raw.items():
+        if isinstance(v, dict):
+            out[k] = {
+                "type": str(v.get("type", "tag")),
+                "snapshot_id": int(v["snapshot_id"]),
+            }
+        else:
+            out[k] = {"type": "tag", "snapshot_id": int(v)}
+    return out
+
+
+def _write_refs(path: str, snap_dir: str, refs: dict[str, dict]) -> None:
+    """Atomic refs commit.  Tags serialize as plain ints (the legacy
+    on-disk shape, so a round-4 reader of this table still resolves
+    them); branches need the typed form."""
+    os.makedirs(os.path.join(path, snap_dir), exist_ok=True)
+    raw = {
+        k: (v["snapshot_id"] if v["type"] == "tag" else v)
+        for k, v in refs.items()
+    }
+    _atomic_json_write(_refs_path(path, snap_dir), raw)
+
+
+def _live_ids(path: str, manifest: str, snap_dir: str) -> set[int]:
+    """Every snapshot id that is readable history: the main chain, each
+    branch's chain, and tag-pinned snapshots.  A dangling snapshot file
+    (crashed commit, unreachable from any head) is NOT here — its id
+    will be reused by the next commit, so nothing may pin it."""
+    refs = _load_refs(path, snap_dir)
+    ids = {
+        s["snapshot_id"] for s in _snapshot_list(path, manifest, snap_dir)
+    }
+    for r in refs.values():
+        if r["type"] == "branch":
+            ids.update(
+                int(m.get("snapshot_id", 0))
+                for m in _history_chain(
+                    path, manifest, snap_dir, int(r["snapshot_id"])
+                )
+            )
+    return ids
 
 
 def _set_ref_versioned(
@@ -529,6 +704,7 @@ def _set_ref_versioned(
     manifest: str,
     snap_dir: str,
     lockfile: str,
+    ref_type: str = "tag",
 ) -> int:
     name = str(name)
     if not name or name.lstrip("-").isdigit():
@@ -537,29 +713,37 @@ def _set_ref_versioned(
             "purely numeric (numeric strings read as snapshot ids)"
         )
     with table_lock(path, lockfile):
-        cid = int(
-            _load_versioned(path, None, manifest, snap_dir).get(
-                "snapshot_id", 0
-            )
-        )
+        cur = _load_versioned(path, None, manifest, snap_dir)
+        cid = int(cur.get("snapshot_id", 0))
         if snapshot_id is None:
             snapshot_id = cid
         else:
-            # must name an existing (retained) HISTORY snapshot — a
-            # dangling snapshot file (id above the current manifest's,
-            # from a crashed commit) is not history and its id will be
-            # reused by the next commit
-            if int(snapshot_id) > cid:
+            # must name an existing (retained, reachable) snapshot — a
+            # dangling snapshot file from a crashed commit is not
+            # history and its id will be reused by the next commit
+            live = _live_ids(path, manifest, snap_dir)
+            if int(snapshot_id) not in live:
                 raise ValueError(
                     f"snapshot {int(snapshot_id)} of {path} does not exist "
                     f"(current is {cid}); available snapshots: "
-                    f"{[s['snapshot_id'] for s in _snapshot_list(path, manifest, snap_dir)]}"
+                    f"{sorted(live)}"
                 )
-            _load_versioned(path, int(snapshot_id), manifest, snap_dir)
         refs = _load_refs(path, snap_dir)
-        refs[name] = int(snapshot_id)
-        os.makedirs(os.path.join(path, snap_dir), exist_ok=True)
-        _atomic_json_write(_refs_path(path, snap_dir), refs)
+        old = refs.get(name)
+        if old is not None and old["type"] != ref_type:
+            raise ValueError(
+                f"ref {name!r} on {path} is a {old['type']}, not a "
+                f"{ref_type}; drop it first to reuse the name"
+            )
+        if int(snapshot_id) == cid and not os.path.exists(
+            _snap_file_in(path, snap_dir, cid)
+        ):
+            # pinning the head of a legacy (pre-snapshot) table: land
+            # its snapshot file now so the ref survives the next commit
+            os.makedirs(os.path.join(path, snap_dir), exist_ok=True)
+            _atomic_json_write(_snap_file_in(path, snap_dir, cid), cur)
+        refs[name] = {"type": ref_type, "snapshot_id": int(snapshot_id)}
+        _write_refs(path, snap_dir, refs)
         return int(snapshot_id)
 
 
@@ -572,8 +756,8 @@ def _drop_ref_versioned(
             raise ValueError(
                 f"unknown ref {name!r} on {path}; known refs: {sorted(refs)}"
             )
-        sid = refs.pop(name)
-        _atomic_json_write(_refs_path(path, snap_dir), refs)
+        sid = int(refs.pop(name)["snapshot_id"])
+        _write_refs(path, snap_dir, refs)
         return sid
 
 
@@ -593,17 +777,94 @@ def drop_tag(path: str, name: str) -> int:
 
 
 def table_refs(path: str) -> dict[str, int]:
-    """All named refs on the table: ``{name: snapshot_id}``."""
-    return dict(_load_refs(path, SNAP_DIR))
+    """All named refs on the table: ``{name: snapshot_id}`` (a branch
+    reports its current head; see ``refs_df`` for types)."""
+    return {
+        k: int(v["snapshot_id"]) for k, v in _load_refs(path, SNAP_DIR).items()
+    }
 
 
 def refs_df(spark: SparkSession, path: str) -> DataFrame:
     """The refs as a DataFrame — the Iceberg ``.refs`` metadata-table
-    analog (all refs here are tags; branches are out of scope)."""
-    rows = [(k, v, "tag") for k, v in sorted(table_refs(path).items())]
+    analog: tags (immutable pins) and branches (writable heads)."""
+    rows = [
+        (k, int(v["snapshot_id"]), v["type"])
+        for k, v in sorted(_load_refs(path, SNAP_DIR).items())
+    ]
     return spark.createDataFrame(
         rows, "name string, snapshot_id int, type string"
     )
+
+
+def create_branch(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Create a writable branch at ``snapshot_id`` (default: the current
+    head) — the Iceberg branch / WAP-staging analog.  Commits with
+    ``branch=name`` advance only this ref; readers audit the staged
+    state with ``snapshot_id=name`` on any query surface; and
+    ``fast_forward_clustered(path, name)`` publishes it to the main
+    table.  While the branch exists, every snapshot it can reach — and
+    the data files they list — survives ``expire_snapshots``.  Returns
+    the snapshot id the branch starts at."""
+    return _set_ref_versioned(
+        path, name, snapshot_id, MANIFEST, SNAP_DIR, LOCKFILE,
+        ref_type="branch",
+    )
+
+
+def drop_branch(path: str, name: str) -> int:
+    """Remove a branch; its unpublished commits become dangling history
+    (reclaimed by ``expire_snapshots``).  Returns the head it was at."""
+    with table_lock(path):
+        refs = _load_refs(path, SNAP_DIR)
+        if refs.get(name, {}).get("type") == "tag":
+            raise ValueError(f"ref {name!r} on {path} is a tag; use drop_tag")
+    return _drop_ref_versioned(path, name, SNAP_DIR, LOCKFILE)
+
+
+def fast_forward_clustered(path: str, name: str) -> dict:
+    """Publish a branch: fast-forward the main table to the branch head
+    (the Iceberg fast-forward / WAP publish analog).
+
+    Requires the main head to be an ANCESTOR of the branch head — i.e.
+    nothing was committed to main since the branch forked; otherwise the
+    lineages diverged and this raises (merging is out of scope — rebase
+    by re-staging on a fresh branch).  The publish itself is one atomic
+    manifest cut-over to the branch head's already-committed snapshot:
+    every staged commit becomes main history in one step, and readers
+    switch from the pre-publish state to the published one atomically.
+    The branch ref is left pointing at the (now published) head; drop it
+    when done.  Returns ``{"published": head, "from": old_main_head}``.
+    A no-op (branch head == main head) returns the same shape."""
+    with table_lock(path):
+        refs = _load_refs(path, SNAP_DIR)
+        r = refs.get(name)
+        if r is None or r["type"] != "branch":
+            kinds = {k: v["type"] for k, v in refs.items()}
+            raise ValueError(
+                f"cannot fast-forward to {name!r} on {path}: not a "
+                f"branch (known refs: {kinds})"
+            )
+        head = int(r["snapshot_id"])
+        target = _load_versioned(path, head, MANIFEST, SNAP_DIR)
+        main = _load_versioned(path, None, MANIFEST, SNAP_DIR)
+        mid = int(main.get("snapshot_id", 0))
+        if head == mid:
+            return {"published": head, "from": mid}
+        chain_ids = {
+            int(m.get("snapshot_id", 0))
+            for m in _history_chain(path, MANIFEST, SNAP_DIR, head)
+        }
+        if mid not in chain_ids:
+            raise ValueError(
+                f"cannot fast-forward {path} to branch {name!r} "
+                f"(head {head}): main advanced to snapshot {mid}, which "
+                "is not an ancestor of the branch head — the lineages "
+                "diverged (re-stage on a fresh branch to publish)"
+            )
+        if not os.path.exists(_snap_file_in(path, SNAP_DIR, mid)):
+            _atomic_json_write(_snap_file_in(path, SNAP_DIR, mid), main)
+        _atomic_json_write(os.path.join(path, MANIFEST), target)
+        return {"published": head, "from": mid}
 
 
 def _added_map(
@@ -614,25 +875,14 @@ def _added_map(
     ``added_snapshot_id`` analog).  After ``expire_snapshots`` the walk
     starts at the earliest retained snapshot, so a file added before
     that reports the earliest snapshot that still references it —
-    lineage truncates where history does, it never invents ids."""
-    cur = _load_versioned(path, None, manifest, snap_dir)
-    cid = int(cur.get("snapshot_id", 0))
-    cap = cid if upto is None else min(cid, int(upto))
-    mans: list[tuple[int, dict]] = []
-    sd = os.path.join(path, snap_dir)
-    if os.path.isdir(sd):
-        for n in os.listdir(sd):
-            if not (n.startswith("snap-") and n.endswith(".json")):
-                continue
-            with open(os.path.join(sd, n)) as f:
-                m = json.load(f)
-            sid = int(m.get("snapshot_id", 0))
-            if sid <= cap:
-                mans.append((sid, m))
-    if cap == cid and not any(s == cid for s, _ in mans):
-        mans.append((cid, cur))
+    lineage truncates where history does, it never invents ids.
+
+    ``upto`` names the lineage HEAD to walk from (a snapshot id or ref
+    name) — the chain walk, not an id filter, keeps another branch's
+    interleaved commits out of this lineage's answer."""
     added: dict[str, int] = {}
-    for sid, m in sorted(mans, key=lambda t: t[0]):
+    for m in _history_chain(path, manifest, snap_dir, upto):
+        sid = int(m.get("snapshot_id", 0))
         for e in m["files"]:
             added.setdefault(e["file"], sid)
     return added
@@ -772,12 +1022,38 @@ def _expire_versioned(
     cur = _load_versioned(path, None, manifest, snap_dir)
     cid = int(cur.get("snapshot_id", 0))
     ids = [s["snapshot_id"] for s in _snapshot_list(path, manifest, snap_dir)]
+    refs = _load_refs(path, snap_dir)
     # tagged snapshots are retention anchors: never expired (nor their
-    # files swept) while the tag exists, regardless of keep_last
-    tagged = set(_load_refs(path, snap_dir).values())
-    retain = set(sorted(ids)[-max(int(keep_last), 1):]) | {cid} | tagged
+    # files swept) while the tag exists, regardless of keep_last; a
+    # branch anchors its ENTIRE reachable chain (fast-forward must be
+    # able to publish it) — drop stale branches to release history
+    anchored = {
+        int(r["snapshot_id"]) for r in refs.values() if r["type"] == "tag"
+    }
+    for r in refs.values():
+        if r["type"] == "branch":
+            anchored.update(
+                int(m.get("snapshot_id", 0))
+                for m in _history_chain(
+                    path, manifest, snap_dir, int(r["snapshot_id"])
+                )
+            )
+    retain = set(sorted(ids)[-max(int(keep_last), 1):]) | {cid} | anchored
     expired = []
-    for sid in ids:
+    sd = os.path.join(path, snap_dir)
+    on_disk = (
+        [
+            int(n[5:-5])
+            for n in os.listdir(sd)
+            if n.startswith("snap-") and n.endswith(".json")
+        ]
+        if os.path.isdir(sd)
+        else []
+    )
+    # sweep over every snapshot FILE, not just main history: abandoned
+    # branch commits (ref dropped) and dangling crashed commits are
+    # unreachable history — this is the operation that reclaims them
+    for sid in on_disk:
         if sid not in retain:
             with contextlib.suppress(FileNotFoundError):
                 os.remove(_snap_file_in(path, snap_dir, sid))
@@ -808,6 +1084,7 @@ def append_clustered(
     lon: str = "lon",
     lat: str = "lat",
     files: int = 4,
+    branch: str | None = None,
 ) -> None:
     """Append a batch (e.g. one streaming micro-batch) to a clustered
     table WITHOUT rewriting it — the Iceberg append analog.
@@ -831,9 +1108,14 @@ def append_clustered(
     commit's schema grows, pre-evolution files read as NULL in them —
     see ``_merge_schemas``) or OMIT existing ones (its rows read as
     NULL there); a same-name type change is an error.
+
+    With ``branch=`` the append STAGES onto that branch (base = branch
+    head, commit advances only the branch ref — the WAP write step);
+    the main table and its readers are untouched until
+    ``fast_forward_clustered`` publishes.
     """
     with table_lock(path):
-        man = load_manifest(path)
+        man = load_manifest(path, snapshot_id=branch)
         level = int(man["level"])
         pre = set(_data_files(path))
         be = cell_backend("s2")
@@ -856,6 +1138,7 @@ def append_clustered(
             man["files"] + _file_stats(path, new),
             operation="append",
             schema_json=schema_json,
+            branch=branch,
         )
 
 
@@ -982,6 +1265,7 @@ def delete_clustered(
     predicate,
     shape=None,
     strategy: str = "cow",
+    branch: str | None = None,
 ) -> dict:
     """Row-level DELETE on a clustered table — both Iceberg delete
     strategies:
@@ -1030,12 +1314,12 @@ def delete_clustered(
     if strategy not in ("cow", "mor"):
         raise ValueError(f"delete strategy must be 'cow' or 'mor', got {strategy!r}")
     with table_lock(path):
-        man = load_manifest(path)
+        man = load_manifest(path, snapshot_id=branch)
         level = int(man["level"])
         entries = man["files"]
         cand, cond = _delete_scope(man, predicate, shape)
         if strategy == "mor":
-            return _delete_mor(spark, path, man, cand, cond)
+            return _delete_mor(spark, path, man, cand, cond, branch=branch)
         hits = _per_file_hits(spark, path, [e["file"] for e in cand], cond, man)
         if not hits:
             return {
@@ -1065,11 +1349,13 @@ def delete_clustered(
                 "rewritten_files": len(hits),
                 "untouched_files": len(untouched),
             },
+            branch=branch,
         )
 
 
 def _delete_mor(
-    spark: SparkSession, path: str, man: dict, cand, cond
+    spark: SparkSession, path: str, man: dict, cand, cond,
+    branch: str | None = None,
 ) -> dict:
     """The merge-on-read arm of ``delete_clustered`` (holds the caller's
     lock): write the matching (file, position) pairs as a position-
@@ -1115,6 +1401,7 @@ def _delete_mor(
             "rewritten_files": 0,
             "delete_file_targets": len(targets),
         },
+        branch=branch,
     )
 
 
@@ -1127,6 +1414,7 @@ def upsert_clustered(
     lat: str = "lat",
     files: int = 4,
     strategy: str = "cow",
+    branch: str | None = None,
 ) -> dict:
     """MERGE by key: every current row whose ``key`` appears in ``df``
     is replaced by ``df``'s version (which may have MOVED — new
@@ -1157,9 +1445,9 @@ def upsert_clustered(
     if strategy not in ("cow", "mor"):
         raise ValueError(f"upsert strategy must be 'cow' or 'mor', got {strategy!r}")
     if strategy == "mor":
-        return _upsert_mor(spark, df, path, key, lon, lat, files)
+        return _upsert_mor(spark, df, path, key, lon, lat, files, branch=branch)
     with table_lock(path):
-        man = load_manifest(path)
+        man = load_manifest(path, snapshot_id=branch)
         level = int(man["level"])
         entries = man["files"]
         keys = F.broadcast(df.select(key).distinct())
@@ -1232,6 +1520,7 @@ def upsert_clustered(
                 "untouched_files": len(untouched),
                 "hit_scan_files": len(cand),
             },
+            branch=branch,
         )
 
 
@@ -1243,6 +1532,7 @@ def _upsert_mor(
     lon: str,
     lat: str,
     files: int,
+    branch: str | None = None,
 ) -> dict:
     """The merge-on-read arm of ``upsert_clustered``: equality-delete
     file (batch keys, distinct, NULLs dropped) + ordinary data append,
@@ -1252,7 +1542,7 @@ def _upsert_mor(
     import pyarrow.parquet as pq
 
     with table_lock(path):
-        man = load_manifest(path)
+        man = load_manifest(path, snapshot_id=branch)
         level = int(man["level"])
         entries = man["files"]
         # targets: every current file whose key-range stats could hold a
@@ -1323,6 +1613,7 @@ def _upsert_mor(
                 "eq_delete_targets": len(targets),
                 "rewritten_files": 0,
             },
+            branch=branch,
         )
 
 
@@ -2200,13 +2491,34 @@ def _incremental_added(
             f"incremental scan of {path}: to_snapshot {to} precedes "
             f"from_snapshot {frm}"
         )
-    prev = (
-        _load_versioned(path, frm, manifest, snap_dir) if frm > 0 else None
-    )
-    prev_files = {e["file"] for e in prev["files"]} if prev is not None else set()
+    # walk the lineage CHAIN ending at `to` (not an id range: with
+    # branches, ids from different lineages interleave, and expired
+    # history breaks the chain — both must fail loudly, not mis-diff)
+    chain = _history_chain(path, manifest, snap_dir, to)
+    ids = [int(m.get("snapshot_id", 0)) for m in chain]
+    if frm > 0:
+        if frm not in ids:
+            raise ValueError(
+                f"incremental scan of {path}: from_snapshot {frm} was "
+                f"expired or is not an ancestor of {to}; reachable "
+                f"snapshots: {ids} (re-bootstrap the consumer from a "
+                "full scan)"
+            )
+        start = ids.index(frm)
+        prev_files = {e["file"] for e in chain[start]["files"]}
+        walk = chain[start + 1:]
+    else:
+        if chain and chain[0].get("parent_id") is not None:
+            raise ValueError(
+                f"incremental scan of {path}: history before snapshot "
+                f"{ids[0]} was expired; reachable snapshots: {ids} "
+                "(re-bootstrap the consumer from a full scan)"
+            )
+        prev_files = set()
+        walk = chain
     out: list[tuple[dict, list[str]]] = []
-    for sid in range(frm + 1, to + 1):
-        man = _load_versioned(path, sid, manifest, snap_dir)
+    for man in walk:
+        sid = int(man.get("snapshot_id", 0))
         op = man.get("operation", "overwrite")
         files = {e["file"] for e in man["files"]}
         if op == "append" or (op == "overwrite" and not prev_files):

@@ -97,10 +97,20 @@ def write_st_clustered(
     )
 
 
-def load_st_manifest(path: str, snapshot_id: int | str | None = None) -> dict:
+def load_st_manifest(
+    path: str,
+    snapshot_id: int | str | None = None,
+    as_of: float | None = None,
+) -> dict:
     """Current ST manifest, or — with ``snapshot_id`` — the immutable
     manifest of that snapshot (time travel); same semantics as the flat
-    layout's ``load_manifest``."""
+    layout's ``load_manifest``, including ``as_of`` timestamp travel."""
+    if as_of is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or as_of, not both")
+        from spatial4n_spark.io.clustered import _as_of_versioned
+
+        snapshot_id = _as_of_versioned(path, as_of, MANIFEST, SNAP_DIR)
     return _load_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
 
 
@@ -784,16 +794,30 @@ def drop_st_tag(path: str, name: str) -> int:
 
 def st_table_refs(path: str) -> dict[str, int]:
     """All named refs on the ST table: ``{name: snapshot_id}``."""
-    return dict(_load_refs(path, SNAP_DIR))
+    return {
+        k: int(v["snapshot_id"]) for k, v in _load_refs(path, SNAP_DIR).items()
+    }
 
 
 def st_refs_df(spark: SparkSession, path: str) -> DataFrame:
     """The ST table's refs as a DataFrame — the ``.refs``
-    metadata-table analog (all refs are tags; see ``clustered.refs_df``)."""
-    rows = [(k, v, "tag") for k, v in sorted(st_table_refs(path).items())]
+    metadata-table analog (see ``clustered.refs_df``; branch WRITES are
+    a flat-layout surface, but a branch ref created here lists too)."""
+    rows = [
+        (k, int(v["snapshot_id"]), v["type"])
+        for k, v in sorted(_load_refs(path, SNAP_DIR).items())
+    ]
     return spark.createDataFrame(
         rows, "name string, snapshot_id int, type string"
     )
+
+
+def st_snapshot_as_of(path: str, ts: float) -> int:
+    """Resolve a unix timestamp to the ST snapshot current at that time
+    — see ``clustered.snapshot_as_of``."""
+    from spatial4n_spark.io.clustered import _as_of_versioned
+
+    return _as_of_versioned(path, ts, MANIFEST, SNAP_DIR)
 
 
 def remove_orphan_st_files(path: str) -> dict:

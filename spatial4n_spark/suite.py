@@ -482,12 +482,13 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
-    key = f"{src}:{os.path.getmtime(src)}:snapmor3:{CLUSTER_LEVEL}"
+    key = f"{src}:{os.path.getmtime(src)}:snapwap4:{CLUSTER_LEVEL}"
     if key not in _SNAPSHOT_CACHE:
         from spatial4n_spark.io.buildonce import ensure_built
         from spatial4n_spark.io.clustered import (
             MANIFEST,
             append_clustered,
+            create_branch,
             create_tag,
             delete_clustered,
             write_clustered,
@@ -520,11 +521,16 @@ def _snapshot_table_path(spark: SparkSession, sf_dir: str) -> str:
             # resolve to the pre-decoy state (and anchors snapshot 1
             # against any future expire of this fixture)
             create_tag(p, "pre-decoys", 1)
+            # WAP staging for the 'wap' arm: a THIRD decoy batch
+            # committed to a branch — invisible to every main-state arm
+            # (isolation), visible to the branch read (audit)
+            create_branch(p, "staging")
+            append_clustered(decoys, p, files=4, branch="staging")
 
         path = os.path.join(
             tempfile.gettempdir(),
             "spatial4n_clustered",
-            hashlib.md5(f"{src}:snapmor3:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
+            hashlib.md5(f"{src}:snapwap4:{CLUSTER_LEVEL}".encode()).hexdigest()[:16],
         )
         _SNAPSHOT_CACHE[key] = ensure_built(path, key, _build, ready_file=MANIFEST)
     return _SNAPSHOT_CACHE[key]
@@ -563,13 +569,20 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
       Iceberg incremental-append-scan analog must return EXACTLY the
       rows the append committed (the decoy batch: original coordinates,
       keys shifted past the key space), nothing from the base write and nothing
-      from the later deletes.
+      from the later deletes;
+    - mode='wap': the join reading the ``staging`` BRANCH, where a third
+      decoy batch was committed with ``branch=`` (the Iceberg
+      branch-write / write-audit-publish analog) — the branch read must
+      see current state PLUS the staged batch, while every main-state
+      arm above (sharing this fixture) must NOT see it: both halves of
+      WAP isolation in one gate row.
 
-    The first four arms equal the plain radius join; the fifth equals
-    it with the decoy key shift. The oracle is sql_radius_join tagged
-    per mode (key-shifted for 'inc') — leakage of decoys (bad pin, bad
-    ref resolution, bad COW delete, unapplied MOR delete file),
-    over-deletion, or a mis-diffed increment fails rows+hash."""
+    The first four arms equal the plain radius join; 'inc' equals it
+    with the decoy key shift; 'wap' equals their union. The oracle is
+    sql_radius_join tagged per mode (key-shifted for 'inc', both for
+    'wap') — leakage of decoys (bad pin, bad ref resolution, bad COW
+    delete, unapplied MOR delete file, staged-branch leak), over-
+    deletion, or a mis-diffed increment fails rows+hash."""
     from spatial4n_spark.functions.native import haversine_km
     from spatial4n_spark.io.clustered import (
         clustered_radius_query,
@@ -583,6 +596,7 @@ def q_radius_join_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tag", "pre-decoys"),  # time travel by NAME (the refs surface)
         ("cow", 3),
         ("mor", None),
+        ("wap", "staging"),  # the branch read: base + staged decoys
     ):
         for qid, qlon, qlat, r_km in RADIUS_CENTERS:
             part = clustered_radius_query(
@@ -1957,11 +1971,17 @@ def spatial_oracles() -> dict[str, str]:
                 # the decoy batch: same rows, keys shifted by the
                 # oracle-recomputed offset (max(o_orderkey)+1)
                 "radius_join_snapshot": _sql_tag_union(
-                    sql_radius_join(), ["travel", "tag", "cow", "mor"],
+                    sql_radius_join(),
+                    ["travel", "tag", "cow", "mor", "wap"],
                     col="mode",
                 )
                 + (
                     "\nUNION ALL\nSELECT 'inc' AS mode, query_id, "
+                    "o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)"
+                    " AS o_orderkey FROM ("
+                    + sql_radius_join()
+                    + ")"
+                    "\nUNION ALL\nSELECT 'wap' AS mode, query_id, "
                     "o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)"
                     " AS o_orderkey FROM ("
                     + sql_radius_join()

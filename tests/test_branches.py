@@ -1,0 +1,231 @@
+"""Branches + write-audit-publish (WAP) and timestamp time travel on the
+snapshot-versioned clustered layout (io/clustered.py) — the Iceberg
+branch / fast-forward / FOR SYSTEM_TIME AS OF analogs.
+
+A branch is a named WRITABLE head: commits with ``branch=`` fork new
+snapshots off it without moving the main table; readers audit staged
+state by name; ``fast_forward_clustered`` publishes it atomically.
+Lineages share one globally-allocated id sequence, expire retains every
+branch-reachable snapshot, and dropping the branch releases them.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spatial4n_spark.functions.native import haversine_km
+from spatial4n_spark.io import clustered as C
+from spatial4n_spark.io import st_clustered as ST
+from spatial4n_spark.suite import pts_orders
+
+QLON, QLAT, R_KM = 2.3125, 48.875, 150.0
+
+
+def _radius_ids(spark, path, snapshot_id=None):
+    out = C.clustered_radius_query(
+        spark, path, QLON, QLAT, R_KM, snapshot_id=snapshot_id
+    )
+    return sorted(r[0] for r in out.select("o_orderkey").collect())
+
+
+def _want_ids(pts):
+    return sorted(
+        r[0]
+        for r in pts.where(
+            haversine_km(F.col("lon"), F.col("lat"), F.lit(QLON), F.lit(QLAT))
+            <= F.lit(R_KM)
+        )
+        .select("o_orderkey")
+        .collect()
+    )
+
+
+@pytest.fixture()
+def halves(spark, sf_dir, tmp_path):
+    """A fresh table (base = even orderkeys) plus the odd half as the
+    batch to stage."""
+    path = str(tmp_path / "tbl")
+    pts = pts_orders(spark, sf_dir)
+    base = pts.where(F.col("o_orderkey") % 2 == 0)
+    extra = pts.where(F.col("o_orderkey") % 2 == 1)
+    C.write_clustered(base, path, level=14, files=4)
+    return path, pts, base, extra
+
+
+def test_wap_stage_audit_publish(spark, halves):
+    """The full WAP flow: staged commits are invisible to main readers,
+    auditable by name, and one atomic publish makes them main history."""
+    path, pts, base, extra = halves
+    assert C.create_branch(path, "staging") == 1
+    C.append_clustered(extra, path, files=2, branch="staging")
+
+    # WRITE+AUDIT: main readers still see exactly the base rows even
+    # though the staged data files sit in the same directory
+    assert _radius_ids(spark, path) == _want_ids(base)
+    assert int(C.load_manifest(path)["snapshot_id"]) == 1
+    # the branch reader sees base + staged
+    assert _radius_ids(spark, path, snapshot_id="staging") == _want_ids(pts)
+    refs = {r["name"]: (r["snapshot_id"], r["type"])
+            for r in C.refs_df(spark, path).collect()}
+    assert refs == {"staging": (2, "branch")}
+
+    # PUBLISH: one atomic cut-over, staged commits become main history
+    out = C.fast_forward_clustered(path, "staging")
+    assert out == {"published": 2, "from": 1}
+    assert _radius_ids(spark, path) == _want_ids(pts)
+    log = C.snapshots(path)
+    assert [s["snapshot_id"] for s in log] == [1, 2]
+    assert [s["operation"] for s in log] == ["overwrite", "append"]
+    # idempotent: re-publishing at head is a no-op
+    assert C.fast_forward_clustered(path, "staging") == {
+        "published": 2, "from": 2,
+    }
+    assert C.drop_branch(path, "staging") == 2
+
+
+def test_branch_delete_and_upsert_stage(spark, halves):
+    """Row-level DELETE and MERGE stage on a branch too — both write
+    strategies — and main sees nothing until publish."""
+    path, pts, base, extra = halves
+    C.append_clustered(extra, path, files=2)  # main now = all rows
+    C.create_branch(path, "fix")
+    # stage: COW-delete the odd half, then MOR-upsert a moved even row
+    C.delete_clustered(
+        spark, path, F.col("o_orderkey") % 2 == 1, branch="fix"
+    )
+    moved = base.limit(1).withColumn("lon", F.lit(0.0)).withColumn(
+        "lat", F.lit(0.0)
+    )
+    C.upsert_clustered(
+        spark, moved, path, key="o_orderkey", strategy="mor", branch="fix"
+    )
+    # main unchanged
+    assert _radius_ids(spark, path) == _want_ids(pts)
+    # branch = base minus the row moved to (0, 0)
+    mk = int(moved.select("o_orderkey").collect()[0][0])
+    want = [k for k in _want_ids(base) if k != mk]
+    assert _radius_ids(spark, path, snapshot_id="fix") == want
+    C.fast_forward_clustered(path, "fix")
+    assert _radius_ids(spark, path) == want
+
+
+def test_fast_forward_rejects_diverged_lineage(spark, halves):
+    path, pts, base, extra = halves
+    C.create_branch(path, "b")
+    C.append_clustered(extra, path, files=2, branch="b")
+    # main advances AFTER the fork: lineages diverged
+    C.append_clustered(extra, path, files=2)
+    with pytest.raises(ValueError, match="diverged"):
+        C.fast_forward_clustered(path, "b")
+    # and a tag is not publishable
+    C.create_tag(path, "pin")
+    with pytest.raises(ValueError, match="not a branch"):
+        C.fast_forward_clustered(path, "pin")
+
+
+def test_global_id_allocation_interleaved(spark, halves):
+    """Main and branch commits interleave in one id sequence — no
+    collisions — and main's incremental scan skips branch ids."""
+    path, pts, base, extra = halves
+    C.create_branch(path, "b")
+    C.append_clustered(extra, path, files=1, branch="b")   # id 2 (branch)
+    C.append_clustered(extra, path, files=1)               # id 3 (main)
+    C.append_clustered(extra, path, files=1, branch="b")   # id 4 (branch)
+    C.append_clustered(extra, path, files=1)               # id 5 (main)
+    assert int(C.load_manifest(path)["snapshot_id"]) == 5
+    assert C.table_refs(path)["b"] == 4
+    assert [s["snapshot_id"] for s in C.snapshots(path)] == [1, 3, 5]
+    # main increment (1, 5] = main's two appends, no branch rows
+    inc = C.incremental_scan(spark, path, 1, 5)
+    assert inc.count() == 2 * extra.count()
+    # branch lineage reads its own chain (1 -> 2 -> 4)
+    binc = C.incremental_scan(spark, path, 1, 4)
+    assert binc.count() == 2 * extra.count()
+    with pytest.raises(ValueError, match="not an ancestor"):
+        C.incremental_scan(spark, path, 3, 4)  # 3 is main-only, 4 branch
+
+
+def test_expire_retains_branch_then_reclaims(spark, halves):
+    """A live branch anchors its reachable history against expire;
+    dropping it makes those snapshots reclaimable (files swept)."""
+    path, pts, base, extra = halves
+    C.create_branch(path, "keep")
+    C.append_clustered(extra, path, files=1, branch="keep")  # id 2
+    for _ in range(3):  # main advances: ids 3, 4, 5
+        C.compact_clustered(spark, path, files=2)
+    out = C.expire_snapshots(path, keep_last=1)
+    assert 2 not in out["expired_snapshots"]
+    # the branch still reads after expire
+    assert _radius_ids(spark, path, snapshot_id="keep") == _want_ids(pts)
+    C.drop_branch(path, "keep")
+    out = C.expire_snapshots(path, keep_last=1)
+    assert 2 in out["expired_snapshots"]
+    with pytest.raises(ValueError):
+        C.load_manifest(path, snapshot_id=2)
+    # main is intact
+    assert _radius_ids(spark, path) == _want_ids(base)
+
+
+def test_ref_name_kinds_are_enforced(spark, halves):
+    path, _, _, _ = halves
+    C.create_tag(path, "v1")
+    with pytest.raises(ValueError, match="is a tag"):
+        C.create_branch(path, "v1")
+    with pytest.raises(ValueError, match="is a tag"):
+        C.drop_branch(path, "v1")
+    C.create_branch(path, "b1")
+    with pytest.raises(ValueError, match="is a branch"):
+        C.create_tag(path, "b1")
+    with pytest.raises(ValueError, match="not a branch"):
+        C.append_clustered(
+            pts_orders(spark, "/root/testdata/sf0.001").limit(1),
+            path, files=1, branch="v1",
+        )
+    with pytest.raises(ValueError, match="unknown ref"):
+        C.append_clustered(
+            pts_orders(spark, "/root/testdata/sf0.001").limit(1),
+            path, files=1, branch="nope",
+        )
+
+
+def test_as_of_timestamp_travel(spark, halves):
+    """snapshot_as_of / load_manifest(as_of=) resolve wall-clock times
+    to the snapshot current at that instant."""
+    path, pts, base, extra = halves
+    t0 = time.time()
+    time.sleep(0.01)
+    C.append_clustered(extra, path, files=2)  # id 2
+    time.sleep(0.01)
+    t_mid = time.time()
+    time.sleep(0.01)
+    C.compact_clustered(spark, path, files=2)  # id 3
+    time.sleep(0.01)
+    assert C.snapshot_as_of(path, time.time()) == 3
+    assert C.snapshot_as_of(path, t_mid) == 2
+    man = C.load_manifest(path, as_of=t_mid)
+    assert int(man["snapshot_id"]) == 2
+    # before the table existed
+    with pytest.raises(ValueError, match="no snapshot"):
+        C.snapshot_as_of(path, t0 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        C.load_manifest(path, snapshot_id=1, as_of=t_mid)
+    # the resolved id drives any reader
+    assert _radius_ids(
+        spark, path, snapshot_id=C.snapshot_as_of(path, t_mid)
+    ) == _want_ids(pts)
+
+
+def test_st_as_of(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "st")
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts", F.lit("2026-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    ST.write_st_clustered(pts, path, level=14, files=2)
+    time.sleep(0.01)
+    t1 = time.time()
+    time.sleep(0.01)
+    ST.append_st_clustered(pts.limit(5), path)
+    assert ST.st_snapshot_as_of(path, t1) == 1
+    assert ST.st_snapshot_as_of(path, time.time()) == 2
+    assert int(ST.load_st_manifest(path, as_of=t1)["snapshot_id"]) == 1
