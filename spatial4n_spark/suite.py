@@ -1723,7 +1723,16 @@ JOIN ({sql_h3_cell_assign()}) h USING (o_orderkey)"""
 def q_tile_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted two-phase per-cell aggregation through all three backends
     (geohash level 3, S2 level 6, H3 level 5) unioned under a `backend`
-    column; int64 cells cast to string to share the schema."""
+    column (int64 cells cast to string to share the schema), PLUS the
+    multi-resolution pyramid rollup (operators.tiles.tile_pyramid):
+    geohash levels 3..1 from ONE salted pass — coarser levels derived
+    from the finest level's partials by substring parent truncation,
+    never a rescan — tagged `pyr<lvl>`.  The pyr3 arm must equal the
+    geohash arm bit-for-bit and each coarser level must equal a direct
+    aggregation at that level (the oracle recomputes the rollup in SQL
+    over its own level-3 aggregate)."""
+    from spatial4n_spark.operators.tiles import tile_pyramid
+
     parts = [
         ("geohash", q_tile_stats(spark, sf_dir)),
         ("s2", q_s2_tile_stats(spark, sf_dir)),
@@ -1738,7 +1747,20 @@ def q_tile_stats_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_l_linenumber",
         )
         out = p if out is None else out.unionByName(p)
-    return out
+    pyr = tile_pyramid(
+        pts_lineitem(spark, sf_dir),
+        level=3,
+        min_level=1,
+        salt_buckets=8,
+        salt_col="l_partkey",
+        sum_col="l_linenumber",
+    ).select(
+        F.concat(F.lit("pyr"), F.col("lvl").cast("string")).alias("backend"),
+        F.col("cell").cast("string").alias("cell"),
+        "n",
+        "sum_l_linenumber",
+    )
+    return out.unionByName(pyr)
 
 
 def sql_tile_stats_all() -> str:
@@ -1747,11 +1769,23 @@ def sql_tile_stats_all() -> str:
         ("s2", sql_s2_tile_stats()),
         ("h3", sql_h3_tile_stats()),
     ]
-    return "\nUNION ALL\n".join(
+    per_backend = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS backend, CAST(cell AS VARCHAR) AS cell, n, "
         f"sum_l_linenumber FROM ({sql})"
         for name, sql in parts
     )
+    # the pyramid oracle mirrors the engine: aggregate once at the
+    # finest level, roll coarser levels up by prefix truncation
+    pyramid = (
+        "SELECT 'pyr' || CAST(lvl AS VARCHAR) AS backend, "
+        "substring(cell, 1, lvl) AS cell, "
+        "CAST(sum(n) AS BIGINT) AS n, "
+        "CAST(sum(sum_l_linenumber) AS BIGINT) AS sum_l_linenumber "
+        f"FROM ({sql_tile_stats()}) "
+        "CROSS JOIN (SELECT unnest([1, 2, 3]) AS lvl) "
+        "GROUP BY 1, 2"
+    )
+    return per_backend + "\nUNION ALL\n" + pyramid
 
 
 _BUCKETED_TABLES: set[str] = set()

@@ -576,3 +576,42 @@ def test_spatial_join_polygons_df_equals_list_path(spark):
             ).collect()
         }
         assert got == want, index
+
+
+def test_tile_pyramid_levels_equal_direct(spark, points):
+    """Every pyramid level — derived from the finest level's partials by
+    parent truncation, never a rescan — is bit-equal to a direct
+    aggregation at that level, for both exactly-nesting backends."""
+    from spatial4n_spark.operators.tiles import tile_pyramid
+
+    pts = points.withColumn("v", (F.col("phash") % 1000).cast("long"))
+    for index, lo, hi in (("geohash", 1, 3), ("s2", 3, 6)):
+        pyr = tile_pyramid(
+            pts, level=hi, min_level=lo, sum_col="v",
+            salt_buckets=4, salt_col="phash", index=index,
+        )
+        rows = pyr.collect()
+        assert sorted({r["lvl"] for r in rows}) == list(range(lo, hi + 1))
+        for L in range(lo, hi + 1):
+            direct = {
+                r["cell"]: (r["n"], r["sum_v"])
+                for r in tile_stats(
+                    pts, level=L, sum_col="v", index=index
+                ).collect()
+            }
+            got = {
+                r["cell"]: (r["n"], r["sum_v"]) for r in rows if r["lvl"] == L
+            }
+            assert got == direct, (index, L)
+
+
+def test_tile_pyramid_count_only_and_h3_rejected(spark, points):
+    from spatial4n_spark.operators.tiles import tile_pyramid
+
+    pyr = tile_pyramid(points, level=3, min_level=2).collect()
+    assert set(r["lvl"] for r in pyr) == {2, 3}
+    # counts at every level sum to the input size (partition of the set)
+    for L in (2, 3):
+        assert sum(r["n"] for r in pyr if r["lvl"] == L) == N
+    with pytest.raises(ValueError, match="nest"):
+        tile_pyramid(points, level=5, index="h3")
