@@ -1018,6 +1018,7 @@ def _expire_versioned(
     manifest: str,
     snap_dir: str,
     data_files: list[str],
+    older_than: float | None = None,
 ) -> dict:
     cur = _load_versioned(path, None, manifest, snap_dir)
     cid = int(cur.get("snapshot_id", 0))
@@ -1054,10 +1055,22 @@ def _expire_versioned(
     # branch commits (ref dropped) and dangling crashed commits are
     # unreachable history — this is the operation that reclaims them
     for sid in on_disk:
-        if sid not in retain:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(_snap_file_in(path, snap_dir, sid))
-            expired.append(sid)
+        if sid in retain:
+            continue
+        if older_than is not None:
+            # age-based retention (the Iceberg older_than analog): a
+            # snapshot committed at/after the horizon survives this
+            # sweep even when keep_last would have dropped it
+            try:
+                with open(_snap_file_in(path, snap_dir, sid)) as f:
+                    at = json.load(f).get("committed_at")
+            except FileNotFoundError:
+                continue
+            if at is not None and float(at) >= float(older_than):
+                continue
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(_snap_file_in(path, snap_dir, sid))
+        expired.append(sid)
     ref = _referenced_in(path, manifest, snap_dir)
     removed = [n for n in data_files if n not in ref]
     for n in removed:
@@ -1066,15 +1079,22 @@ def _expire_versioned(
     return {"expired_snapshots": expired, "removed_files": removed}
 
 
-def expire_snapshots(path: str, keep_last: int = 2) -> dict:
+def expire_snapshots(
+    path: str, keep_last: int = 2, older_than: float | None = None
+) -> dict:
     """Reclaim history: drop all but the newest ``keep_last`` snapshots
     (the current one is always retained), then delete every data file no
     retained snapshot references — the Iceberg expire-snapshots +
     orphan-cleanup analog, and the only operation that ever removes a
-    file a previous snapshot could read."""
+    file a previous snapshot could read.  ``older_than`` (unix time)
+    additionally retains every snapshot committed at/after that horizon
+    — the age-based retention contract (`expire_snapshots(older_than=
+    now - 7*86400)` keeps a week of time travel regardless of commit
+    volume); tags/branches anchor as always."""
     with table_lock(path):
         return _expire_versioned(
-            path, keep_last, MANIFEST, SNAP_DIR, _data_files(path)
+            path, keep_last, MANIFEST, SNAP_DIR, _data_files(path),
+            older_than=older_than,
         )
 
 

@@ -132,13 +132,17 @@ def rollback_st_clustered(path: str, snapshot_id: int) -> dict:
         return _rollback_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
 
 
-def expire_st_snapshots(path: str, keep_last: int = 2) -> dict:
+def expire_st_snapshots(
+    path: str, keep_last: int = 2, older_than: float | None = None
+) -> dict:
     """Reclaim ST history: drop all but the newest ``keep_last``
     snapshots, then delete data files no retained snapshot references
-    (see the flat layout's ``expire_snapshots``)."""
+    (see the flat layout's ``expire_snapshots``, incl. ``older_than``
+    age-based retention)."""
     with table_lock(path, MANIFEST + ".lock"):
         return _expire_versioned(
-            path, keep_last, MANIFEST, SNAP_DIR, _st_data_files(path)
+            path, keep_last, MANIFEST, SNAP_DIR, _st_data_files(path),
+            older_than=older_than,
         )
 
 

@@ -229,3 +229,24 @@ def test_st_as_of(spark, sf_dir, tmp_path):
     assert ST.st_snapshot_as_of(path, t1) == 1
     assert ST.st_snapshot_as_of(path, time.time()) == 2
     assert int(ST.load_st_manifest(path, as_of=t1)["snapshot_id"]) == 1
+
+
+def test_expire_older_than_age_retention(spark, halves):
+    """expire(older_than=) keeps every snapshot committed at/after the
+    horizon even when keep_last alone would have dropped it."""
+    path, pts, base, extra = halves          # snapshot 1
+    C.append_clustered(extra, path, files=1)  # snapshot 2
+    time.sleep(0.02)
+    horizon = time.time()
+    time.sleep(0.02)
+    C.compact_clustered(spark, path, files=2)  # snapshot 3
+    C.compact_clustered(spark, path, files=2)  # snapshot 4
+    out = C.expire_snapshots(path, keep_last=1, older_than=horizon)
+    assert sorted(out["expired_snapshots"]) == [1, 2]
+    # 3 predates keep_last=1 but postdates the horizon: retained
+    assert int(C.load_manifest(path, snapshot_id=3)["snapshot_id"]) == 3
+    with pytest.raises(ValueError):
+        C.load_manifest(path, snapshot_id=2)
+    # without a horizon the same call reclaims 3 as well
+    out = C.expire_snapshots(path, keep_last=1)
+    assert out["expired_snapshots"] == [3]
