@@ -370,7 +370,90 @@ def _versioned_commit(
         _write_refs(path, snap_dir, refs)
     else:
         _atomic_json_write(os.path.join(path, manifest), man)
+        _append_history(path, snap_dir, sid, operation)
     return man
+
+
+HISTORY_FILE = "history.jsonl"
+
+
+def _append_history(path: str, snap_dir: str, sid: int, event: str) -> None:
+    """One line per MADE-CURRENT event (the Iceberg ``.history`` table's
+    unit): ordinary commits, rollbacks, and fast-forward publishes all
+    change which snapshot the main table reads as, and this log records
+    WHEN — distinct from each snapshot's own committed_at (a published
+    branch head became current long after it was committed).  Appended
+    under the caller's table lock, AFTER the manifest cut-over: a crash
+    in between loses one history line, never table state (history_df
+    backfills missing commits from the snapshot log)."""
+    line = json.dumps(
+        {"made_current_at": time.time(), "snapshot_id": int(sid),
+         "event": str(event)}
+    )
+    with open(os.path.join(path, snap_dir, HISTORY_FILE), "a") as f:
+        f.write(line + "\n")
+
+
+def _history_rows(path: str, manifest: str, snap_dir: str) -> list[dict]:
+    rows = []
+    logged = True
+    try:
+        with open(os.path.join(path, snap_dir, HISTORY_FILE)) as f:
+            for ln in f:
+                ln = ln.strip()
+                if ln:
+                    rows.append(json.loads(ln))
+    except FileNotFoundError:
+        logged = False
+    if not logged:
+        # legacy table (predates the log): synthesize made-current
+        # events from the snapshot log — on a linear lineage each commit
+        # became current when it was committed.  A table WITH a log is
+        # never backfilled: a published branch's intermediate commits
+        # are main history but were never individually current.
+        for s_ in _snapshot_list(path, manifest, snap_dir):
+            rows.append(
+                {
+                    "made_current_at": s_["committed_at"],
+                    "snapshot_id": int(s_["snapshot_id"]),
+                    "event": s_["operation"],
+                }
+            )
+    rows.sort(key=lambda r: (r["made_current_at"] or 0, r["snapshot_id"]))
+    chain = {
+        int(m.get("snapshot_id", 0))
+        for m in _history_chain(path, manifest, snap_dir, None)
+    }
+    for r in rows:
+        r["is_current_ancestor"] = int(r["snapshot_id"]) in chain
+    return rows
+
+
+def _history_df(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (
+                float(r["made_current_at"]) if r["made_current_at"] else None,
+                int(r["snapshot_id"]),
+                str(r["event"]),
+                bool(r["is_current_ancestor"]),
+            )
+            for r in rows
+        ],
+        "made_current_at double, snapshot_id int, event string, "
+        "is_current_ancestor boolean",
+    )
+
+
+def history_df(spark: SparkSession, path: str) -> DataFrame:
+    """The Iceberg ``.history`` metadata-table analog: every event that
+    changed which snapshot the MAIN table reads as (commit, rollback,
+    fast-forward publish), with when it became current and whether it is
+    still reachable from the current state (false = expired out of the
+    chain; note rollback here commits the target as NEW lineage, so a
+    rolled-past commit remains an ancestor until expired — unlike
+    Iceberg's pointer reset)."""
+    return _history_df(spark, _history_rows(path, MANIFEST, SNAP_DIR))
 
 
 def _write_manifest(
@@ -864,6 +947,7 @@ def fast_forward_clustered(path: str, name: str) -> dict:
         if not os.path.exists(_snap_file_in(path, SNAP_DIR, mid)):
             _atomic_json_write(_snap_file_in(path, SNAP_DIR, mid), main)
         _atomic_json_write(os.path.join(path, MANIFEST), target)
+        _append_history(path, SNAP_DIR, head, f"fast-forward:{name}")
         return {"published": head, "from": mid}
 
 

@@ -824,6 +824,14 @@ def st_snapshot_as_of(path: str, ts: float) -> int:
     return _as_of_versioned(path, ts, MANIFEST, SNAP_DIR)
 
 
+def st_history_df(spark: SparkSession, path: str) -> DataFrame:
+    """The ST table's ``.history`` metadata table — made-current events
+    (see ``clustered.history_df``)."""
+    from spatial4n_spark.io.clustered import _history_df, _history_rows
+
+    return _history_df(spark, _history_rows(path, MANIFEST, SNAP_DIR))
+
+
 def remove_orphan_st_files(path: str) -> dict:
     """Standalone crash-orphan sweep for the ST layout — see
     ``clustered.remove_orphan_files``; history is untouched."""

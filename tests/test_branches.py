@@ -250,3 +250,55 @@ def test_expire_older_than_age_retention(spark, halves):
     # without a horizon the same call reclaims 3 as well
     out = C.expire_snapshots(path, keep_last=1)
     assert out["expired_snapshots"] == [3]
+
+
+def test_history_metadata_table(spark, halves):
+    """history_df records MADE-CURRENT events: commits, rollbacks, and
+    fast-forward publishes — not a branch's intermediate commits — with
+    is_current_ancestor distinguishing rolled-past history."""
+    path, pts, base, extra = halves          # commit 1 current
+    C.create_branch(path, "wap")
+    C.append_clustered(extra, path, files=1, branch="wap")  # 2: staged
+    C.append_clustered(extra, path, files=1, branch="wap")  # 3: staged
+    # staged commits are NOT history events
+    h = {r["snapshot_id"]: r for r in C.history_df(spark, path).collect()}
+    assert set(h) == {1}
+    C.fast_forward_clustered(path, "wap")
+    h = [r.asDict() for r in C.history_df(spark, path).collect()]
+    assert [r["snapshot_id"] for r in h] == [1, 3]
+    assert h[1]["event"] == "fast-forward:wap"
+    # the published head became current AFTER its commit
+    assert h[1]["made_current_at"] > float(
+        C.load_manifest(path, snapshot_id=3)["committed_at"]
+    )
+    assert all(r["is_current_ancestor"] for r in h)
+    # rollback: a new made-current event.  Rollback commits the target's
+    # files as NEW lineage (parent = the rolled-past commit), so every
+    # history row stays chain-reachable — unlike Iceberg's pointer
+    # reset; is_current_ancestor goes false only where expire breaks
+    # the chain (tested below via an expire gap).
+    C.append_clustered(extra, path, files=1)   # 4
+    C.rollback_clustered(path, 3)              # 5 (files of 3)
+    h = {r["snapshot_id"]: r.asDict()
+         for r in C.history_df(spark, path).collect()}
+    assert set(h) == {1, 3, 4, 5}
+    assert h[5]["event"] == "rollback"
+    assert all(r["is_current_ancestor"] for r in h.values())
+    C.expire_snapshots(path, keep_last=1)  # chain truncates at 5
+    h = {r["snapshot_id"]: r.asDict()
+         for r in C.history_df(spark, path).collect()}
+    assert h[5]["is_current_ancestor"] is True
+    assert h[4]["is_current_ancestor"] is False  # expired out of chain
+
+
+def test_st_history_df(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "sth")
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts", F.lit("2026-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    ST.write_st_clustered(pts, path, level=14, files=2)
+    ST.append_st_clustered(pts.limit(5), path)
+    h = [r.asDict() for r in ST.st_history_df(spark, path).collect()]
+    assert [r["snapshot_id"] for r in h] == [1, 2]
+    assert [r["event"] for r in h] == ["overwrite", "append"]
+    assert all(r["is_current_ancestor"] for r in h)
