@@ -2,6 +2,7 @@ from spatial4n_spark.streaming.tile_stream import (  # noqa: F401
     events_as_stream,
     streaming_radius_alerts,
     streaming_tile_counts,
+    streaming_tile_pyramid,
 )
 from spatial4n_spark.streaming.pip_stream import (  # noqa: F401
     streaming_pip_join,

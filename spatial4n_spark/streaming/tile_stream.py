@@ -80,6 +80,60 @@ def streaming_tile_counts(
     )
 
 
+def streaming_tile_pyramid(
+    stream: DataFrame,
+    level: int = 3,
+    min_level: int = 1,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    lon: str = "lon",
+    lat: str = "lat",
+    ts: str = "ts",
+    index: str = "geohash",
+) -> DataFrame:
+    """Watermarked windowed MULTI-RESOLUTION tile aggregation — the
+    streaming twin of ``operators.tiles.tile_pyramid``.
+
+    Every event is encoded once at the finest level and exploded into
+    its ancestor chain BEFORE the aggregation, so all zoom levels come
+    out of ONE stateful windowed groupBy on (window, lvl, cell) — no
+    chained streaming aggregations (which Spark restricts), no second
+    pass over the stream, and state stays bounded: windows within the
+    watermark x cells at all levels (a geometric series dominated by
+    the finest level).  Parent cells are the same pure JVM expressions
+    as batch (geohash prefix, S2 bit-shift); H3 is rejected for the
+    same exact-nesting reason.
+
+    Returns (window, lvl, cell, n, sum_value), append-mode compatible.
+    """
+    from spatial4n_spark.cellindex import cell_backend
+
+    if index not in ("geohash", "s2"):
+        raise ValueError(
+            f"streaming_tile_pyramid needs exactly-nesting cells "
+            f"(geohash or s2), got {index!r}"
+        )
+    if not 0 <= min_level <= level:
+        raise ValueError(f"need 0 <= min_level <= level, got {min_level}, {level}")
+    encode = cell_backend(index).udf(level)
+    cells = stream.withColumn("_fcell", encode(F.col(lat), F.col(lon)))
+    lvls = F.array(*[F.lit(int(x)) for x in range(min_level, level + 1)])
+    if index == "geohash":
+        parent = F.expr("substring(_fcell, 1, lvl)")
+    else:
+        parent = F.expr(f"shiftright(_fcell, ({int(level)} - lvl) * 2)")
+    exploded = cells.select(
+        "*", F.explode(lvls).alias("lvl")
+    ).withColumn("cell", parent)
+    win = F.window(F.col(ts), window, slide) if slide else F.window(F.col(ts), window)
+    return (
+        exploded.withWatermark(ts, watermark)
+        .groupBy(win.alias("window"), F.col("lvl"), F.col("cell"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    )
+
+
 def streaming_radius_alerts(
     stream: DataFrame,
     centers: list[tuple[str, float, float, float]],

@@ -365,3 +365,61 @@ def test_streaming_polygon_counts_equals_batch(spark, events_dir, tmp_path):
     want = want.sort_values(key).reset_index(drop=True)
     assert len(want) > 0
     assert got.equals(want)
+
+
+@pytest.mark.parametrize("index", ["geohash", "s2"])
+def test_streaming_tile_pyramid_equals_batch(spark, events_dir, tmp_path, index):
+    """The one-stateful-shuffle streaming pyramid equals a batch
+    computation of the same windows, with the coarse levels checked
+    INDEPENDENTLY against a direct encode at that level (no shared
+    truncation code), and the rollup invariant checked in-stream."""
+    from spatial4n_spark.cellindex import cell_backend
+    from spatial4n_spark.streaming import streaming_tile_pyramid
+
+    stream = events_as_stream(spark, events_dir)
+    agg = streaming_tile_pyramid(
+        stream, level=3, min_level=1, window="1 hour",
+        watermark="0 seconds", index=index,
+    )
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{tmp_path}/cp")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        f"select window.start as ws, lvl, cell, n, sum_value from {name}"
+    ).toPandas()
+    assert len(got) > 0
+
+    # independent batch twin per level: encode DIRECTLY at that level
+    # (exact cell nesting makes direct encode == parent truncation)
+    batch = derive_coords(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    batch = batch.withColumn("ws", F.date_trunc("hour", F.col("ts")))
+    for L in (1, 2, 3):
+        enc = cell_backend(index).udf(L)
+        want = (
+            batch.withColumn("cell", enc(F.col("lat"), F.col("lon")))
+            .groupBy("ws", "cell")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            .toPandas()
+        )
+        sub = got[got["lvl"] == L]
+        key = ["ws", "cell"]
+        sub = sub.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert len(sub) == len(want) and len(sub) > 0, L
+        assert (sub["n"].values == want["n"].values).all(), L
+        assert abs(sub["sum_value"].values - want["sum_value"].values).max() < 1e-6, L
+    # rollup invariant inside the streamed result itself
+    for L in (1, 2):
+        assert got[got["lvl"] == L]["n"].sum() == got[got["lvl"] == 3]["n"].sum()
+
+
+def test_streaming_tile_pyramid_rejects_h3(spark, events_dir):
+    from spatial4n_spark.streaming import streaming_tile_pyramid
+
+    with pytest.raises(ValueError, match="nest"):
+        streaming_tile_pyramid(events_as_stream(spark, events_dir), index="h3")
