@@ -45,11 +45,18 @@ def stream_to_clustered(
     lon: str = "lon",
     lat: str = "lat",
     files_per_batch: int = 2,
+    branch: str | None = None,
 ):
     """Start an availableNow ingest of ``stream`` into the clustered
     table at ``path`` (which must already exist — create it with
     ``write_clustered``, possibly on an empty frame, so the manifest
-    carries the cluster level). Returns the StreamingQuery."""
+    carries the cluster level). Returns the StreamingQuery.
+
+    With ``branch=`` (create it first), every micro-batch STAGES onto
+    that branch — audited streaming ingest: the main table is untouched
+    while the stream runs, the staged state reads by name at any point,
+    and ONE ``fast_forward_clustered`` publishes the whole ingest
+    atomically (or ``drop_branch`` discards it)."""
     from spatial4n_spark.io.clustered import append_clustered
 
     import hashlib
@@ -60,7 +67,8 @@ def stream_to_clustered(
         key = f"{ck}:{batch_id}"
         if key in _seen_batches(path):
             return
-        append_clustered(batch_df, path, lon=lon, lat=lat, files=files_per_batch)
+        append_clustered(batch_df, path, lon=lon, lat=lat,
+                         files=files_per_batch, branch=branch)
         with open(os.path.join(path, BATCH_LEDGER), "a") as f:
             f.write(f"{key}\n")
 

@@ -302,3 +302,56 @@ def test_st_history_df(spark, sf_dir, tmp_path):
     assert [r["snapshot_id"] for r in h] == [1, 2]
     assert [r["event"] for r in h] == ["overwrite", "append"]
     assert all(r["is_current_ancestor"] for r in h)
+
+
+def test_streaming_ingest_stages_on_branch(spark, sf_dir, tmp_path):
+    """Audited streaming ingest: every micro-batch stages onto the
+    branch, main stays untouched while the stream runs, and one
+    fast-forward publishes the whole ingest atomically."""
+    from spatial4n_spark.streaming.clustered_sink import stream_to_clustered
+
+    pts = pts_orders(spark, sf_dir)
+    src = str(tmp_path / "src")
+    pts.repartition(3).write.parquet(src)
+    table = str(tmp_path / "table")
+    C.write_clustered(pts.limit(0), table, level=14, files=1)
+    C.create_branch(table, "ingest")
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_to_clustered(
+        stream, table, str(tmp_path / "ck"), files_per_batch=1,
+        branch="ingest",
+    )
+    q.awaitTermination(300)
+
+    # main: still empty; branch: everything, across several commits
+    assert sum(e["rows"] for e in C.load_manifest(table)["files"]) == 0
+    bman = C.load_manifest(table, snapshot_id="ingest")
+    assert sum(e["rows"] for e in bman["files"]) == pts.count()
+    assert _radius_ids(spark, table) == []
+    C.fast_forward_clustered(table, "ingest")
+    assert _radius_ids(spark, table) == _want_ids(pts)
+
+
+def test_tile_pyramid_plan_is_one_scan(spark, sf_dir):
+    """The pyramid's whole point at scale: ONE input scan and ONE
+    cell-encode pass feed every level (coarser levels roll up from the
+    finest aggregate, never a rescan) — asserted on the executed plan."""
+    from spatial4n_spark.operators.tiles import tile_pyramid
+    from spatial4n_spark.suite import pts_lineitem
+
+    pyr = tile_pyramid(
+        pts_lineitem(spark, sf_dir), level=3, min_level=1,
+        salt_buckets=8, salt_col="l_partkey", sum_col="l_linenumber",
+    )
+    pyr.collect()
+    plan = pyr._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the pre-adaptive "Initial Plan" — count
+    # only the final executed tree
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
