@@ -315,6 +315,19 @@ class HuffTable:
     def fingerprint(self) -> bytes:
         return bytes(self.bits) + bytes(self.vals)
 
+    def packed_lut(self) -> list[int]:
+        """Decode LUT as ONE plain-int list: window -> (symbol << 5) | len
+        (len <= 16 fits 5 bits; 0 = invalid code).  Python-int lookups
+        are what the serial entropy decoder wants — a list index costs
+        ~40 ns vs two numpy scalar gathers at ~1 us."""
+        pl = getattr(self, "_packed", None)
+        if pl is None:
+            pl = (
+                (self.dec_sym.astype(np.int64) << 5) | self.dec_len
+            ).tolist()
+            self._packed = pl
+        return pl
+
 
 HT_DC_L = HuffTable(_DC_L_BITS, _DC_L_VALS)
 HT_DC_C = HuffTable(_DC_C_BITS, _DC_C_VALS)
@@ -683,12 +696,107 @@ def _parse_headers_inner(buf: bytes) -> JpegHeader:
     return hdr
 
 
-def _decode_group(headers: list[JpegHeader]) -> list[np.ndarray]:
-    """SIMD-across-images decode: all images share one table set and
+def _entropy_decode_image(
+    scan: bytes, tabs, nblocks: int, out: np.ndarray, base: int
+) -> None:
+    """Serial baseline-JPEG entropy decode of ONE image's de-stuffed
+    scan into ``out[base : base + nblocks]`` (zigzag order).
+
+    Pure Python ints + packed-LUT lookups on the 16-bit window: Huffman
+    decoding is irreducibly serial per stream, so the fastest batch
+    shape is tight scalar code per image (~us/symbol) with the
+    PARALLELISM coming from Spark partitions across images — the
+    numpy-lockstep alternative (round = one symbol in every active
+    image) pays ~30 small-array ops per round and loses at every batch
+    size (measured 21-1100 ms/image; this path is ~2-5 ms/image).
+    Dequantization and the IDCT stay batched across the whole group.
+    """
+    b = scan + b"\x00\x00\x00"  # pad: window reads at stream end
+    limit = len(scan) * 8
+    pos = 0
+    dc0 = dc1 = dc2 = 0
+    for blk in range(nblocks):
+        comp = blk % 3
+        dct, act = tabs[comp]
+        row = out[base + blk]
+        # DC coefficient
+        if pos > limit:
+            raise ValueError("jpeg scan truncated")
+        byte = pos >> 3
+        w = (((b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2])
+             >> (8 - (pos & 7))) & 0xFFFF
+        packed = dct[w]
+        ln = packed & 31
+        if ln == 0:
+            raise ValueError("invalid jpeg huffman code")
+        pos += ln
+        size = (packed >> 5) & 15
+        if size:
+            byte = pos >> 3
+            w = (((b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2])
+                 >> (8 - (pos & 7))) & 0xFFFF
+            v = w >> (16 - size)
+            pos += size
+            if v < (1 << (size - 1)):
+                v += 1 - (1 << size)
+        else:
+            v = 0
+        if comp == 0:
+            dc0 += v
+            row[0] = dc0
+        elif comp == 1:
+            dc1 += v
+            row[0] = dc1
+        else:
+            dc2 += v
+            row[0] = dc2
+        # AC coefficients
+        coeff = 1
+        while coeff < 64:
+            if pos > limit:
+                raise ValueError("jpeg scan truncated")
+            byte = pos >> 3
+            w = (((b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2])
+                 >> (8 - (pos & 7))) & 0xFFFF
+            packed = act[w]
+            ln = packed & 31
+            if ln == 0:
+                raise ValueError("invalid jpeg huffman code")
+            pos += ln
+            sym = packed >> 5
+            if sym == 0:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                coeff += 16
+                continue
+            size = sym & 15
+            if size:
+                byte = pos >> 3
+                w = (((b[byte] << 16) | (b[byte + 1] << 8) | b[byte + 2])
+                     >> (8 - (pos & 7))) & 0xFFFF
+                v = w >> (16 - size)
+                pos += size
+                if v < (1 << (size - 1)):
+                    v += 1 - (1 << size)
+            else:
+                v = 0
+            coeff += sym >> 4
+            if coeff > 63:
+                raise ValueError("jpeg coefficient overrun")
+            row[coeff] = v
+            coeff += 1
+    if pos > limit:
+        raise ValueError("jpeg scan truncated")
+
+
+def _entropy_decode_lockstep(headers: list[JpegHeader]) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy-lockstep entropy decode: all images share one table set and
     step together — one vectorized round decodes one Huffman symbol
-    (plus its value bits) in every still-active image. Dequantization
-    and the IDCT then run ONCE over the group's whole block matrix.
-    Returns (h,w,3) uint8 arrays."""
+    (plus its value bits) in every still-active image.  Each round costs
+    ~30 small-array numpy ops regardless of group size, so this path
+    wins for LARGE groups (cost amortizes across images) and loses
+    badly for small ones — ``_decode_group`` picks per group size.
+    Returns (out, block_base)."""
     nimg = len(headers)
     h0 = headers[0]
     # six tables: per-component DC at rows 0..2, per-component AC at 3..5
@@ -779,6 +887,40 @@ def _decode_group(headers: list[JpegHeader]) -> list[np.ndarray]:
         finished = newblk >= nblocks[a]
         if finished.any():
             active[a[finished]] = False
+
+    return out, block_base
+
+
+def _decode_group(headers: list[JpegHeader]) -> list[np.ndarray]:
+    """Decode a group of images sharing one table set: serial per-image
+    entropy decode (``_entropy_decode_image`` — see its docstring for
+    why scalar beats numpy-lockstep here), then dequantization and the
+    IDCT run ONCE over the group's whole block matrix.
+    Returns (h,w,3) uint8 arrays."""
+    h0 = headers[0]
+    # hybrid entropy decode: the lockstep path's per-round cost (~30
+    # small numpy ops) amortizes across the group, the serial path's
+    # per-symbol cost (~1.5 us of Python) doesn't depend on it —
+    # measured crossover is a couple hundred images (21 ms/img lockstep
+    # vs 16 serial at 200; 0.2 vs 1 ms/img at ~3000 tiny images)
+    if len(headers) >= 256:
+        out, block_base = _entropy_decode_lockstep(headers)
+        nblocks = np.diff(block_base)
+    else:
+        tabs = [
+            (h0.comp_ht[c][0].packed_lut(), h0.comp_ht[c][1].packed_lut())
+            for c in range(3)
+        ]
+        nblocks = np.array(
+            [((h.h + 7) // 8) * ((h.w + 7) // 8) * 3 for h in headers],
+            dtype=np.int64,
+        )
+        block_base = np.concatenate(([0], np.cumsum(nblocks)))
+        out = np.zeros((int(nblocks.sum()), 64), dtype=np.int64)
+        for i, h in enumerate(headers):
+            _entropy_decode_image(
+                bytes(h.scan), tabs, int(nblocks[i]), out, int(block_base[i])
+            )
 
     # group-level dequant + IDCT: one call over every block in the group
     # (per-image IDCT on a handful of 8x8 blocks is all numpy overhead)

@@ -171,3 +171,27 @@ SELECT i, px_dec, err2 FROM jdec ORDER BY i LIMIT 40"""
         assert px_dec == int(dec.astype(np.int64).sum())
         diff = dec.astype(np.int64) - rgb.astype(np.int64)
         assert err2 == int((diff * diff).sum())
+
+
+def test_hybrid_paths_agree():
+    """The lockstep (large-group) and serial (small-group) entropy
+    decoders are alternative implementations of the same bitstream
+    spec — force both over identical payloads and require bit-equal
+    pixels.  300 mixed-size images trips the >=256 lockstep path; the
+    chunked decode of the same blobs stays serial."""
+    rng = np.random.default_rng(11)
+    blobs = []
+    for i in range(300):
+        side = int(rng.choice([8, 16, 24, 32]))
+        blobs.append(
+            J.jpeg_encode(
+                rng.integers(0, 255, (side, side, 3), dtype=np.uint8)
+            )
+        )
+    big = J.jpeg_decode_batch(blobs)           # lockstep (n >= 256)
+    small = []
+    for k in range(0, 300, 100):               # serial (n = 100 < 256)
+        small.extend(J.jpeg_decode_batch(blobs[k:k + 100]))
+    assert len(big) == len(small) == 300
+    for a, b in zip(big, small):
+        np.testing.assert_array_equal(a, b)
