@@ -602,3 +602,61 @@ def generate_raster_pipeline(
                 )
 
     return cell_mosaic_stats(rng.mapInArrow(run, _chips_schema(index)))
+
+
+def raster_pipeline_pyramid(
+    images: DataFrame,
+    level: int = 4,
+    min_level: int = 1,
+    chip_px: int = 8,
+    min_psnr_db: float = 40.0,
+    index: str = "geohash",
+) -> DataFrame:
+    """Multi-resolution raster overviews from ONE decode pass — the
+    GDAL-overview / map-tile-pyramid analog of ``raster_pipeline``.
+
+    The expensive stage (decode -> gate -> chip) runs once at the finest
+    level; each chip row then explodes into its cell's ancestor chain
+    (pure JVM parent expressions — geohash prefix, S2 bit-shift, same
+    exact-nesting argument as ``tiles.tile_pyramid``) BEFORE the one
+    aggregation, so every zoom level's mosaic stats come out of a single
+    shuffle of partial sums.  Every aggregate stays an exact integer
+    partial until the final division, so each level is bit-equal to
+    running ``raster_pipeline`` directly at that level (pytest-pinned);
+    ``n_images`` stays correct under rollup because an image's chips all
+    carry one cell, so its single (0,0) chip counts it exactly once per
+    ancestor.
+
+    Returns (lvl, cell, n_chips, n_images, sum_px, avg_brightness).
+    """
+    from pyspark.sql import functions as F
+
+    if index not in ("geohash", "s2"):
+        raise ValueError(
+            f"raster pyramid needs exactly-nesting cells (geohash or "
+            f"s2); h3 aperture-7 children only approximately nest, "
+            f"got {index!r}"
+        )
+    if not 0 <= min_level <= level:
+        raise ValueError(f"need 0 <= min_level <= level, got {min_level}, {level}")
+    chips = tile_images(
+        images, level, chip_px, min_psnr_db=min_psnr_db, index=index
+    )
+    lvls = F.array(*[F.lit(int(x)) for x in range(min_level, level + 1)])
+    if index == "geohash":
+        parent = F.expr("substring(cell, 1, lvl)")
+    else:
+        parent = F.expr(f"shiftright(cell, ({int(level)} - lvl) * 2)")
+    exploded = chips.select(F.explode(lvls).alias("lvl"), "*").withColumn(
+        "cell", parent
+    )
+    return exploded.groupBy("lvl", "cell").agg(
+        F.count(F.lit(1)).alias("n_chips"),
+        F.sum(
+            ((F.col("chip_row") == 0) & (F.col("chip_col") == 0)).cast("long")
+        ).alias("n_images"),
+        F.sum(F.col("chip_w") * F.col("chip_h")).alias("sum_px"),
+        (
+            F.sum("chip_sum") / (F.sum(F.col("chip_w") * F.col("chip_h")) * F.lit(3))
+        ).alias("avg_brightness"),
+    )

@@ -135,3 +135,40 @@ def test_raster_pipeline_s2_backend(spark, images):
         s2_encode(meta["lat"].to_numpy(), meta["lon"].to_numpy(), 8).tolist()
     )
     assert set(s2["cell"].tolist()) == want
+
+
+@pytest.mark.parametrize("index", ["geohash", "s2"])
+def test_raster_pyramid_levels_equal_direct(spark, images, index):
+    """Every overview level — rolled up from the finest level's chip
+    partials, one decode pass — is bit-equal to running the pipeline
+    directly at that level (integer partials until the final division)."""
+    from spatial4n_spark.operators.raster import (
+        raster_pipeline,
+        raster_pipeline_pyramid,
+    )
+
+    hi, lo = (4, 2) if index == "geohash" else (8, 5)
+    pyr = raster_pipeline_pyramid(
+        images, level=hi, min_level=lo, chip_px=8, index=index
+    ).collect()
+    assert sorted({r["lvl"] for r in pyr}) == list(range(lo, hi + 1))
+    for L in range(lo, hi + 1):
+        want = {
+            r["cell"]: (r["n_chips"], r["n_images"], r["sum_px"], r["avg_brightness"])
+            for r in raster_pipeline(
+                images, level=L, chip_px=8, index=index
+            ).collect()
+        }
+        got = {
+            r["cell"]: (r["n_chips"], r["n_images"], r["sum_px"], r["avg_brightness"])
+            for r in pyr
+            if r["lvl"] == L
+        }
+        assert got == want, (index, L)
+
+
+def test_raster_pyramid_rejects_h3(spark, images):
+    from spatial4n_spark.operators.raster import raster_pipeline_pyramid
+
+    with pytest.raises(ValueError, match="nest"):
+        raster_pipeline_pyramid(images, index="h3")
