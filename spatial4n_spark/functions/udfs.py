@@ -378,3 +378,33 @@ def pnorm_dist_udf(power: float, quirks: bool = True):
         return pd.Series(out)
 
     return _pnorm
+
+
+def geodesic_m_udf(a: float | None = None, f: float | None = None):
+    """(lon1, lat1, lon2, lat2) -> WGS84 ellipsoidal geodesic METERS
+    (Vincenty inverse, kernels/geodesic.py) — beyond the reference's
+    spherical calculator set, for real-geotag workloads where the
+    sphere is off by up to ~0.5%.  Nearly-antipodal non-convergent
+    pairs return NULL (NaN), never a plausible wrong number."""
+    from spatial4n_spark.kernels.geodesic import (
+        WGS84_A,
+        WGS84_F,
+        vincenty_inverse_m,
+    )
+
+    aa = WGS84_A if a is None else float(a)
+    ff = WGS84_F if f is None else float(f)
+
+    @F.pandas_udf(DoubleType())
+    def _dist(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        d, _ = vincenty_inverse_m(
+            lat1.to_numpy(np.float64),
+            lon1.to_numpy(np.float64),
+            lat2.to_numpy(np.float64),
+            lon2.to_numpy(np.float64),
+            a=aa,
+            f=ff,
+        )
+        return pd.Series(d)
+
+    return _dist

@@ -5,6 +5,11 @@ layer can wrap them in Arrow-vectorized pandas UDFs with no per-row Python.
 """
 
 from spatial4n_spark.kernels.norm import norm_lat_deg, norm_lon_deg
+from spatial4n_spark.kernels.geodesic import (  # noqa: F401
+    WGS84_A,
+    WGS84_F,
+    vincenty_inverse_m,
+)
 from spatial4n_spark.kernels.distance import (
     DEG_TO_RAD,
     EARTH_EQUATORIAL_RADIUS_KM,
