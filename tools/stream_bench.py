@@ -174,6 +174,52 @@ def bench_pip(spark, args, work: str) -> dict:
     }
 
 
+def bench_pyramid(spark, args, work: str) -> dict:
+    """Throughput of the streaming multi-resolution tile pyramid
+    (streaming/tile_stream.streaming_tile_pyramid): geotagged event
+    stream -> ONE stateful windowed groupBy emitting geohash levels
+    1..3 (ancestors exploded before the aggregation)."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.streaming.tile_stream import (
+        events_as_stream,
+        streaming_tile_pyramid,
+    )
+
+    src = f"{work}/src"
+    events = (
+        spark.range(args.rows)
+        .repartition(args.files)
+        .select(
+            F.col("id").alias("event_id"),
+            (
+                F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+                + (F.col("id") % 7200).cast("int") * F.expr("INTERVAL 1 SECOND")
+            ).alias("ts"),
+            (F.col("id") % 1000).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    events.write.parquet(src)
+    n_files = len(glob.glob(f"{src}/part-*.parquet"))
+    spark.read.parquet(src).limit(1000).count()  # warm
+
+    stream = events_as_stream(spark, src, max_files_per_trigger=args.files_per_trigger)
+    agg = streaming_tile_pyramid(
+        stream, level=3, min_level=1, window="1 hour", watermark="2 hours"
+    )
+    dt, batches = _run_available_now(agg, work)
+    return {
+        "bench": "streaming tile pyramid (3 zoom levels, one stateful agg)",
+        "source_files": n_files,
+        "micro_batches": batches,
+        "sec": round(dt, 2),
+        "events_per_sec": round(args.rows / dt, 1),
+    }
+
+
 def bench_table_source(spark, args, work: str) -> dict:
     """Throughput of the native clustered-table streaming SOURCE
     (streaming/clustered_source.py): a snapshot-versioned table built
@@ -236,7 +282,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--pipeline",
-        choices=["image", "dedup", "pip", "table_source"],
+        choices=["image", "dedup", "pip", "table_source", "pyramid"],
         default="image",
     )
     ap.add_argument("--rows", type=int, default=200_000)
@@ -264,6 +310,7 @@ def main() -> int:
             "dedup": bench_dedup,
             "pip": bench_pip,
             "table_source": bench_table_source,
+            "pyramid": bench_pyramid,
         }[args.pipeline]
         rec = fn(spark, args, work)
         rec.update(
