@@ -897,11 +897,17 @@ def create_branch(path: str, name: str, snapshot_id: int | None = None) -> int:
 def drop_branch(path: str, name: str) -> int:
     """Remove a branch; its unpublished commits become dangling history
     (reclaimed by ``expire_snapshots``).  Returns the head it was at."""
-    with table_lock(path):
-        refs = _load_refs(path, SNAP_DIR)
+    return _drop_branch_versioned(path, name, SNAP_DIR, LOCKFILE)
+
+
+def _drop_branch_versioned(
+    path: str, name: str, snap_dir: str, lockfile: str
+) -> int:
+    with table_lock(path, lockfile):
+        refs = _load_refs(path, snap_dir)
         if refs.get(name, {}).get("type") == "tag":
             raise ValueError(f"ref {name!r} on {path} is a tag; use drop_tag")
-    return _drop_ref_versioned(path, name, SNAP_DIR, LOCKFILE)
+    return _drop_ref_versioned(path, name, snap_dir, lockfile)
 
 
 def fast_forward_clustered(path: str, name: str) -> dict:
@@ -918,8 +924,14 @@ def fast_forward_clustered(path: str, name: str) -> dict:
     The branch ref is left pointing at the (now published) head; drop it
     when done.  Returns ``{"published": head, "from": old_main_head}``.
     A no-op (branch head == main head) returns the same shape."""
-    with table_lock(path):
-        refs = _load_refs(path, SNAP_DIR)
+    return _fast_forward_versioned(path, name, MANIFEST, SNAP_DIR, LOCKFILE)
+
+
+def _fast_forward_versioned(
+    path: str, name: str, manifest: str, snap_dir: str, lockfile: str
+) -> dict:
+    with table_lock(path, lockfile):
+        refs = _load_refs(path, snap_dir)
         r = refs.get(name)
         if r is None or r["type"] != "branch":
             kinds = {k: v["type"] for k, v in refs.items()}
@@ -928,14 +940,14 @@ def fast_forward_clustered(path: str, name: str) -> dict:
                 f"branch (known refs: {kinds})"
             )
         head = int(r["snapshot_id"])
-        target = _load_versioned(path, head, MANIFEST, SNAP_DIR)
-        main = _load_versioned(path, None, MANIFEST, SNAP_DIR)
+        target = _load_versioned(path, head, manifest, snap_dir)
+        main = _load_versioned(path, None, manifest, snap_dir)
         mid = int(main.get("snapshot_id", 0))
         if head == mid:
             return {"published": head, "from": mid}
         chain_ids = {
             int(m.get("snapshot_id", 0))
-            for m in _history_chain(path, MANIFEST, SNAP_DIR, head)
+            for m in _history_chain(path, manifest, snap_dir, head)
         }
         if mid not in chain_ids:
             raise ValueError(
@@ -944,10 +956,10 @@ def fast_forward_clustered(path: str, name: str) -> dict:
                 "is not an ancestor of the branch head — the lineages "
                 "diverged (re-stage on a fresh branch to publish)"
             )
-        if not os.path.exists(_snap_file_in(path, SNAP_DIR, mid)):
-            _atomic_json_write(_snap_file_in(path, SNAP_DIR, mid), main)
-        _atomic_json_write(os.path.join(path, MANIFEST), target)
-        _append_history(path, SNAP_DIR, head, f"fast-forward:{name}")
+        if not os.path.exists(_snap_file_in(path, snap_dir, mid)):
+            _atomic_json_write(_snap_file_in(path, snap_dir, mid), main)
+        _atomic_json_write(os.path.join(path, manifest), target)
+        _append_history(path, snap_dir, head, f"fast-forward:{name}")
         return {"published": head, "from": mid}
 
 

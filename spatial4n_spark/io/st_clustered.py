@@ -164,6 +164,7 @@ def _commit_st_manifest(
     entries: list[dict],
     operation: str = "overwrite",
     schema_json: str | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Snapshot-versioned commit (shared machinery with the flat layout:
     immutable per-commit snapshot file first, atomic temp-file +
@@ -172,7 +173,7 @@ def _commit_st_manifest(
     one inherit the parent's."""
     return _versioned_commit(
         path, level, entries, operation, MANIFEST, SNAP_DIR,
-        schema_json=schema_json,
+        schema_json=schema_json, branch=branch,
     )
 
 
@@ -228,6 +229,7 @@ def append_st_clustered(
     lat: str = "lat",
     ts: str = "ts",
     files: int = 4,
+    branch: str | None = None,
 ) -> None:
     """Append a batch into the day-partitioned layout: new files land in
     their day directories with TRUE stats joining the manifest (data
@@ -238,7 +240,7 @@ def append_st_clustered(
     manifest read-extend-commit."""
     _require_wallclock_ts(df, ts)
     with table_lock(path, MANIFEST + ".lock"):
-        man = load_st_manifest(path)
+        man = load_st_manifest(path, snapshot_id=branch)
         level = int(man["level"])
         be = cell_backend("s2")
         out = (
@@ -275,6 +277,7 @@ def append_st_clustered(
             man["files"] + _day_tagged_stats(path, new),
             operation="append",
             schema_json=schema_json,
+            branch=branch,
         )
 
 
@@ -331,6 +334,7 @@ def delete_st_clustered(
     t1=None,
     shape=None,
     ts: str = "ts",
+    branch: str | None = None,
 ) -> dict:
     """Row-level DELETE on the day-partitioned layout, copy-on-write
     with minimal rewrite — the two-axis twin of the flat layout's
@@ -355,7 +359,7 @@ def delete_st_clustered(
             "should be an explicit overwrite instead"
         )
     with table_lock(path, MANIFEST + ".lock"):
-        man = load_st_manifest(path)
+        man = load_st_manifest(path, snapshot_id=branch)
         level = int(man["level"])
         entries = man["files"]
         cand = entries
@@ -438,6 +442,7 @@ def delete_st_clustered(
             "delete",
             MANIFEST,
             SNAP_DIR,
+            branch=branch,
             extra_summary={
                 "deleted_rows": int(sum(hits.values())),
                 "rewritten_files": len(hits),
@@ -455,6 +460,7 @@ def upsert_st_clustered(
     lat: str = "lat",
     ts: str = "ts",
     files: int = 4,
+    branch: str | None = None,
 ) -> dict:
     """MERGE by key on the day-partitioned layout — the ST twin of the
     flat layout's ``upsert_clustered``, as ONE snapshot commit: current
@@ -471,7 +477,7 @@ def upsert_st_clustered(
     from spatial4n_spark.io.clustered import _col_range_keep
 
     with table_lock(path, MANIFEST + ".lock"):
-        man = load_st_manifest(path)
+        man = load_st_manifest(path, snapshot_id=branch)
         level = int(man["level"])
         entries = man["files"]
         keys = F.broadcast(df.select(key).distinct())
@@ -538,6 +544,7 @@ def upsert_st_clustered(
             "upsert",
             MANIFEST,
             SNAP_DIR,
+            branch=branch,
             extra_summary={
                 "replaced_rows": int(sum(touched.values())),
                 "incoming_rows": int(sum(e["rows"] for e in inserted)),
@@ -796,6 +803,34 @@ def drop_st_tag(path: str, name: str) -> int:
     return _drop_ref_versioned(path, name, SNAP_DIR, MANIFEST + ".lock")
 
 
+def create_st_branch(path: str, name: str, snapshot_id: int | None = None) -> int:
+    """Writable branch on the ST table — the WAP staging surface (see
+    ``clustered.create_branch``): ``branch=`` on append/delete/upsert
+    commits against it, readers audit by name, and
+    ``fast_forward_st_clustered`` publishes."""
+    return _set_ref_versioned(
+        path, name, snapshot_id, MANIFEST, SNAP_DIR, MANIFEST + ".lock",
+        ref_type="branch",
+    )
+
+
+def drop_st_branch(path: str, name: str) -> int:
+    """Remove an ST branch; unpublished commits become expirable."""
+    from spatial4n_spark.io.clustered import _drop_branch_versioned
+
+    return _drop_branch_versioned(path, name, SNAP_DIR, MANIFEST + ".lock")
+
+
+def fast_forward_st_clustered(path: str, name: str) -> dict:
+    """Publish an ST branch: atomic fast-forward of the main table to
+    the branch head (see ``clustered.fast_forward_clustered``)."""
+    from spatial4n_spark.io.clustered import _fast_forward_versioned
+
+    return _fast_forward_versioned(
+        path, name, MANIFEST, SNAP_DIR, MANIFEST + ".lock"
+    )
+
+
 def st_table_refs(path: str) -> dict[str, int]:
     """All named refs on the ST table: ``{name: snapshot_id}``."""
     return {
@@ -805,8 +840,8 @@ def st_table_refs(path: str) -> dict[str, int]:
 
 def st_refs_df(spark: SparkSession, path: str) -> DataFrame:
     """The ST table's refs as a DataFrame — the ``.refs``
-    metadata-table analog (see ``clustered.refs_df``; branch WRITES are
-    a flat-layout surface, but a branch ref created here lists too)."""
+    metadata-table analog (tags and branches; see ``clustered.refs_df``
+    and ``create_st_branch``)."""
     rows = [
         (k, int(v["snapshot_id"]), v["type"])
         for k, v in sorted(_load_refs(path, SNAP_DIR).items())

@@ -355,3 +355,75 @@ def test_tile_pyramid_plan_is_one_scan(spark, sf_dir):
     plan = plan.split("== Initial Plan ==")[0]
     assert plan.count("FileScan") == 1, plan
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_st_wap_flow(spark, sf_dir, tmp_path):
+    """WAP on the spatio-temporal layout: stage append + two-axis delete
+    + key upsert on a branch, audit by name, publish atomically."""
+    pts = pts_orders(spark, sf_dir).withColumn(
+        "ts",
+        F.expr(
+            "timestamp_ntz '2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,"
+            " o_orderkey % 2 * 86400)"
+        ),
+    )
+    base = pts.where(F.col("o_orderkey") % 2 == 0)   # day 1
+    extra = pts.where(F.col("o_orderkey") % 2 == 1)  # day 2
+    path = str(tmp_path / "stwap")
+    ST.write_st_clustered(base, path, level=14, files=2)
+
+    def keys(snap=None):
+        man = ST.load_st_manifest(path, snapshot_id=snap)
+        files = [e["file"] for e in man["files"]]
+        if not files:
+            return set()
+        import os as _os
+
+        df = spark.read.option("basePath", path).parquet(
+            *[_os.path.join(path, f) for f in files]
+        )
+        return {int(r[0]) for r in df.select("o_orderkey").collect()}
+
+    want_base = {int(r[0]) for r in base.select("o_orderkey").collect()}
+    want_extra = {int(r[0]) for r in extra.select("o_orderkey").collect()}
+
+    ST.create_st_branch(path, "stage")
+    ST.append_st_clustered(extra, path, files=2, branch="stage")
+    assert keys() == want_base                       # main untouched
+    assert keys("stage") == want_base | want_extra   # audit by name
+    # stage a two-axis delete of day 2 on the branch
+    ST.delete_st_clustered(
+        spark, path, t0="2026-01-02 00:00:00", t1="2026-01-02 23:59:59",
+        branch="stage",
+    )
+    assert keys("stage") == want_base
+    assert keys() == want_base
+    # stage a key upsert (moved row) on the branch
+    mk = sorted(want_base)[0]
+    moved = base.where(F.col("o_orderkey") == mk).withColumn(
+        "ts", F.expr("timestamp_ntz '2026-01-02 00:00:00'")
+    )
+    ST.upsert_st_clustered(
+        spark, moved, path, key="o_orderkey", branch="stage"
+    )
+    assert keys("stage") == want_base
+    refs = {r["name"]: r["type"] for r in ST.st_refs_df(spark, path).collect()}
+    assert refs == {"stage": "branch"}
+    out = ST.fast_forward_st_clustered(path, "stage")
+    assert out["published"] > out["from"]
+    assert keys() == want_base
+    # the moved row landed in its new day directory
+    man = ST.load_st_manifest(path)
+    days_of_mk = {
+        e["day"]
+        for e in man["files"]
+        if mk in {
+            int(r[0])
+            for r in spark.read.option("basePath", path)
+            .parquet(str(tmp_path / "stwap" / e["file"]))
+            .select("o_orderkey")
+            .collect()
+        }
+    }
+    assert days_of_mk == {"2026-01-02"}
+    assert ST.drop_st_branch(path, "stage") == out["published"]
