@@ -8,6 +8,7 @@ from spatial4n_spark.kernels.norm import norm_lat_deg, norm_lon_deg
 from spatial4n_spark.kernels.geodesic import (  # noqa: F401
     WGS84_A,
     WGS84_F,
+    vincenty_direct,
     vincenty_inverse_m,
 )
 from spatial4n_spark.kernels.distance import (

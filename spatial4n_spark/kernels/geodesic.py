@@ -120,3 +120,75 @@ def vincenty_inverse_m(
     dist = np.where(coincident & converged, 0.0, dist)
     dist = np.where(converged, dist, np.nan)
     return dist, converged
+
+
+def vincenty_direct(
+    lat1,
+    lon1,
+    azimuth_deg,
+    s_m,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+    max_iter: int = 100,
+    tol: float = 1e-12,
+):
+    """Destination point: start (lat, lon) degrees, initial bearing
+    (degrees clockwise from north), distance in meters along the
+    geodesic on the (a, f) ellipsoid -> (lat2, lon2) degrees — the
+    DIRECT Vincenty problem (always convergent, unlike the inverse).
+    The ellipsoidal twin of the reference-parity spherical
+    point-on-bearing (kernels/distance.py point_on_bearing family);
+    ``f=0`` reproduces the sphere exactly.  Roundtrip closure with
+    ``vincenty_inverse_m`` is pytest-pinned to sub-millimeter."""
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    alpha1 = np.radians(np.asarray(azimuth_deg, dtype=np.float64))
+    s = np.asarray(s_m, dtype=np.float64)
+    b = a * (1.0 - f)
+
+    p1 = np.radians(lat1)
+    U1 = np.arctan((1.0 - f) * np.tan(p1))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sa1, ca1 = np.sin(alpha1), np.cos(alpha1)
+    sigma1 = np.arctan2(np.tan(U1), ca1)
+    sin_alpha = cosU1 * sa1
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+
+    sigma = s / (b * A)
+    for _ in range(int(max_iter)):
+        two_sigm = 2.0 * sigma1 + sigma
+        dsig = B * np.sin(sigma) * (
+            np.cos(two_sigm)
+            + B / 4.0 * (
+                np.cos(sigma) * (-1.0 + 2.0 * np.cos(two_sigm) ** 2)
+                - B / 6.0 * np.cos(two_sigm)
+                * (-3.0 + 4.0 * np.sin(sigma) ** 2)
+                * (-3.0 + 4.0 * np.cos(two_sigm) ** 2)
+            )
+        )
+        new_sigma = s / (b * A) + dsig
+        if np.all(np.abs(new_sigma - sigma) < tol):
+            sigma = new_sigma
+            break
+        sigma = new_sigma
+
+    ss, cs = np.sin(sigma), np.cos(sigma)
+    two_sigm = 2.0 * sigma1 + sigma
+    p2 = np.arctan2(
+        sinU1 * cs + cosU1 * ss * ca1,
+        (1.0 - f) * np.sqrt(
+            sin_alpha * sin_alpha
+            + (sinU1 * ss - cosU1 * cs * ca1) ** 2
+        ),
+    )
+    lam = np.arctan2(ss * sa1, cosU1 * cs - sinU1 * ss * ca1)
+    C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+    L = lam - (1.0 - C) * f * sin_alpha * (
+        sigma
+        + C * ss * (np.cos(two_sigm) + C * cs * (-1.0 + 2.0 * np.cos(two_sigm) ** 2))
+    )
+    lon2 = ((np.degrees(np.radians(lon1) + L) + 540.0) % 360.0) - 180.0
+    return np.degrees(p2), lon2

@@ -137,3 +137,40 @@ def test_geodesic_udf_matches_kernel(spark):
     assert ok.all()
     for i in range(20):
         assert got[i] == pytest.approx(float(want[i]), rel=1e-12)
+
+
+def test_direct_roundtrip_closure():
+    """direct(p, az, s) then inverse back must recover s to < 1 mm and
+    the start point via the reverse leg — the standard closed-loop
+    validation of a direct/inverse pair."""
+    from spatial4n_spark.kernels.geodesic import vincenty_direct
+
+    rng = np.random.default_rng(17)
+    lat1 = rng.uniform(-70, 70, 300)
+    lon1 = rng.uniform(-180, 180, 300)
+    az = rng.uniform(0, 360, 300)
+    s = rng.uniform(1.0, 5e6, 300)
+    lat2, lon2 = vincenty_direct(lat1, lon1, az, s)
+    assert (np.abs(lat2) <= 90.0).all() and (np.abs(lon2) <= 180.0).all()
+    d, ok = vincenty_inverse_m(lat1, lon1, lat2, lon2)
+    m = ok  # inverse may flag rare near-antipodal roundtrips
+    assert m.mean() > 0.99
+    np.testing.assert_allclose(d[m], s[m], atol=1e-3)
+
+
+def test_direct_meridian_and_equator_anchors():
+    from spatial4n_spark.kernels.geodesic import vincenty_direct
+
+    # due north from the equator by a quarter meridian -> the pole
+    lat2, _ = vincenty_direct(
+        np.array([0.0]), np.array([30.0]), np.array([0.0]),
+        np.array([10_001_965.729]),
+    )
+    assert lat2[0] == pytest.approx(90.0, abs=1e-7)
+    # due east along the equator by a*pi/2 -> +90 degrees of longitude
+    lat2, lon2 = vincenty_direct(
+        np.array([0.0]), np.array([10.0]), np.array([90.0]),
+        np.array([WGS84_A * np.pi / 2.0]),
+    )
+    assert lat2[0] == pytest.approx(0.0, abs=1e-9)
+    assert lon2[0] == pytest.approx(100.0, abs=1e-7)
