@@ -189,6 +189,12 @@ def _write_shape(w: _Writer, shape, geo: bool):
             w.dim(x)
             w.dim(y)
     else:
+        # tag-5 WKB carries GEOMETRY only: a LineString's buffer has no
+        # representation in the wire format (the reference's BinaryCodec
+        # rejects BufferedLineString outright — ours writes the line and
+        # DROPS the buffer, pinned by the wkt_codec gate corpus's byte
+        # lengths). Buffered lines round-trip through WKT (BUFFER(...)),
+        # not through this codec.
         w.byte(TYPE_GEOMETRY)
         _write_wkb(w, shape)
 

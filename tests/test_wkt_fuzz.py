@@ -124,3 +124,40 @@ def test_cross_parser_agreement_on_standard_wkt(s):
     w = to_wkt(s)
     nts_shape = parse_wkt_reader(w)[0]  # (shape, z) — Z preserved
     assert _same(nts_shape, parse_wkt(w))
+
+
+def _binary_canon(s):
+    """The binary codec's DOCUMENTED canonicalization (mirroring the
+    reference's tag set): MultiPoint writes as a collection of points,
+    and a LineString's buffer has no wire representation (the line
+    geometry survives, the buffer drops — see io/binary._write_shape).
+    Everything else round-trips identically."""
+    if isinstance(s, MultiPoint):
+        return GeometryCollection(
+            tuple(Point(float(x), float(y)) for x, y in s.coords)
+        )
+    if isinstance(s, LineString) and s.buffer:
+        return LineString(s.coords, buffer=0.0)
+    if isinstance(s, GeometryCollection):
+        return GeometryCollection(tuple(_binary_canon(m) for m in s.shapes))
+    return s
+
+
+@given(s=SHAPES)
+@settings(max_examples=300, deadline=None)
+def test_binary_roundtrip_is_canonicalization(s):
+    """The binary codec (io/binary.py, the reference's BinaryCodec
+    analog) round-trips every generated shape bit-exactly in double
+    mode, up to its documented canonicalization."""
+    from spatial4n_spark.io.binary import shape_from_bytes, shape_to_bytes
+
+    assert _same(shape_from_bytes(shape_to_bytes(s)), _binary_canon(s))
+
+
+@given(ss=st.lists(SHAPES, min_size=1, max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_binary_collection_roundtrip(ss):
+    from spatial4n_spark.io.binary import shape_from_bytes, shape_to_bytes
+
+    gc = GeometryCollection(ss)
+    assert _same(shape_from_bytes(shape_to_bytes(gc)), _binary_canon(gc))
