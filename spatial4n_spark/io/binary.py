@@ -190,11 +190,18 @@ def _write_shape(w: _Writer, shape, geo: bool):
             w.dim(y)
     else:
         # tag-5 WKB carries GEOMETRY only: a LineString's buffer has no
-        # representation in the wire format (the reference's BinaryCodec
-        # rejects BufferedLineString outright — ours writes the line and
-        # DROPS the buffer, pinned by the wkt_codec gate corpus's byte
-        # lengths). Buffered lines round-trip through WKT (BUFFER(...)),
-        # not through this codec.
+        # representation in the wire format, so the reference's
+        # BinaryCodec throws "Unsupported shape" for BufferedLineString
+        # (BinaryCodec.cs WriteShape) — match that fail-fast contract
+        # rather than silently dropping the buffer (a round-trip that
+        # changes geometry semantics).  Buffered lines round-trip
+        # through WKT's BUFFER(...) form, not through this codec.
+        if isinstance(shape, LineString) and shape.buffer:
+            raise ValueError(
+                "unsupported shape for the binary codec: buffered "
+                "line-string (the wire format has no buffer field; "
+                "use the WKT BUFFER(...) form instead)"
+            )
         w.byte(TYPE_GEOMETRY)
         _write_wkb(w, shape)
 

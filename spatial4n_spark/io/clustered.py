@@ -308,11 +308,12 @@ def _versioned_commit(
         if not os.path.exists(_snap_file_in(path, snap_dir, mid)):
             _atomic_json_write(_snap_file_in(path, snap_dir, mid), main)
     heads = [int(main.get("snapshot_id", 0))] if main is not None else [0]
-    heads += [
-        int(r2["snapshot_id"])
-        for r2 in refs.values()
-        if r2["type"] == "branch"
-    ]
+    # every ref counts toward the allocation max, tags included: a tag
+    # may legally pin a branch-lineage snapshot ABOVE all heads (it was
+    # live when pinned), and after drop_branch that id must never be
+    # reallocated — reuse would overwrite the tag-anchored snap-N.json
+    # and silently repoint the tag at unrelated data.
+    heads += [int(r2["snapshot_id"]) for r2 in refs.values()]
     sid = max([parent or 0] + heads) + 1
     prev_files = {e["file"] for e in cur["files"]} if cur is not None else set()
     new_files = {e["file"] for e in entries}
@@ -370,14 +371,17 @@ def _versioned_commit(
         _write_refs(path, snap_dir, refs)
     else:
         _atomic_json_write(os.path.join(path, manifest), man)
-        _append_history(path, snap_dir, sid, operation)
+        _append_history(path, snap_dir, sid, operation, manifest=manifest)
     return man
 
 
 HISTORY_FILE = "history.jsonl"
 
 
-def _append_history(path: str, snap_dir: str, sid: int, event: str) -> None:
+def _append_history(
+    path: str, snap_dir: str, sid: int, event: str,
+    manifest: str = MANIFEST,
+) -> None:
     """One line per MADE-CURRENT event (the Iceberg ``.history`` table's
     unit): ordinary commits, rollbacks, and fast-forward publishes all
     change which snapshot the main table reads as, and this log records
@@ -385,12 +389,32 @@ def _append_history(path: str, snap_dir: str, sid: int, event: str) -> None:
     branch head became current long after it was committed).  Appended
     under the caller's table lock, AFTER the manifest cut-over: a crash
     in between loses one history line, never table state (history_df
-    backfills missing commits from the snapshot log)."""
+    backfills missing commits from the snapshot log).
+
+    The FIRST append on a legacy table (predating the log) seeds the
+    file from the existing snapshot chain — otherwise one post-upgrade
+    commit would create a one-line log and the backfill path would
+    never fire again, permanently hiding pre-upgrade history from the
+    ``.history`` metadata table."""
+    hist = os.path.join(path, snap_dir, HISTORY_FILE)
+    seed: list[str] = []
+    if not os.path.exists(hist):
+        for m in _history_chain(path, manifest, snap_dir, None):
+            msid = int(m.get("snapshot_id", 0))
+            if msid == int(sid):
+                continue  # the event being appended below
+            seed.append(json.dumps({
+                "made_current_at": m.get("committed_at"),
+                "snapshot_id": msid,
+                "event": m.get("operation", "overwrite"),
+            }))
     line = json.dumps(
         {"made_current_at": time.time(), "snapshot_id": int(sid),
          "event": str(event)}
     )
-    with open(os.path.join(path, snap_dir, HISTORY_FILE), "a") as f:
+    with open(hist, "a") as f:
+        for s_ in seed:
+            f.write(s_ + "\n")
         f.write(line + "\n")
 
 
@@ -564,26 +588,44 @@ def _as_of_versioned(
     path: str, ts: float, manifest: str, snap_dir: str
 ) -> int:
     """The snapshot id that was the table's state at unix time ``ts``:
-    the newest MAIN-history snapshot with ``committed_at`` ≤ ts.
-    Raises if ts precedes the earliest retained snapshot (that state
-    was expired — same failure mode as Iceberg) or sits in a gap the
-    chain can't certify."""
-    chain = _history_chain(path, manifest, snap_dir, None)
+    the newest MAIN-history MADE-CURRENT event with ``made_current_at``
+    ≤ ts (the Iceberg snapshot-log semantics).  Made-current time, not
+    ``committed_at``: a branch commit staged at t1 and published by
+    ``fast_forward_clustered`` at t2 was NOT the table's state in
+    (t1, t2) — readers at that time saw the pre-publish main head —
+    so resolving by commit time would rewrite observable history.
+    ``_history_rows`` backfills made-current events from commit times
+    for legacy tables that predate the history log (linear lineage:
+    each commit became current when committed), so those keep the old
+    behavior.  Raises if ts precedes the earliest retained state, or
+    if the state current at ts has since been expired."""
     ts = float(ts)
+    rows = _history_rows(path, manifest, snap_dir)
     best = None
-    for m in chain:
-        at = m.get("committed_at")
+    for r in rows:
+        at = r.get("made_current_at")
         if at is not None and float(at) <= ts:
-            best = m
+            best = r
     if best is None:
-        lo = chain[0].get("committed_at") if chain else None
+        lo = rows[0].get("made_current_at") if rows else None
         raise ValueError(
             f"no snapshot of {path} existed at {ts}: the earliest "
-            f"retained snapshot {chain[0].get('snapshot_id') if chain else '?'} "
-            f"was committed at {lo} (earlier history was expired or the "
+            f"recorded state "
+            f"{rows[0].get('snapshot_id') if rows else '?'} became "
+            f"current at {lo} (earlier history was expired or the "
             "table is younger than ts)"
         )
-    return int(best.get("snapshot_id", 0))
+    sid = int(best["snapshot_id"])
+    cur = _load_versioned(path, None, manifest, snap_dir)
+    if sid != int(cur.get("snapshot_id", 0)) and not os.path.exists(
+        _snap_file_in(path, snap_dir, sid)
+    ):
+        raise ValueError(
+            f"the state of {path} at {ts} (snapshot {sid}) has been "
+            "expired; only retained snapshots are time-travelable "
+            "(same failure mode as Iceberg)"
+        )
+    return sid
 
 
 def snapshot_as_of(path: str, ts: float) -> int:
@@ -959,7 +1001,9 @@ def _fast_forward_versioned(
         if not os.path.exists(_snap_file_in(path, snap_dir, mid)):
             _atomic_json_write(_snap_file_in(path, snap_dir, mid), main)
         _atomic_json_write(os.path.join(path, manifest), target)
-        _append_history(path, snap_dir, head, f"fast-forward:{name}")
+        _append_history(
+            path, snap_dir, head, f"fast-forward:{name}", manifest=manifest
+        )
         return {"published": head, "from": mid}
 
 

@@ -917,19 +917,35 @@ def knn_join(
     level: int = 3,
     max_rounds: int = 4,
     estimated_total: int | None = None,
+    df_threshold: int = 64,
 ) -> DataFrame:
     """``queries``: [(query_id, qlon, qlat)]. Returns (query_id, <id_col>,
     dist_km, rank); ties break on <id_col> for determinism.
 
-    The driver-list fast path: for a bounded query set (dashboards, the
-    gate's 4 centers) the ring cells compose driver-side and the
-    acceptance summary collects (<= |queries| rows), so each round is ONE
-    heavy Spark job — none of the bookkeeping joins the DataFrame path
-    needs. Large query batches (10^5+) use ``knn_join_df``, which keeps
-    every per-query structure distributed; a list this size should never
-    exist driver-side in the first place.
+    The driver-list fast path applies only to a BOUNDED query set
+    (dashboards, the gate's 4 centers): the ring cells compose
+    driver-side and the acceptance summary collects (<= |queries| rows),
+    so each round is ONE heavy Spark job — none of the bookkeeping joins
+    the DataFrame path needs.  Above ``df_threshold`` queries the
+    per-query driver state (the pending dict, the ``isin`` literal lists
+    in the plan) stops being bounded bookkeeping and starts scaling with
+    the workload, so the call routes to ``knn_join_df`` — the
+    density-adaptive plan that keeps every per-query structure
+    distributed (capacity-proven flat driver RSS at 10^5 queries,
+    bench_runs/knn_cap_clustered_r4.json).  Both paths are EXACT kNN
+    with the same deterministic tie-break, so the routed result is
+    bit-identical.
     """
     spark = points.sparkSession
+    if len(queries) > df_threshold:
+        q_df = spark.createDataFrame(
+            [(str(q), float(a), float(b)) for q, a, b in queries],
+            "query_id string, qlon double, qlat double",
+        )
+        return knn_join_df(
+            points, q_df, k, lon=lon, lat=lat, id_col=id_col,
+            max_rounds=max_rounds, estimated_total=estimated_total,
+        )
     pts = points.withColumn("_cell", geohash_udf(level)(F.col(lat), F.col(lon)))
     pts = pts.select(id_col, lon, lat, "_cell")
     # the encoded points are re-scanned by every ring-expansion round (and

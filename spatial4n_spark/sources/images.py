@@ -208,14 +208,143 @@ def _encode_payload(rgb: np.ndarray, fmt: str) -> bytes:
     raise ValueError(fmt)
 
 
+# --- optional native JPEG codec hook (round 5) ------------------------
+#
+# The pure-numpy baseline decoder (io.jpeg) is correct but ~19k img/s on
+# 32 cores; a real cluster node has libjpeg-turbo bindings that are
+# ~100x faster.  This hook lets the engine USE one when present without
+# depending on it: the first jpg decode in each worker process probes
+# the registry (PIL -> cv2 -> turbojpeg, all optional imports), runs a
+# PSNR self-check of the candidate against the pure decoder on a
+# deterministic test image (two correct baseline-JPEG decoders differ
+# only in IDCT/upsampling rounding, so anything below the bar is a
+# wrong decoder, not a rounding difference), and falls back to io.jpeg
+# when nothing qualifies.  ``SPATIAL4N_JPEG_CODEC`` forces the choice:
+# 'pure' (bit-exact — what the DuckDB oracle mirrors, so correctness
+# gates in an environment that HAS a native codec should set this),
+# 'auto' (default), or a registered codec name (raises if unusable).
+# Local-mode Python workers inherit the driver env; on a cluster ship
+# it via spark.executorEnv.SPATIAL4N_JPEG_CODEC.
+
+_JPEG_SELF_CHECK_DB = 45.0  # cross-decoder PSNR floor (pure vs native)
+_jpeg_codec_cache: tuple[str, object] | None = None
+
+
+def _native_jpeg_candidates():
+    """Yield (name, batch-decode callable) for each importable binding,
+    in preference order.  Each callable maps list[bytes] ->
+    list[(h, w, 3) uint8 RGB], the io.jpeg.jpeg_decode_batch contract."""
+    try:  # Pillow
+        from io import BytesIO
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        def _pil(bufs):
+            return [
+                np.asarray(Image.open(BytesIO(b)).convert("RGB"), dtype=np.uint8)
+                for b in bufs
+            ]
+
+        yield "pil", _pil
+    except ImportError:
+        pass
+    try:  # OpenCV
+        import cv2  # type: ignore[import-not-found]
+
+        def _cv2(bufs):
+            out = []
+            for b in bufs:
+                bgr = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
+                out.append(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+            return out
+
+        yield "cv2", _cv2
+    except ImportError:
+        pass
+    try:  # PyTurboJPEG
+        from turbojpeg import TJPF_RGB, TurboJPEG  # type: ignore[import-not-found]
+
+        tj = TurboJPEG()
+
+        def _turbo(bufs):
+            return [tj.decode(b, pixel_format=TJPF_RGB) for b in bufs]
+
+        yield "turbojpeg", _turbo
+    except Exception:  # broken lib install surfaces as unusable, not fatal
+        pass
+
+
+def _jpeg_self_check_psnr(decode_batch) -> float:
+    """PSNR of a candidate decoder against the pure decoder on one
+    deterministic baseline JPEG (the generator's own noise payload —
+    worst case for DCT codecs, so rounding differences show fully)."""
+    from spatial4n_spark.io.jpeg import jpeg_decode_batch, jpeg_encode
+
+    pix = _mix64(np.arange(16 * 16 * 3, dtype=np.uint64) + np.uint64(7 * 0x1F123))
+    rgb = (pix & np.uint64(0xFF)).astype(np.uint8).reshape(16, 16, 3)
+    buf = jpeg_encode(rgb)
+    ours = jpeg_decode_batch([buf])[0].astype(np.float64)
+    theirs = np.asarray(decode_batch([buf])[0], dtype=np.float64)
+    if theirs.shape != ours.shape:
+        return 0.0
+    mse = float(np.mean((ours - theirs) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def jpeg_codec() -> tuple[str, object]:
+    """Resolve (name, batch-decode callable) once per process — see the
+    hook comment above for the selection and verification rules."""
+    global _jpeg_codec_cache
+    if _jpeg_codec_cache is not None:
+        return _jpeg_codec_cache
+    import os
+
+    from spatial4n_spark.io.jpeg import jpeg_decode_batch
+
+    want = os.environ.get("SPATIAL4N_JPEG_CODEC", "auto").strip().lower()
+    chosen: tuple[str, object] = ("pure", jpeg_decode_batch)
+    if want != "pure":
+        found = dict(_native_jpeg_candidates())
+        if want != "auto" and want not in found:
+            raise ValueError(
+                f"SPATIAL4N_JPEG_CODEC={want!r} is not available "
+                f"(importable: {sorted(found) or 'none'}; try 'auto' or 'pure')"
+            )
+        names = [want] if want != "auto" else list(found)
+        for name in names:
+            psnr = _jpeg_self_check_psnr(found[name])
+            if psnr >= _JPEG_SELF_CHECK_DB:
+                chosen = (name, found[name])
+                break
+            if want != "auto":
+                raise ValueError(
+                    f"jpeg codec {name!r} failed the self-check "
+                    f"({psnr:.1f} dB vs the pure decoder, need >= "
+                    f"{_JPEG_SELF_CHECK_DB}) — refusing a wrong decoder"
+                )
+            import sys
+
+            print(
+                f"spatial4n_spark: jpeg codec {name!r} failed self-check "
+                f"({psnr:.1f} dB), falling back",
+                file=sys.stderr,
+            )
+    _jpeg_codec_cache = chosen
+    return chosen
+
+
 def decode_image_batch(buf_list, w: np.ndarray, h: np.ndarray, fmt_list) -> list[np.ndarray]:
     """Decode a batch of image payloads to (h, w, 3) uint8 arrays.
 
     The decode twin of ``_encode_payload``: 'png' runs the REAL PNG
     decoder above (chunk walk + zlib inflate + defilter); 'raw' is a
-    buffer view; 'jpg' runs the REAL baseline JPEG decoder (io.jpeg),
-    batched: every jpg payload in the batch goes through ONE
-    SIMD-across-images Huffman decode + ONE group IDCT.
+    buffer view; 'jpg' runs whichever decoder ``jpeg_codec`` resolved —
+    by default the REAL baseline JPEG decoder (io.jpeg), batched: every
+    jpg payload in the batch goes through ONE SIMD-across-images
+    Huffman decode + ONE group IDCT; with a verified native binding
+    present (PIL/cv2/turbojpeg), that binding instead.
     """
     out: list[np.ndarray | None] = [None] * len(buf_list)
     jpg_idx: list[int] = []
@@ -234,9 +363,8 @@ def decode_image_batch(buf_list, w: np.ndarray, h: np.ndarray, fmt_list) -> list
             arr = np.frombuffer(b, dtype=np.uint8)
             out[i] = arr.reshape(int(hi), int(wi), 3)
     if jpg_idx:
-        from spatial4n_spark.io.jpeg import jpeg_decode_batch
-
-        for i, arr in zip(jpg_idx, jpeg_decode_batch(jpg_bufs)):
+        _, decode_batch = jpeg_codec()
+        for i, arr in zip(jpg_idx, decode_batch(jpg_bufs)):
             if arr.shape != (int(h[i]), int(w[i]), 3):
                 raise ValueError("jpg dims disagree with metadata")
             out[i] = arr

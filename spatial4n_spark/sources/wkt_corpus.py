@@ -67,7 +67,7 @@ WKT_CODEC_EXPECTED = [
     ("gc_empty", "GEOMETRYCOLLECTION EMPTY", False, 0.0, 0.0, 0.0, 0.0, 6),
     ("gc_pt_empty", "GEOMETRYCOLLECTION (POINT EMPTY)", False, 0.0, 0.0, 0.0, 0.0, 23),
     ("buf_pt", "BUFFER(POINT(1 2), 3)", True, -2.0018303073637975, 4.0018303073637975, -1.0, 5.0, 25),
-    ("buf_line", "BUFFER(LINESTRING (0 0, 10 0), 2)", True, -2.0, 12.0, -2.0, 2.0, 42),
+    ("buf_line", "BUFFER(LINESTRING (0 0, 10 0), 2)", True, -2.0, 12.0, -2.0, 2.0, -1),
     ("poly", "POLYGON ((0 0, 10 0, 11 10, 0 10, 0 0))", True, 0.0, 11.0, 0.0, 10.0, 94),
     (
         "poly_hole",
@@ -96,6 +96,13 @@ def codec_row(wkt: str) -> tuple[str, bool, float, float, float, float, int]:
     s = parse_wkt(wkt, True)
     bb = shape_bbox(s, True)
     has = not math.isnan(bb.min_x)
+    try:
+        # -1 pins the codec's fail-fast contract: shapes with no wire
+        # representation (buffered lines) are REJECTED, not silently
+        # canonicalized (reference BinaryCodec throws Unsupported shape)
+        bin_len = len(shape_to_bytes(s, True))
+    except ValueError:
+        bin_len = -1
     return (
         to_wkt(s),
         has,
@@ -103,5 +110,5 @@ def codec_row(wkt: str) -> tuple[str, bool, float, float, float, float, int]:
         float(bb.max_x) if has else 0.0,
         float(bb.min_y) if has else 0.0,
         float(bb.max_y) if has else 0.0,
-        len(shape_to_bytes(s, True)),
+        bin_len,
     )

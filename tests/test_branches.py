@@ -427,3 +427,89 @@ def test_st_wap_flow(spark, sf_dir, tmp_path):
     }
     assert days_of_mk == {"2026-01-02"}
     assert ST.drop_st_branch(path, "stage") == out["published"]
+
+
+# --- round-5 hardening: ref-safe id allocation, made-current as_of,
+# --- legacy history seeding -------------------------------------------
+
+
+def test_tag_pinned_id_never_reallocated(spark, halves):
+    """A tag may legally pin a branch-lineage snapshot ABOVE every head;
+    after drop_branch, id allocation must still skip past it — reuse
+    would overwrite the tag-anchored snap-N.json and silently repoint
+    the tag at unrelated data ('bounded waste, never damage')."""
+    path, pts, base, extra = halves                       # main head = 1
+    C.create_branch(path, "b")
+    C.append_clustered(extra, path, files=1, branch="b")  # id 2 (branch)
+    C.append_clustered(extra, path, files=1, branch="b")  # id 3 (branch)
+    C.create_tag(path, "audit", 3)                        # tag above all heads
+    audited = _radius_ids(spark, path, snapshot_id="audit")
+    C.drop_branch(path, "b")
+    # the next main commit must allocate ABOVE the tag-pinned id
+    C.append_clustered(extra, path, files=1)
+    assert int(C.load_manifest(path)["snapshot_id"]) == 4
+    # and the tag still resolves to exactly the audited state
+    assert _radius_ids(spark, path, snapshot_id="audit") == audited
+    assert int(C.load_manifest(path, "audit")["snapshot_id"]) == 3
+
+
+def test_as_of_resolves_made_current_not_committed(spark, halves):
+    """Timestamp travel follows MADE-CURRENT time (the Iceberg
+    snapshot-log semantics): a branch commit staged at t1 and published
+    at t2 was NOT the table's state in (t1, t2) — readers then saw the
+    pre-publish main head — so as_of in that window must return main's
+    old head, not the staged snapshot."""
+    path, pts, base, extra = halves                       # main head = 1
+    C.create_branch(path, "stage")
+    time.sleep(0.01)
+    C.append_clustered(extra, path, files=1, branch="stage")  # id 2 staged
+    time.sleep(0.01)
+    t_window = time.time()  # after the stage commit, before the publish
+    time.sleep(0.01)
+    C.fast_forward_clustered(path, "stage")
+    time.sleep(0.01)
+    # in the window, the table's observable state was snapshot 1
+    assert C.snapshot_as_of(path, t_window) == 1
+    assert _radius_ids(
+        spark, path, snapshot_id=C.snapshot_as_of(path, t_window)
+    ) == _want_ids(base)
+    # after the publish instant, it is the published head
+    assert C.snapshot_as_of(path, time.time()) == 2
+
+
+def test_as_of_of_expired_state_raises(spark, halves):
+    path, pts, base, extra = halves            # 1
+    time.sleep(0.01)
+    t1 = time.time()
+    time.sleep(0.01)
+    C.append_clustered(extra, path, files=1)   # 2
+    C.append_clustered(extra, path, files=1)   # 3
+    C.expire_snapshots(path, keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        C.snapshot_as_of(path, t1)
+
+
+def test_history_seeded_on_legacy_table_upgrade(spark, halves):
+    """The FIRST history append on a table that predates history.jsonl
+    seeds the log from the snapshot chain — without it, one
+    post-upgrade commit would create a one-line log and the legacy
+    backfill would never fire again, permanently hiding pre-upgrade
+    commits from the .history metadata table."""
+    import os
+
+    path, pts, base, extra = halves            # 1
+    C.append_clustered(extra, path, files=1)   # 2
+    # simulate a legacy (pre-history-log) table
+    os.remove(os.path.join(path, C.SNAP_DIR, C.HISTORY_FILE))
+    C.append_clustered(extra, path, files=1)   # 3: the upgrading commit
+    h = [r.asDict() for r in C.history_df(spark, path).collect()]
+    assert [r["snapshot_id"] for r in h] == [1, 2, 3]
+    # seeded rows carry the snapshots' commit times as made-current
+    for r in h[:2]:
+        assert r["made_current_at"] == pytest.approx(
+            float(C.load_manifest(path, r["snapshot_id"])["committed_at"])
+        )
+    # and a FURTHER commit appends (no re-seed, no duplicates)
+    C.append_clustered(extra, path, files=1)   # 4
+    h2 = [r["snapshot_id"] for r in C.history_df(spark, path).collect()]
+    assert h2 == [1, 2, 3, 4]

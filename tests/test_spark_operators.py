@@ -615,3 +615,24 @@ def test_tile_pyramid_count_only_and_h3_rejected(spark, points):
         assert sum(r["n"] for r in pyr if r["lvl"] == L) == N
     with pytest.raises(ValueError, match="nest"):
         tile_pyramid(points, level=5, index="h3")
+
+
+def test_knn_join_routes_large_batches_to_df_plan(spark, points):
+    """Above df_threshold the list entry point must delegate to the
+    DF-native plan (no O(#queries) driver dict / isin literals) and
+    return the identical exact result — the round-5 unification of the
+    legacy list path."""
+    queries = [("q_paris", 2.35, 48.85), ("q_dl", 179.9, -5.0),
+               ("q_sparse", -120.0, -55.0), ("q_lon", -0.1, 51.5)]
+    k = 5
+    want = sorted(
+        map(tuple, knn_join(points, queries, k=k, level=3).collect())
+    )
+    # df_threshold=1 forces every call through knn_join_df
+    got = sorted(
+        map(
+            tuple,
+            knn_join(points, queries, k=k, df_threshold=1).collect(),
+        )
+    )
+    assert got == want

@@ -128,19 +128,24 @@ def test_cross_parser_agreement_on_standard_wkt(s):
 
 def _binary_canon(s):
     """The binary codec's DOCUMENTED canonicalization (mirroring the
-    reference's tag set): MultiPoint writes as a collection of points,
-    and a LineString's buffer has no wire representation (the line
-    geometry survives, the buffer drops — see io/binary._write_shape).
-    Everything else round-trips identically."""
+    reference's tag set): MultiPoint writes as a collection of points.
+    Everything else round-trips identically (buffered lines are
+    REJECTED outright — see test_binary_rejects_buffered_line)."""
     if isinstance(s, MultiPoint):
         return GeometryCollection(
             tuple(Point(float(x), float(y)) for x, y in s.coords)
         )
-    if isinstance(s, LineString) and s.buffer:
-        return LineString(s.coords, buffer=0.0)
     if isinstance(s, GeometryCollection):
         return GeometryCollection(tuple(_binary_canon(m) for m in s.shapes))
     return s
+
+
+def _has_buffered_line(s) -> bool:
+    if isinstance(s, LineString) and s.buffer:
+        return True
+    if isinstance(s, GeometryCollection):
+        return any(_has_buffered_line(m) for m in s.shapes)
+    return False
 
 
 @given(s=SHAPES)
@@ -148,16 +153,45 @@ def _binary_canon(s):
 def test_binary_roundtrip_is_canonicalization(s):
     """The binary codec (io/binary.py, the reference's BinaryCodec
     analog) round-trips every generated shape bit-exactly in double
-    mode, up to its documented canonicalization."""
+    mode, up to its documented canonicalization.  Buffered lines have
+    no wire representation and must raise (BinaryCodec.cs throws
+    'Unsupported shape' for BufferedLineString) — silently dropping the
+    buffer would be a round-trip that changes geometry semantics."""
+    import pytest
+
     from spatial4n_spark.io.binary import shape_from_bytes, shape_to_bytes
 
+    if _has_buffered_line(s):
+        with pytest.raises(ValueError, match="buffered"):
+            shape_to_bytes(s)
+        return
     assert _same(shape_from_bytes(shape_to_bytes(s)), _binary_canon(s))
 
 
 @given(ss=st.lists(SHAPES, min_size=1, max_size=4))
 @settings(max_examples=100, deadline=None)
 def test_binary_collection_roundtrip(ss):
+    import pytest
+
     from spatial4n_spark.io.binary import shape_from_bytes, shape_to_bytes
 
     gc = GeometryCollection(ss)
+    if _has_buffered_line(gc):
+        with pytest.raises(ValueError, match="buffered"):
+            shape_to_bytes(gc)
+        return
     assert _same(shape_from_bytes(shape_to_bytes(gc)), _binary_canon(gc))
+
+
+def test_binary_rejects_buffered_line():
+    """The pinned fail-fast contract: BUFFER(LINESTRING...) parses fine
+    but the binary codec refuses it, matching the reference."""
+    import pytest
+
+    from spatial4n_spark.io.binary import shape_to_bytes
+
+    s = parse_wkt("BUFFER(LINESTRING(0 0, 10 0), 2)")
+    with pytest.raises(ValueError, match="buffered line"):
+        shape_to_bytes(s)
+    # an unbuffered line still writes (tag-5 WKB)
+    assert len(shape_to_bytes(parse_wkt("LINESTRING(0 0, 10 0)"))) > 0
