@@ -151,11 +151,37 @@ def main() -> int:
 
         _emb_index_path(spark, sf_dir)
 
+    # per-arm timing for tagged-union rows: one wall number per family
+    # hides per-feature regressions (round-4 verdict).  A literal filter
+    # on the tag column folds the other union children away (Catalyst
+    # pushes the predicate into each child, where lit('a')='b' folds to
+    # false and the subtree prunes), so each arm time measures only that
+    # arm's plan.  Excluded by design: cell_assign (a 1:1 three-backend
+    # join, no union to prune) and image_tiles (ONE fused decode stage
+    # emits every backend — an arm filter cannot reduce the decode).
+    # tile_stats' pyr arms share one pyramid pass, so they carry a
+    # single 'pyr%' prefix arm.
+    UNION_ARMS: dict[str, tuple[str, list[str]]] = {
+        "pip_join_backends": ("backend", ["s2", "h3", "rtree", "auto"]),
+        "radius_join_backends": ("backend", ["s2", "h3"]),
+        "knn_backends": ("backend", ["s2", "h3", "s2_df"]),
+        "radius_join_snapshot": (
+            "mode", ["travel", "tag", "cow", "mor", "wap", "inc"],
+        ),
+        "tile_stats": ("backend", ["geohash", "s2", "h3", "pyr*"]),
+        "emb_ann": ("path", ["scan", "indexed"]),
+        "emb_ivf_topk": ("path", ["scan", "indexed"]),
+    }
+    arm_reps = int(os.environ.get("SPARK_GRAFT_ARM_REPS", "1"))
+
     times: dict[str, float] = {}
     rates: dict[str, float] = {}
     rows_out: dict[str, int] = {}
+    arm_times: dict[str, dict[str, float]] = {}
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     import gc
+
+    from pyspark.sql import functions as F
 
     for name in names:
         fn = queries[name]
@@ -170,6 +196,23 @@ def main() -> int:
         times[name] = round(best, 3)
         if input_rows.get(name):
             rates[name] = round(input_rows[name] / best, 1)
+        if name in UNION_ARMS and arm_reps > 0:
+            col, tags = UNION_ARMS[name]
+            per = {}
+            for t in tags:
+                pred = (
+                    F.col(col).startswith(t[:-1])
+                    if t.endswith("*")
+                    else F.col(col) == F.lit(t)
+                )
+                a_best = None
+                for _ in range(arm_reps):
+                    t0 = time.time()
+                    fn(spark, sf_dir).where(pred).count()
+                    dt = time.time() - t0
+                    a_best = dt if a_best is None else min(a_best, dt)
+                per[t] = round(a_best, 3)
+            arm_times[name] = per
         # cross-query isolation: the kNN/LSH/minhash queries localCheckpoint
         # intermediate frames; their RDD blocks are only released once the
         # driver-side references are GC'd and the ContextCleaner runs. Over
@@ -202,6 +245,7 @@ def main() -> int:
         "rows_per_sec": rates,
         "headline_rows_per_sec": headline_rate,
         "rows_out": rows_out,
+        "arm_times": arm_times,
     }
     # full record to a stable file FIRST (the driver's tail capture
     # truncated BENCH_r03.json mid-line; the file is the durable copy)

@@ -93,13 +93,37 @@ class SpatialEngine:
 
     # -- layer ingestion --------------------------------------------------
 
-    def read_wkt_layer(self, layer: DataFrame | list, id_col: str = "poly_id", wkt_col: str = "wkt"):
+    def read_wkt_layer(
+        self,
+        layer: DataFrame | list,
+        id_col: str = "poly_id",
+        wkt_col: str = "wkt",
+        max_features: int = 100_000,
+    ):
         """Parse a small polygon-layer table (driver-side) into the
-        [(poly_id, shape)] broadcast form the joins take."""
+        [(poly_id, shape)] broadcast form the joins take.
+
+        The collect is HARD-CAPPED at ``max_features``: this surface
+        exists only for broadcast-sized layers, and an unbounded collect
+        here would silently turn a beyond-broadcast layer into driver
+        OOM.  Past the cap, keep the layer AS a DataFrame and use
+        ``spatial_join(points, layer_df)`` /
+        ``spatial_join_points_polygons_df`` — the path whose layer side
+        never touches the driver."""
         from spatial4n_spark.io import parse_wkt
 
         if isinstance(layer, DataFrame):
-            rows = [(r[id_col], r[wkt_col]) for r in layer.collect()]
+            rows = [
+                (r[id_col], r[wkt_col])
+                for r in layer.limit(max_features + 1).collect()
+            ]
+            if len(rows) > max_features:
+                raise ValueError(
+                    f"read_wkt_layer refuses to collect more than "
+                    f"{max_features} features to the driver; keep the "
+                    "layer distributed and use spatial_join(points, "
+                    "layer_df) (spatial_join_points_polygons_df) instead"
+                )
         else:
             rows = list(layer)
         return [(pid, parse_wkt(w, geo=self.ctx.geo) if isinstance(w, str) else w) for pid, w in rows]

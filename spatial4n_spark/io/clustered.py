@@ -1007,6 +1007,98 @@ def _fast_forward_versioned(
         return {"published": head, "from": mid}
 
 
+def cherry_pick_clustered(path: str, snapshot_id: int | str) -> dict:
+    """Re-apply ONE append-only commit from a diverged lineage onto the
+    main head — the Iceberg cherry-pick analog, and the release valve
+    for the one WAP flow ``fast_forward_clustered`` refuses (main
+    advanced after the branch forked, so the lineages diverged).
+
+    Only APPEND commits are eligible: the target snapshot must add data
+    files relative to ITS OWN parent and remove none, and must
+    introduce no new pending (merge-on-read) deletes — row-replacing
+    operations (overwrite/compact/delete/upsert/rollback) depend on the
+    exact file set they replaced, which main no longer has, so
+    re-applying them would silently drop or resurrect rows; they raise
+    instead.  The added files are committed onto main as a FRESH
+    snapshot (new id, parent = main head, operation
+    ``cherry-pick:<sid>``); the files themselves are shared, not
+    copied (same directory, both lineages reference them).  Schemas
+    merge under the add-column evolution rules.
+
+    ``snapshot_id`` may be an id or a ref name (e.g. a diverged
+    branch's head).  Returns the new main manifest."""
+    with table_lock(path):
+        target = _load_versioned(path, snapshot_id, MANIFEST, SNAP_DIR)
+        sid = int(target.get("snapshot_id", 0))
+        if target.get("parent_id") is None:
+            raise ValueError(
+                f"cannot cherry-pick snapshot {sid} of {path}: it has no "
+                "parent (an initial overwrite is not an append)"
+            )
+        try:
+            parent = _load_versioned(
+                path, int(target["parent_id"]), MANIFEST, SNAP_DIR
+            )
+        except ValueError:
+            raise ValueError(
+                f"cannot cherry-pick snapshot {sid} of {path}: its parent "
+                f"{target['parent_id']} was expired, so the commit's own "
+                "added-file set can no longer be certified"
+            )
+        pfiles = {e["file"] for e in parent["files"]}
+        tfiles = {e["file"] for e in target["files"]}
+        removed = pfiles - tfiles
+        if removed:
+            raise ValueError(
+                f"cannot cherry-pick snapshot {sid} of {path}: it removed "
+                f"{len(removed)} file(s) relative to its parent — only "
+                "append-only commits can be re-applied onto a diverged "
+                "main (row-replacing ops depend on the replaced file set)"
+            )
+        pdel = {
+            (d["file"], tuple(d["targets"])) for d in parent.get("deletes") or []
+        }
+        newdel = [
+            d
+            for d in target.get("deletes") or []
+            if (d["file"], tuple(d["targets"])) not in pdel
+        ]
+        if newdel:
+            raise ValueError(
+                f"cannot cherry-pick snapshot {sid} of {path}: it "
+                f"introduced {len(newdel)} pending delete file(s) — "
+                "merge-on-read deletes are row-replacing"
+            )
+        added = [e for e in target["files"] if e["file"] not in pfiles]
+        if not added:
+            raise ValueError(
+                f"cannot cherry-pick snapshot {sid} of {path}: it added "
+                "no files (nothing to re-apply)"
+            )
+        main = _load_versioned(path, None, MANIFEST, SNAP_DIR)
+        dup = {e["file"] for e in main["files"]} & {e["file"] for e in added}
+        if dup:
+            raise ValueError(
+                f"cannot cherry-pick snapshot {sid} of {path}: main "
+                f"already references {sorted(dup)[:3]} (was this commit "
+                "already published or picked?)"
+            )
+        schema_json = None
+        old_schema = _manifest_schema(main)
+        t_schema = _manifest_schema(target)
+        if old_schema is not None and t_schema is not None:
+            merged, _ = _merge_schemas(old_schema, t_schema)
+            schema_json = merged.json()
+        return _write_manifest(
+            path,
+            int(main["level"]),
+            main["files"] + added,
+            operation=f"cherry-pick:{sid}",
+            schema_json=schema_json,
+            extra_summary={"cherry_picked_from": sid},
+        )
+
+
 def _added_map(
     path: str, manifest: str, snap_dir: str, upto: int | None = None
 ) -> dict[str, int]:
@@ -1375,6 +1467,109 @@ def compact_clustered(
             if n not in keep:
                 os.remove(os.path.join(path, n))
         _sweep_delete_dir(path, MANIFEST, SNAP_DIR)
+
+
+def compaction_advice(
+    path: str,
+    overlap_threshold: float = 2.0,
+    delete_tax_threshold: float = 0.05,
+    small_file_fraction: float = 0.5,
+    target_rows_per_file: int | None = None,
+) -> dict:
+    """Manifest-only compaction scheduler (no data file is opened):
+    reads the same stats every scan plans with and answers WHETHER a
+    ``compact_clustered`` is worth its rewrite cost, and at what file
+    count — the small-file / delete-tax advisor for the periodic
+    maintenance job log-structured tables need at scale.
+
+    Three taxes, each measured from the manifest:
+
+    - **overlap factor** — sum of per-file cell-range spans over the
+      union span.  A freshly compacted table's ranges are disjoint
+      (~1.0); each append layers another full-width run on top, so a
+      range query must read ~overlap_factor files instead of the one
+      the clustering promises.  Advise past ``overlap_threshold``.
+    - **delete tax** — pending merge-on-read delete rows as a fraction
+      of table rows: every scan pays an anti-join this size until a
+      rewrite retires it (the measured MOR read-tax recovery is
+      0.62 -> 0.21 s, BENCH.md).  Advise past ``delete_tax_threshold``.
+    - **small files** — fraction of files under 1/4 of the mean file's
+      rows: per-file scheduling and footer overhead dominates tiny
+      files.  Advise past ``small_file_fraction``.
+
+    Returns ``{should_compact, reasons, n_files, total_rows,
+    overlap_factor, pending_delete_rows, delete_tax, small_files,
+    recommended_files}`` — feed ``recommended_files`` straight to
+    ``compact_clustered(spark, path, files=...)``."""
+    man = load_manifest(path)
+    entries = man["files"]
+    n_files = len(entries)
+    total_rows = int(sum(e["rows"] for e in entries))
+    out = {
+        "should_compact": False,
+        "reasons": [],
+        "n_files": n_files,
+        "total_rows": total_rows,
+        "overlap_factor": 1.0,
+        "pending_delete_rows": 0,
+        "delete_tax": 0.0,
+        "small_files": 0,
+        "recommended_files": max(n_files, 1),
+    }
+    if not entries:
+        return out
+
+    # overlap factor: per-file span mass over the union of the ranges
+    # (the +1s make single-cell files count; ranges are int cell ids)
+    ivals = sorted((int(e["min"]), int(e["max"])) for e in entries)
+    mass = sum(hi - lo + 1 for lo, hi in ivals)
+    union = 0
+    cur_lo, cur_hi = ivals[0]
+    for lo, hi in ivals[1:]:
+        if lo > cur_hi:
+            union += cur_hi - cur_lo + 1
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    union += cur_hi - cur_lo + 1
+    overlap = mass / max(union, 1)
+    out["overlap_factor"] = round(overlap, 2)
+
+    dels = man.get("deletes") or []
+    del_rows = int(sum(int(d["rows"]) for d in dels))
+    out["pending_delete_rows"] = del_rows
+    out["delete_tax"] = round(del_rows / max(total_rows, 1), 4)
+
+    mean_rows = total_rows / n_files
+    small = sum(1 for e in entries if e["rows"] < mean_rows / 4)
+    out["small_files"] = small
+
+    if overlap >= overlap_threshold:
+        out["reasons"].append(
+            f"range overlap {overlap:.1f}x >= {overlap_threshold}: a "
+            f"range query reads ~{overlap:.0f} files where a compacted "
+            "run reads 1"
+        )
+    if out["delete_tax"] >= delete_tax_threshold:
+        out["reasons"].append(
+            f"pending MOR deletes are {out['delete_tax']:.1%} of rows "
+            f">= {delete_tax_threshold:.0%}: every scan pays the "
+            "anti-join until a rewrite retires them"
+        )
+    if n_files > 1 and small / n_files >= small_file_fraction:
+        out["reasons"].append(
+            f"{small}/{n_files} files are under a quarter of the mean "
+            "file size: per-file overhead dominates"
+        )
+    out["should_compact"] = bool(out["reasons"])
+    if target_rows_per_file:
+        out["recommended_files"] = max(
+            1, -(-total_rows // int(target_rows_per_file))
+        )
+    else:
+        # keep the current parallelism, shedding the small-file excess
+        out["recommended_files"] = max(1, n_files - small)
+    return out
 
 
 # ---------------------------------------------------------------------------

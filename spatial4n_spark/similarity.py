@@ -242,14 +242,29 @@ def ivf_centroids(n_centroids: int = 16, dim: int = 64) -> list[list[float]]:
     ]
 
 
+# hard ceiling on the driver-side k-means training sample: 2^18 rows of
+# 64-dim float64 is ~128 MB — comfortably driver-sized; anything larger
+# should train distributed (Spark MLlib KMeans), not silently balloon
+# the driver
+IVF_FIT_SAMPLE_MAX = 262_144
+
+
 def fit_ivf_centroids(
     emb: DataFrame, n_centroids: int = 16, iters: int = 5, sample: int = 2048
 ) -> list[list[float]]:
     """Data-adaptive centroids: numpy k-means on a driver-side sample
     (seeded, deterministic) — the 'train the coarse quantizer on a sample'
-    step every IVF index performs; the result broadcasts as constants."""
+    step every IVF index performs; the result broadcasts as constants.
+    ``sample`` is hard-capped at ``IVF_FIT_SAMPLE_MAX`` — the quantizer
+    needs a representative sample, never the table."""
     import numpy as np
 
+    if sample > IVF_FIT_SAMPLE_MAX:
+        raise ValueError(
+            f"fit_ivf_centroids sample={sample} exceeds the driver-side "
+            f"cap {IVF_FIT_SAMPLE_MAX}; a coarse quantizer does not need "
+            "more — train distributed if it truly does"
+        )
     pdf = emb.select("embedding").limit(sample).toPandas()
     x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
     rng = np.random.RandomState(42)

@@ -1825,14 +1825,17 @@ def q_tile_stats_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pip_join_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship PIP join through the S2 and H3 cover planners AND
-    the broadcast STR R-tree (plans.rtree — no join, no shuffle:
-    per-batch tree probe + the same exact covers kernel) under one
+    """The flagship PIP join through the S2 and H3 cover planners, the
+    broadcast STR R-tree (plans.rtree — no join, no shuffle: per-batch
+    tree probe + the same exact covers kernel), AND the cost-based
+    auto-planner (plans.pip_planner — picks cover/rtree/df+salt from
+    layer size, bbox spread, cover size, hot-cell sketch) under one
     `backend` column — join results are plan-invariant, so the oracle
     is sql_pip_join per branch."""
     from spatial4n_spark.operators.spatial_join import (
         spatial_join_points_polygons_rtree,
     )
+    from spatial4n_spark.plans.pip_planner import spatial_join_auto
 
     s = q_pip_join_s2(spark, sf_dir).select(
         F.lit("s2").alias("backend"), "o_orderkey", "poly_id"
@@ -1843,7 +1846,10 @@ def q_pip_join_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = spatial_join_points_polygons_rtree(
         pts_orders(spark, sf_dir), layer()
     ).select(F.lit("rtree").alias("backend"), "o_orderkey", "poly_id")
-    return s.unionByName(h).unionByName(r)
+    a = spatial_join_auto(pts_orders(spark, sf_dir), layer()).select(
+        F.lit("auto").alias("backend"), "o_orderkey", "poly_id"
+    )
+    return s.unionByName(h).unionByName(r).unionByName(a)
 
 
 def q_radius_join_backends(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1985,7 +1991,7 @@ def spatial_oracles() -> dict[str, str]:
                 # return exactly the rows the broadcast/list paths do
                 "pip_join_cover": sql_pip_join(),
                 "pip_join_backends": _sql_tag_union(
-                    sql_pip_join(), ["s2", "h3", "rtree"]
+                    sql_pip_join(), ["s2", "h3", "rtree", "auto"]
                 ),
                 "knn_df": sql_knn(),
                 "knn_backends": _sql_tag_union(sql_knn(), ["s2", "h3", "s2_df"]),

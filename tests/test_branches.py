@@ -513,3 +513,55 @@ def test_history_seeded_on_legacy_table_upgrade(spark, halves):
     C.append_clustered(extra, path, files=1)   # 4
     h2 = [r["snapshot_id"] for r in C.history_df(spark, path).collect()]
     assert h2 == [1, 2, 3, 4]
+
+
+def test_cherry_pick_append_from_diverged_branch(spark, halves):
+    """The diverged-WAP release valve: main advanced after the branch
+    forked, fast-forward refuses, but the branch's single APPEND commit
+    can be cherry-picked onto main — content lands, history records it,
+    and the shared data files are not duplicated."""
+    path, pts, base, extra = halves                       # main head = 1
+    C.create_branch(path, "b")
+    odd = extra.limit(40)
+    C.append_clustered(odd, path, files=1, branch="b")    # id 2 (staged)
+    C.append_clustered(extra, path, files=1)              # id 3: main advanced
+    with pytest.raises(ValueError, match="diverged"):
+        C.fast_forward_clustered(path, "b")
+
+    n_files_before = len(C.load_manifest(path)["files"])
+    man = C.cherry_pick_clustered(path, "b")              # pick branch head
+    assert man["operation"] == "cherry-pick:2"
+    assert int(man["snapshot_id"]) == 4
+    assert man["summary"]["cherry_picked_from"] == 2
+
+    # content equality: main = base + extra + the picked odd rows
+    want = sorted(
+        [r["o_orderkey"] for r in base.select("o_orderkey").collect()]
+        + [r["o_orderkey"] for r in extra.select("o_orderkey").collect()]
+        + [r["o_orderkey"] for r in odd.select("o_orderkey").collect()]
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in C.clustered_scan(spark, path).select("o_orderkey").collect()
+    )
+    assert got == want
+    # files shared, not copied: exactly the staged file(s) joined main
+    assert len(man["files"]) == n_files_before + 1
+    # history shows the pick as a made-current event
+    h = [r.asDict() for r in C.history_df(spark, path).collect()]
+    assert h[-1]["snapshot_id"] == 4
+    assert h[-1]["event"] == "cherry-pick:2"
+
+
+def test_cherry_pick_refuses_row_replacing_ops(spark, halves):
+    path, pts, base, extra = halves                       # main head = 1
+    C.create_branch(path, "b")
+    C.append_clustered(extra, path, files=1, branch="b")  # id 2: append
+    # id 3: a COW delete on the branch REWRITES files (row-replacing)
+    C.delete_clustered(spark, path, F.col("o_orderkey") % 2 == 1, branch="b")
+    C.append_clustered(extra.limit(3), path, files=1)     # id 4: main diverges
+    with pytest.raises(ValueError, match="removed"):
+        C.cherry_pick_clustered(path, "b")                # head is a rewrite
+    # the root overwrite has no parent: not an append, refused
+    with pytest.raises(ValueError, match="no parent"):
+        C.cherry_pick_clustered(path, 1)

@@ -566,3 +566,46 @@ def test_st_requires_wallclock_ts(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="timezone-independent"):
         ST.write_st_clustered(pts, str(tmp_path / "st_bad"), level=14, files=1)
+
+
+def test_compaction_advice_lifecycle(spark, sf_dir, tmp_path):
+    """Manifest-only advisor: quiet on a fresh table, flags range
+    overlap after appends and delete tax after MOR deletes, and goes
+    quiet again after the compaction it recommended."""
+    from pyspark.sql import functions as F
+
+    from spatial4n_spark.io import clustered as C
+    from spatial4n_spark.suite import pts_orders
+
+    path = str(tmp_path / "adv")
+    pts = pts_orders(spark, sf_dir)
+    C.write_clustered(pts, path, level=14, files=4)
+    a = C.compaction_advice(path)
+    assert a["should_compact"] is False
+    assert a["overlap_factor"] < 2.0
+
+    # each append layers a full-width sorted run: overlap grows ~1/append
+    for _ in range(3):
+        C.append_clustered(pts, path, files=2)
+    a = C.compaction_advice(path)
+    assert a["should_compact"] is True
+    assert a["overlap_factor"] >= 2.0
+    assert any("overlap" in r for r in a["reasons"])
+
+    C.compact_clustered(spark, path, files=a["recommended_files"])
+    a = C.compaction_advice(path)
+    assert a["should_compact"] is False
+
+    # MOR deletes: the delete tax crosses the threshold without any
+    # range overlap
+    C.delete_clustered(
+        spark, path, F.col("o_orderkey") % 3 == 0, strategy="mor"
+    )
+    a = C.compaction_advice(path)
+    assert a["delete_tax"] > 0.05
+    assert a["should_compact"] is True
+    assert any("MOR" in r for r in a["reasons"])
+    C.compact_clustered(spark, path, files=4)
+    a = C.compaction_advice(path)
+    assert a["should_compact"] is False
+    assert a["pending_delete_rows"] == 0

@@ -78,3 +78,23 @@ def test_facade_buffer_dispatch(spark):
     bp = e.buffer(e.read_wkt("POLYGON((0 0, 10 0, 11 10, 0 10, 0 0))"), 2.0)
     assert isinstance(bp, BufferedPolygon)
     assert e.relate(bp, e.read_wkt("POINT(-1 5)")) == "CONTAINS"
+
+
+def test_read_wkt_layer_caps_driver_collect(spark):
+    """The broadcast-layer parse must refuse beyond-cap DataFrames
+    instead of collecting them to the driver (route:
+    spatial_join_points_polygons_df keeps the layer distributed)."""
+    import pytest
+
+    from spatial4n_spark.engine import SpatialEngine
+
+    eng = SpatialEngine(spark)
+    big = spark.range(30).selectExpr(
+        "cast(id as string) as poly_id",
+        "'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))' as wkt",
+    )
+    with pytest.raises(ValueError, match="refuses to collect"):
+        eng.read_wkt_layer(big, max_features=10)
+    # under the cap it parses normally
+    got = eng.read_wkt_layer(big.limit(5), max_features=10)
+    assert len(got) == 5

@@ -386,3 +386,33 @@ def test_lsh_knn_recall_vs_exact(spark, emb):
     approx_set = {(r.vec_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.35, recall  # cos~0.x neighbors; OR-amplified sign-LSH
+
+
+def test_fit_ivf_sample_hard_cap(spark):
+    import pytest
+
+    from spatial4n_spark.similarity import IVF_FIT_SAMPLE_MAX, fit_ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="driver-side"):
+        fit_ivf_centroids(emb, n_centroids=2, sample=IVF_FIT_SAMPLE_MAX + 1)
+
+
+def test_dup_clusters_long_chain_converges_logarithmically(spark):
+    """Pointer doubling: a 200-link duplicate chain (diameter 200, the
+    crawl-corpus worst case) must converge within the default 20 rounds
+    — O(log d), where plain min-propagation would need ~200.  And a
+    1-round budget on the same chain must raise, not return wrong ids."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 201)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in T.dup_clusters(chain).collect()}
+    assert set(out) == set(range(1, 202))
+    assert set(out.values()) == {1}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        T.dup_clusters(chain, max_iters=1)
