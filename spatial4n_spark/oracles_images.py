@@ -89,10 +89,30 @@ def _u01(col: str) -> str:
     return f"CAST(({col} >> 11) AS DOUBLE) / 9007199254740992e0"
 
 
+_IMAGE_CHUNK: tuple[int, int] | None = None
+
+
+def set_image_chunk(k: int | None = None, c: int = 0) -> None:
+    """Restrict every image oracle to ids with ``i % k == c`` — the
+    chunk axis for big-sf sweeps whose single-pass oracle spill exceeds
+    the sandbox disk (sf1 image_tiles spills >76 GB).  The filter lands
+    at the id GENERATOR, so the whole per-pixel pipeline (pxagg, the
+    jpg DCT chain) scales down by 1/k per chunk; the tile aggregates
+    are pure sums/counts, so chunk partials merge exactly (see
+    tools/sf1_image_tiles_chunked.py).  ``set_image_chunk()`` (no args)
+    clears the restriction — the default, and what the normal gate
+    path always uses."""
+    global _IMAGE_CHUNK
+    _IMAGE_CHUNK = (int(k), int(c)) if k else None
+
+
 def _meta_cte() -> str:
     """Per-image metadata CTE 'geo': (i, w, fmt, lon, lat) mirroring
     sources.images.synth_coords + _gen_batch sizes/format op-for-op."""
     ids = f"SELECT unnest(range(0, CAST({N_IMAGES_SQL} AS BIGINT))) AS i"
+    if _IMAGE_CHUNK is not None:
+        k, c = _IMAGE_CHUNK
+        ids = f"SELECT i FROM ({ids}) WHERE i % {k} = {c}"
     # u01 salts 1..4: mix64(i*1_000_003 + salt*77_003 + 42)
     mixed = _mix64_sql(
         ids,

@@ -33,12 +33,26 @@ def _h_sql(expr: str, nibbles: int = 15) -> str:
     return f"('0x' || substr(md5({expr}), 1, {nibbles}))::BIGINT"
 
 
+def _scan_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Same scan-parallelism stand-in as suite._scan: the sandbox parquet
+    is single-row-group (unsplittable), so without the opt-in
+    ``spark.spatial4n.scan.partitions`` repartition a quadratic row like
+    emb_knn runs its whole cross join on 1-2 tasks at big sf — a real
+    table's multi-file scan parallelizes naturally."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    try:
+        n = int(spark.conf.get("spark.spatial4n.scan.partitions", "0"))
+    except Exception:  # noqa: BLE001
+        n = 0
+    return df.repartition(n) if n > 0 else df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _scan_table(spark, sf_dir, "documents")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _scan_table(spark, sf_dir, "embeddings")
 
 
 # ---------------------------------------------------------------------------
@@ -285,17 +299,24 @@ def q_emb_knn(spark, sf_dir):
 
 
 def _sql_emb_knn() -> str:
-    cos = (
-        f"({_dot_sql('a.v', 'b.v')} / "
-        f"(sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})))"
-    )
+    # norms precomputed per vector and the (vec_id, neighbor_id, cos)
+    # triple projected BEFORE the window: with the cosine inline in the
+    # window's ORDER BY, the sort input carries both 64-double vectors
+    # (~1 KB/row — a 400 GB spill at sf1's 20k x 20k pairs, which blew
+    # the disk); narrow rows spill ~20 GB.  Bit-parity is preserved:
+    # sqrt(dot(a,a)) * sqrt(dot(b,b)) is the same IEEE op sequence
+    # whether the sqrt is inlined or named.
+    cos = f"({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm))"
     return f"""
-WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
-SELECT vec_id, neighbor_id, rank FROM (
-  SELECT a.vec_id, b.vec_id AS neighbor_id,
-         CAST(row_number() OVER (PARTITION BY a.vec_id
-              ORDER BY {cos} DESC, b.vec_id ASC) AS INTEGER) AS rank
-  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM e),
+p AS (SELECT a.vec_id AS a_vec_id, b.vec_id AS neighbor_id, {cos} AS cos
+      FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+SELECT a_vec_id AS vec_id, neighbor_id, rank FROM (
+  SELECT a_vec_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY a_vec_id
+              ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+  FROM p
 ) WHERE rank <= 3"""
 
 

@@ -10,6 +10,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -27,6 +28,25 @@ TABLES = [
 
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # big-sf oracle hardening: the heavy oracles (image DCT chains at
+    # sf1) spill tens of GB — keep the spill off the repo directory and
+    # give the in-memory phase room (less spill to begin with).
+    # Overridable: ORACLE_DUCK_MEM / ORACLE_DUCK_TMP.
+    with __import__("contextlib").suppress(duckdb.Error, OSError):
+        tmp = os.environ.get("ORACLE_DUCK_TMP", "/tmp/duckdb_oracle_tmp")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute(
+            f"SET memory_limit='{os.environ.get('ORACLE_DUCK_MEM', '24GB')}'"
+        )
+        # our compares are order-insensitive (canon() sorts), so DuckDB
+        # need not buffer pipelines to preserve row order — a large
+        # memory/spill reduction on the wide-intermediate oracles
+        con.execute("SET preserve_insertion_order=false")
+        if os.environ.get("ORACLE_DUCK_THREADS"):
+            con.execute(
+                f"SET threads={int(os.environ['ORACLE_DUCK_THREADS'])}"
+            )
     for t in TABLES:
         try:
             con.execute(
@@ -110,12 +130,18 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # env knobs for big-sf sweeps: the sandbox parquet is single-row-group
+    # (unsplittable), so without scan repartitioning a quadratic row like
+    # emb_knn runs its whole cross join on 1-2 tasks at sf1.
+    cpus = int(os.environ.get("ORACLE_CPUS", "8"))
+    scan_parts = int(os.environ.get("ORACLE_SCAN_PARTITIONS", "0"))
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("oracle-check")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", os.environ.get("ORACLE_DRIVER_MEM", "8g"))
+        .config("spark.spatial4n.scan.partitions", str(scan_parts))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -130,17 +156,17 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL {name}: spark error: {ex}")
+            print(f"FAIL {name}: spark error: {ex}", flush=True)
             failed.append(name)
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time() - t0:.1f}s)")
+            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time() - t0:.1f}s)", flush=True)
             continue
         try:
             odf = con.execute(sql).df()
         except Exception as ex:  # noqa: BLE001
-            print(f"FAIL {name}: oracle error: {ex}")
+            print(f"FAIL {name}: oracle error: {ex}", flush=True)
             failed.append(name)
             continue
         errs = compare(name, sdf, odf)
@@ -150,7 +176,7 @@ def main() -> int:
                 print(f"     {e}")
             failed.append(name)
         else:
-            print(f"PASS {name}: {len(sdf)} rows match ({time.time() - t0:.1f}s)")
+            print(f"PASS {name}: {len(sdf)} rows match ({time.time() - t0:.1f}s)", flush=True)
     print("FAILED:", failed if failed else "none")
     return 1 if failed else 0
 
